@@ -1,0 +1,110 @@
+"""Arrow-kernel helpers shared by the vectorized stages.
+
+Everything here operates on whole columns (pyarrow.compute / numpy) — never on
+Python rows. These helpers encode the JS-semantics mapping onto typed Arrow
+columns (SURVEY.md §7.4): a Parquet row is the JS object whose fields are the
+columns; Arrow null maps to JS null, a missing column to a missing field.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def is_string_type(t: pa.DataType) -> bool:
+    return pa.types.is_string(t) or pa.types.is_large_string(t)
+
+
+def arrow_js_typeof(t: pa.DataType) -> str:
+    """JS `typeof` of a non-null value stored in an Arrow column of type `t`
+    (mirrors oracle.js_typeof on the Python-side values)."""
+    if is_string_type(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t) or pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "number"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return "array"
+    return "object"
+
+
+def js_string_cast(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """`x.toString()` vectorized. Arrow's cast already matches JS for the types
+    we support: 2.0 -> '2', 1.5 -> '1.5', true -> 'true'."""
+    if is_string_type(col.type):
+        return col
+    return pc.cast(col, pa.string())
+
+
+def bool_np(mask: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow boolean (possibly with nulls) -> dense numpy bool (null=False)."""
+    if isinstance(mask, pa.ChunkedArray):
+        mask = mask.combine_chunks()
+    if mask.null_count:
+        mask = pc.fill_null(mask, False)
+    return mask.to_numpy(zero_copy_only=False).astype(bool, copy=False)
+
+
+def null_mask_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return bool_np(pc.is_null(col))
+
+
+def trim_empty_mask_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """value.trim() === '' (non-null rows only)."""
+    return bool_np(pc.equal(pc.utf8_trim_whitespace(col), ""))
+
+
+def falsy_mask_np(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """JS falsiness per column type (for the `(val || [])` length idiom)."""
+    t = col.type
+    out = null_mask_np(col)
+    if is_string_type(t):
+        out |= bool_np(pc.equal(col, ""))
+    elif pa.types.is_floating(t):
+        out |= bool_np(pc.equal(col, 0.0)) | bool_np(pc.is_nan(col))
+    elif pa.types.is_integer(t):
+        out |= bool_np(pc.equal(col, 0))
+    elif pa.types.is_boolean(t):
+        out |= bool_np(pc.equal(col, False))
+    return out
+
+
+def const_str_array(value: str | None, n: int) -> pa.Array:
+    """Length-n string array of one constant — dictionary-encoded index trick,
+    O(n) int32 instead of O(n·len) bytes."""
+    if n == 0:
+        return pa.array([], type=pa.string())
+    if value is None:
+        return pa.nulls(n, type=pa.string())
+    dic = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value], type=pa.string())
+    )
+    return dic.cast(pa.string())
+
+
+def take_np(col: pa.ChunkedArray | pa.Array, idx: np.ndarray) -> pa.Array:
+    taken = pc.take(col, pa.array(idx, type=pa.int64()))
+    if isinstance(taken, pa.ChunkedArray):
+        taken = taken.combine_chunks()
+    return taken
+
+
+def make_event_id(
+    batch: pa.Table, id_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> pa.Array:
+    """Deterministic row identity `{conv_id}:{turn_idx}` — replaces the
+    reference's per-request uuidv4 (index.js:19) so retries and resumes are
+    idempotent and results reproducible."""
+    parts = [js_string_cast(batch[c]) for c in id_cols]
+    if len(parts) == 1:
+        out = parts[0]
+    else:
+        out = pc.binary_join_element_wise(*parts, ":")
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out

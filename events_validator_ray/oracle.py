@@ -43,6 +43,9 @@ class _Undefined:
             cls._inst = super().__new__(cls)
         return cls._inst
 
+    def __reduce__(self):
+        return (_Undefined, ())
+
     def __repr__(self) -> str:
         return "undefined"
 

@@ -1,0 +1,303 @@
+"""Generate ANSI/DuckDB oracle SQL from a Spec.
+
+The engine and its correctness oracle share ONE spec definition: every
+vectorized branch in stages/validate.py and every wide check in
+stages/conversation.py has a SQL twin generated here, so the driver's
+side-by-side comparison (CORRECTNESS_r{N}.json) exercises the identical rule
+set. Column names match the Ray outputs exactly (driver compares by sorted
+column name + value hash).
+
+Semantics parity notes:
+- `regexp_matches` (DuckDB, RE2) is partial-match like JS RegExp.test and
+  pyarrow's match_substring_regex.
+- trim() vs JS String.trim(): both strip the whitespace used by the fixtures.
+- timestamps are compared/emitted as epoch-microsecond strings (epoch_us) to
+  sidestep VARCHAR formatting differences.
+- value/enum compare after string cast (the reference's bilateral toString,
+  validationHelpers.js:108); avoid float-valued rules in SQL-checked specs
+  (CAST(2.0 AS VARCHAR) differs between engines).
+"""
+
+from __future__ import annotations
+
+from ..spec import FieldRule, Spec
+
+VIOL_COLS = "event_id, field, error_type, expected, actual, event_name, status"
+
+
+def _eid(key_cols: tuple[str, ...]) -> str:
+    parts = [f"CAST({c} AS VARCHAR)" for c in key_cols]
+    joined = " || ':' || ".join(parts)
+    return joined
+
+
+def _lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _branch(
+    table: str,
+    key_cols: tuple[str, ...],
+    cond: str,
+    field: str,
+    etype: str,
+    expected_sql: str,
+    actual_sql: str,
+    event_name: str,
+) -> str:
+    return (
+        f"SELECT {_eid(key_cols)} AS event_id, {_lit(field)} AS field, "
+        f"{_lit(etype)} AS error_type, {expected_sql} AS expected, "
+        f"{actual_sql} AS actual, {_lit(event_name)} AS event_name, "
+        f"'error' AS status FROM {table} WHERE {cond}"
+    )
+
+
+def _scalar_conditions(rule: FieldRule, col_kind: str) -> list[tuple[str, str, str, str, str]]:
+    """Per-rule violation branches as (cond, field, etype, expected_sql,
+    actual_sql) templates with {c} for the column. col_kind in
+    {'string','number','timestamp'} (the flat transcript/event column kinds)."""
+    c = rule.name
+    out = []
+    opt = rule.optional
+    # optional-skip: optional && (null || trim-empty) skips every rule
+    if col_kind == "string":
+        skip = f"({c} IS NULL OR trim({c}) = '')" if opt else "FALSE"
+    else:
+        skip = f"({c} IS NULL)" if opt else "FALSE"
+    alive = f"NOT {skip}" if opt else "TRUE"
+
+    if rule.has_value:
+        v = rule.value_str()
+        if v is None:
+            cond = f"{alive} AND {c} IS NOT NULL"
+            exp_sql, act_sql = "CAST(NULL AS VARCHAR)", f"CAST({c} AS VARCHAR)"
+        else:
+            cond = f"{alive} AND ({c} IS NULL OR CAST({c} AS VARCHAR) <> {_lit(v)})"
+            exp_sql, act_sql = _lit(v), f"CAST({c} AS VARCHAR)"
+        out.append((cond, c, "value", exp_sql, act_sql))
+
+    if rule.enum is not None:
+        vals = ", ".join(_lit(e) for e in rule.enum_strs() if e is not None)
+        null_ok = None in rule.enum_strs()
+        null_cond = "FALSE" if null_ok else f"{c} IS NULL"
+        cond = f"{alive} AND (({c} IS NOT NULL AND CAST({c} AS VARCHAR) NOT IN ({vals})) OR {null_cond})"
+        expected = "|".join(e or "" for e in rule.enum_strs())
+        out.append((cond, c, "enum", _lit(expected), f"CAST({c} AS VARCHAR)"))
+
+    if rule.type is not None:
+        t = rule.type
+        if t == col_kind == "string":
+            if not opt:
+                out.append((f"{c} IS NULL", c, "type", "'string'", "'object'"))
+                out.append(
+                    (
+                        f"{c} IS NOT NULL AND trim({c}) = ''",
+                        c,
+                        "type",
+                        "'non-empty string'",
+                        "'empty string'",
+                    )
+                )
+        elif t == col_kind:
+            out.append((f"{alive} AND {c} IS NULL", c, "type", _lit(t), "'object'"))
+        else:
+            # column-level type mismatch: non-null rows fail with the column's
+            # JS typeof; null rows with 'object'
+            out.append((f"{alive} AND {c} IS NOT NULL", c, "type", _lit(t), _lit(col_kind)))
+            if not (opt and t == "string"):
+                out.append((f"{alive} AND {c} IS NULL", c, "type", _lit(t), "'object'"))
+
+    if rule.length is not None:
+        L = rule.length
+        if col_kind == "string":
+            cond = f"{alive} AND coalesce(length({c}), 0) <> {L}"
+            out.append(
+                (cond, c, "length", _lit(str(L)), f"CAST(coalesce(length({c}), 0) AS VARCHAR)")
+            )
+        else:
+            # numbers: truthy -> .length undefined (always violates, actual NULL)
+            out.append((f"{alive} AND {c} IS NOT NULL AND {c} <> 0", c, "length", _lit(str(L)), "CAST(NULL AS VARCHAR)"))
+            if L != 0:
+                out.append((f"{alive} AND ({c} IS NULL OR {c} = 0)", c, "length", _lit(str(L)), "'0'"))
+
+    if rule.regex is not None:
+        p = rule.regex
+        if col_kind == "string":
+            empty = f"({c} IS NULL OR trim({c}) = '')"
+            out.append((f"{alive} AND {empty}", c, "regex", _lit(p), "'empty_value'"))
+            out.append(
+                (
+                    f"{alive} AND NOT {empty} AND NOT regexp_matches({c}, {_lit(p)})",
+                    c,
+                    "regex",
+                    _lit(p),
+                    c,
+                )
+            )
+        else:
+            out.append((f"{alive} AND {c} IS NULL", c, "regex", _lit(p), "'empty_value'"))
+            out.append(
+                (
+                    f"{alive} AND {c} IS NOT NULL AND NOT regexp_matches(CAST({c} AS VARCHAR), {_lit(p)})",
+                    c,
+                    "regex",
+                    _lit(p),
+                    f"CAST({c} AS VARCHAR)",
+                )
+            )
+    return out
+
+
+def column_kinds_for_transcripts() -> dict[str, str]:
+    return {
+        "conv_id": "string",
+        "turn_idx": "number",
+        "role": "string",
+        "text": "string",
+        "tool": "string",
+        "ts": "timestamp",
+    }
+
+
+def scalar_violations_sql(
+    spec: Spec,
+    table: str,
+    col_kinds: dict[str, str],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    include_refs: bool = True,
+) -> str:
+    """UNION ALL of every scalar-rule violation branch (the SQL twin of
+    ValidateBatch with log_valid=False)."""
+    branches: list[str] = []
+    for rule in spec.fields.values():
+        kind = col_kinds.get(rule.name)
+        if kind is None:
+            if not rule.optional:
+                branches.append(
+                    _branch(
+                        table,
+                        key_cols,
+                        "TRUE",
+                        rule.name,
+                        "missing",
+                        "'field present'",
+                        "'field missing'",
+                        spec.event_name,
+                    )
+                )
+            continue
+        for cond, field, etype, exp, act in _scalar_conditions(rule, kind):
+            branches.append(
+                _branch(table, key_cols, cond, field, etype, exp, act, spec.event_name)
+            )
+    if include_refs:
+        for r in spec.table.refs:
+            expected = f"present iff {r.when_field}={r.when_value}"
+            branches.append(
+                _branch(
+                    table,
+                    key_cols,
+                    f"{r.when_field} = {_lit(r.when_value)} AND {r.field} IS NULL",
+                    r.field,
+                    "ref",
+                    _lit(expected),
+                    "'missing'",
+                    spec.event_name,
+                )
+            )
+            if r.iff:
+                branches.append(
+                    _branch(
+                        table,
+                        key_cols,
+                        f"(({r.when_field} IS NULL) OR {r.when_field} <> {_lit(r.when_value)}) AND {r.field} IS NOT NULL",
+                        r.field,
+                        "ref",
+                        _lit(expected),
+                        "'unexpected'",
+                        spec.event_name,
+                    )
+                )
+    return "\nUNION ALL\n".join(branches)
+
+
+def valid_rows_condition(spec: Spec, col_kinds: dict[str, str], include_refs: bool = True) -> str:
+    """SQL predicate: this ROW produces no scalar/ref violation (the
+    logPassed analog, exact per-row even under duplicated keys)."""
+    conds: list[str] = []
+    for rule in spec.fields.values():
+        kind = col_kinds.get(rule.name)
+        if kind is None:
+            if not rule.optional:
+                conds.append("TRUE")
+            continue
+        for cond, *_ in _scalar_conditions(rule, kind):
+            conds.append(f"({cond})")
+    if include_refs:
+        for r in spec.table.refs:
+            conds.append(f"({r.when_field} = {_lit(r.when_value)} AND {r.field} IS NULL)")
+            if r.iff:
+                conds.append(
+                    f"((({r.when_field} IS NULL) OR {r.when_field} <> {_lit(r.when_value)}) AND {r.field} IS NOT NULL)"
+                )
+    if not conds:
+        return "TRUE"
+    return "NOT (" + " OR ".join(conds) + ")"
+
+
+def conversation_violations_sql(spec: Spec, table: str) -> str:
+    """SQL twin of stages/conversation.py (unique, contiguity, ts ordering,
+    first_role)."""
+    ename = _lit(spec.event_name)
+    parts: list[str] = []
+    order = spec.table.order
+    within = order.within if order else "conv_id"
+    by = order.by if order else "turn_idx"
+    ts = order.ts_column if order else "ts"
+
+    if spec.table.unique:
+        parts.append(
+            f"SELECT {within} || ':' || CAST({by} AS VARCHAR) AS event_id, "
+            f"'{by}' AS field, 'unique' AS error_type, '1' AS expected, "
+            f"CAST(COUNT(*) AS VARCHAR) AS actual, {ename} AS event_name, "
+            f"'error' AS status FROM {table} GROUP BY {within}, {by} HAVING COUNT(*) > 1"
+        )
+    if order and order.contiguous:
+        parts.append(
+            f"""SELECT {within} || ':' || CAST({by} AS VARCHAR) AS event_id,
+ '{by}' AS field, 'order' AS error_type,
+ CASE WHEN prev IS NULL THEN '0' ELSE CAST(prev + 1 AS VARCHAR) END AS expected,
+ CAST({by} AS VARCHAR) AS actual, {ename} AS event_name, 'error' AS status
+ FROM (SELECT {within}, {by}, LAG({by}) OVER (PARTITION BY {within} ORDER BY {by}) AS prev
+       FROM (SELECT DISTINCT {within}, {by} FROM {table}))
+ WHERE (prev IS NULL AND {by} <> 0) OR (prev IS NOT NULL AND {by} - prev > 1)"""
+        )
+    if order and order.ts_monotone:
+        parts.append(
+            f"""SELECT {within} || ':' || CAST({by} AS VARCHAR) AS event_id,
+ '{ts}' AS field, 'order' AS error_type,
+ CAST(epoch_us(prevmax) AS VARCHAR) AS expected,
+ CAST(epoch_us({ts}) AS VARCHAR) AS actual, {ename} AS event_name, 'error' AS status
+ FROM (SELECT {within}, {by}, {ts},
+              MAX({ts}) OVER (PARTITION BY {within} ORDER BY {by}
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+       FROM {table} WHERE {ts} IS NOT NULL)
+ WHERE {ts} < prevmax"""
+        )
+    if spec.table.first_role:
+        fr = _lit(spec.table.first_role)
+        parts.append(
+            f"""SELECT {within} || ':' || CAST(min_turn AS VARCHAR) AS event_id,
+ 'role' AS field, 'ref' AS error_type,
+ 'first_role=' || {fr} AS expected, min_role AS actual,
+ {ename} AS event_name, 'error' AS status
+ FROM (SELECT {within}, MIN({by}) AS min_turn FROM {table} GROUP BY {within}) m
+ JOIN (SELECT {within} AS w2, {by} AS b2,
+              MAX(CASE WHEN role = {fr} THEN 1 ELSE 0 END) AS hit,
+              MIN(role) AS min_role
+       FROM {table} GROUP BY {within}, {by}) r
+ ON m.{within} = r.w2 AND m.min_turn = r.b2
+ WHERE hit = 0"""
+        )
+    return "\nUNION ALL\n".join(parts)

@@ -29,8 +29,24 @@ from typing import Any
 
 # Sentinel distinguishing "rule has no `value` key" from "value: null"
 # (the reference distinguishes hasOwnProperty('value') from value===null,
-# validationHelpers.js:155 + FIXTURES.md case 23).
-_NO = object()
+# validationHelpers.js:155 + FIXTURES.md case 23). Must survive pickling to
+# Ray workers as the SAME singleton, hence __reduce__.
+class _NoValue:
+    _inst = None
+
+    def __new__(cls):
+        if cls._inst is None:
+            cls._inst = super().__new__(cls)
+        return cls._inst
+
+    def __reduce__(self):
+        return (_NoValue, ())
+
+    def __repr__(self) -> str:
+        return "<no value>"
+
+
+_NO = _NoValue()
 
 RESERVED_KEYS = ("version", "_table")
 

@@ -1,0 +1,581 @@
+"""Vectorized per-turn validation stage (the core operator).
+
+Re-expresses the reference's record-at-a-time `checkWithSchema` walk
+(validator_src/helpers/validationHelpers.js:130-164) as ONE
+``map_batches(ValidateBatch, batch_format="pyarrow", zero_copy_batch=True)``
+stage: the spec is compiled once per actor into a list of vectorized branch
+evaluators (boolean masks via pyarrow.compute / numpy); each batch yields an
+Arrow violations table in the reference's 12-column BigQuery log shape
+(terraform_backend/src/bq_schema/bq_schema.json:1-63) — error rows
+(loggingHelpers.js:7-20), one `status='valid'` row per clean turn
+(logPassed, loggingHelpers.js:22-31), and optional per-field valid rows
+(logValidField, loggingHelpers.js:33-46).
+
+JS-semantics mapping onto typed columns (probed behaviors in FIXTURES.md §3):
+null -> `typeof null === 'object'` type errors; required empty/whitespace
+string -> ("non-empty string", "empty string"); value/enum compare after
+bilateral toString; regex is partial-match and string-coercing with the
+empty/null -> 'empty_value' short-circuit; length is `(val || []).length`.
+Rule order per field: value -> enum -> type -> length -> regex
+(validationHelpers.js:155-162, each rule independent).
+
+Scale notes: the stage is embarrassingly parallel, pure (no shared state —
+unlike the reference's module-level accumulator arrays, loggingHelpers.js:2-4),
+and retry-safe; event ids are deterministic `{conv_id}:{turn_idx}` so retries
+are idempotent. Constant columns are built dictionary-encoded.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.kernels import (
+    arrow_js_typeof,
+    bool_np,
+    const_str_array,
+    falsy_mask_np,
+    is_string_type,
+    js_string_cast,
+    make_event_id,
+    null_mask_np,
+    take_np,
+    trim_empty_mask_np,
+)
+from ..spec import RULE_ORDER, FieldRule, Spec
+
+#: Arrow schema of the violations/log table (12 columns, mirrors bq_schema.json)
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("event_id", pa.string()),
+        ("field", pa.string()),
+        ("error_type", pa.string()),
+        ("expected", pa.string()),
+        ("actual", pa.string()),
+        ("timestamp", pa.timestamp("us")),
+        ("source_event", pa.string()),
+        ("status", pa.string()),
+        ("event_name", pa.string()),
+        ("event_data", pa.string()),
+        ("value", pa.string()),
+        ("type", pa.string()),
+    ]
+)
+
+#: default run timestamp — stamped at the driver, not per row, for determinism
+#: (the reference stamps per log call, loggingHelpers.js:15 — non-reproducible)
+DEFAULT_RUN_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+@dataclass
+class Branch:
+    """One homogeneous slice of violations: constant field/error_type/expected,
+    per-row actual (constant or an array aligned with `idx`)."""
+
+    idx: np.ndarray
+    field: str
+    error_type: str
+    expected: str | None
+    actual: Any  # str | None | pa.Array aligned with idx
+    rule_pos: int  # position in RULE_ORDER (for deterministic output ordering)
+
+
+class _BatchCtx:
+    """Per-batch cache of column masks / casts so independent rules on the same
+    column don't recompute them."""
+
+    def __init__(self, batch: pa.Table):
+        self.batch = batch
+        self.n = batch.num_rows
+        self._null: dict[str, np.ndarray] = {}
+        self._empty: dict[str, np.ndarray] = {}
+        self._str: dict[str, pa.ChunkedArray] = {}
+
+    def col(self, name: str):
+        return self.batch[name]
+
+    def null(self, name: str) -> np.ndarray:
+        if name not in self._null:
+            self._null[name] = null_mask_np(self.batch[name])
+        return self._null[name]
+
+    def empty(self, name: str) -> np.ndarray:
+        """trim-empty mask (string columns only; False elsewhere)."""
+        if name not in self._empty:
+            col = self.batch[name]
+            if is_string_type(col.type):
+                self._empty[name] = trim_empty_mask_np(col)
+            else:
+                self._empty[name] = np.zeros(self.n, dtype=bool)
+        return self._empty[name]
+
+    def strcast(self, name: str):
+        if name not in self._str:
+            self._str[name] = js_string_cast(self.batch[name])
+        return self._str[name]
+
+    def skip(self, name: str, optional: bool) -> np.ndarray:
+        """Rows the walk skips entirely: optional && (null || empty string)
+        (validationHelpers.js:151-153)."""
+        if not optional:
+            return np.zeros(self.n, dtype=bool)
+        return self.null(name) | self.empty(name)
+
+
+CheckFn = Callable[[_BatchCtx], list[Branch]]
+
+
+def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
+    """Compile one field rule into vectorized branch evaluators."""
+    name = rule.name
+    checks: list[CheckFn] = []
+
+    if name not in schema.names:
+        # column absent -> field missing for every row (validationHelpers.js:142-146)
+        if not rule.optional:
+
+            def missing(ctx: _BatchCtx, name=name) -> list[Branch]:
+                return [
+                    Branch(
+                        np.arange(ctx.n, dtype=np.int64),
+                        name,
+                        "missing",
+                        "field present",
+                        "field missing",
+                        -1,
+                    )
+                ]
+
+            checks.append(missing)
+        return checks
+
+    col_type = schema.field(name).type
+    js_type = arrow_js_typeof(col_type)
+    pos = {k: i for i, k in enumerate(RULE_ORDER)}
+
+    if rule.has_value:
+        expected_str = rule.value_str()
+
+        def value_check(ctx: _BatchCtx, name=name, expected_str=expected_str) -> list[Branch]:
+            # actual?.toString() !== expected?.toString() (validationHelpers.js:108)
+            nulls = ctx.null(name)
+            if expected_str is None:
+                mask = ~nulls  # null == null passes; any value mismatches
+            else:
+                mask = bool_np(pc.not_equal(ctx.strcast(name), expected_str)) | nulls
+            mask &= ~ctx.skip(name, rule.optional)
+            idx = np.nonzero(mask)[0]
+            if not idx.size:
+                return []
+            return [
+                Branch(idx, name, "value", expected_str, take_np(ctx.strcast(name), idx), pos["value"])
+            ]
+
+        checks.append(value_check)
+
+    if rule.enum is not None:
+        enum_strs = [e for e in rule.enum_strs() if e is not None]
+        null_ok = None in rule.enum_strs()
+        expected_str = "|".join(rule.enum_strs()[i] or "" for i in range(len(rule.enum_strs())))
+        value_set = pa.array(enum_strs, type=pa.string())
+
+        def enum_check(ctx: _BatchCtx, name=name) -> list[Branch]:
+            nulls = ctx.null(name)
+            in_set = bool_np(pc.is_in(ctx.strcast(name), value_set=value_set))
+            mask = ~in_set
+            if null_ok:
+                mask &= ~nulls
+            mask &= ~ctx.skip(name, rule.optional)
+            idx = np.nonzero(mask)[0]
+            if not idx.size:
+                return []
+            return [
+                Branch(idx, name, "enum", expected_str, take_np(ctx.strcast(name), idx), pos["enum"])
+            ]
+
+        checks.append(enum_check)
+
+    if rule.type is not None:
+        expected_type = rule.type
+
+        def type_check(ctx: _BatchCtx, name=name, expected_type=expected_type, js_type=js_type) -> list[Branch]:
+            out: list[Branch] = []
+            nulls = ctx.null(name)
+            skip = ctx.skip(name, rule.optional)
+            p = pos["type"]
+            if expected_type == "string" and js_type == "string":
+                if rule.optional:
+                    # optional null/empty were already skipped at walk level
+                    return out
+                nidx = np.nonzero(nulls)[0]
+                if nidx.size:
+                    out.append(Branch(nidx, name, "type", "string", "object", p))
+                eidx = np.nonzero(ctx.empty(name) & ~nulls)[0]
+                if eidx.size:
+                    out.append(
+                        Branch(eidx, name, "type", "non-empty string", "empty string", p)
+                    )
+                return out
+            if expected_type == js_type:
+                # typed column matches -> only null rows fail (typeof null === 'object';
+                # for 'object' columns null also logs ('object','object'),
+                # validationHelpers.js:53-59)
+                if rule.optional and expected_type == "string":
+                    return out
+                mask = nulls & ~skip
+                nidx = np.nonzero(mask)[0]
+                if nidx.size:
+                    out.append(Branch(nidx, name, "type", _expected_label(expected_type), "object", p))
+                return out
+            # column-level type mismatch: every non-null row fails with the
+            # column's JS typeof; null rows fail with 'object'
+            nnidx = np.nonzero(~nulls & ~skip)[0]
+            if nnidx.size:
+                out.append(Branch(nnidx, name, "type", _expected_label(expected_type), js_type, p))
+            nidx = np.nonzero(nulls & ~skip)[0]
+            if nidx.size and not (rule.optional and expected_type == "string"):
+                out.append(Branch(nidx, name, "type", _expected_label(expected_type), "object", p))
+            return out
+
+        checks.append(type_check)
+
+    if rule.length is not None:
+        L = rule.length
+
+        def length_check(ctx: _BatchCtx, name=name, L=L) -> list[Branch]:
+            # (val || []).length !== parseInt(length) (validationHelpers.js:76-85)
+            col = ctx.col(name)
+            skip = ctx.skip(name, rule.optional)
+            p = pos["length"]
+            t = col.type
+            if is_string_type(t):
+                lens = pc.fill_null(pc.utf8_length(col), 0)
+            elif pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+                lens = pc.fill_null(pc.list_value_length(col), 0)
+            else:
+                # numbers/bools/timestamps: truthy -> .length undefined (always
+                # mismatch, actual null); falsy -> 0
+                falsy = falsy_mask_np(col)
+                out = []
+                tidx = np.nonzero(~falsy & ~skip)[0]
+                if tidx.size:
+                    out.append(Branch(tidx, name, "length", str(L), None, p))
+                if L != 0:
+                    fidx = np.nonzero(falsy & ~skip)[0]
+                    if fidx.size:
+                        out.append(Branch(fidx, name, "length", str(L), "0", p))
+                return out
+            mask = bool_np(pc.not_equal(lens, L)) & ~skip
+            idx = np.nonzero(mask)[0]
+            if not idx.size:
+                return []
+            actual = pc.cast(take_np(lens, idx), pa.string())
+            return [Branch(idx, name, "length", str(L), actual, p)]
+
+        checks.append(length_check)
+
+    if rule.regex is not None:
+        pattern = rule.regex
+
+        def regex_check(ctx: _BatchCtx, name=name, pattern=pattern, js_type=js_type) -> list[Branch]:
+            # validationHelpers.js:113-127: empty/null -> 'empty_value'; else
+            # partial-match RegExp.test with string coercion
+            out: list[Branch] = []
+            nulls = ctx.null(name)
+            skip = ctx.skip(name, rule.optional)
+            p = pos["regex"]
+            empty = ctx.empty(name) & ~nulls
+            ev = (nulls | empty) & ~skip
+            eidx = np.nonzero(ev)[0]
+            if eidx.size:
+                out.append(Branch(eidx, name, "regex", pattern, "empty_value", p))
+            strc = ctx.strcast(name)
+            matched = bool_np(pc.match_substring_regex(strc, pattern))
+            mask = ~matched & ~nulls & ~empty & ~skip
+            idx = np.nonzero(mask)[0]
+            if idx.size:
+                out.append(Branch(idx, name, "regex", pattern, take_np(strc, idx), p))
+            return out
+
+        checks.append(regex_check)
+
+    return checks
+
+
+def _expected_label(t: str) -> str:
+    return t
+
+
+def compile_ref_checks(spec: Spec, schema: pa.Schema) -> list[CheckFn]:
+    """Cross-column referential rules (engine extension, SURVEY.md §2.4 J4):
+    `field` non-null exactly when `when_field == when_value`."""
+    checks: list[CheckFn] = []
+    for r in spec.table.refs:
+        if r.field not in schema.names or r.when_field not in schema.names:
+            continue
+
+        def ref_check(ctx: _BatchCtx, r=r) -> list[Branch]:
+            out: list[Branch] = []
+            when = bool_np(pc.equal(ctx.strcast(r.when_field), r.when_value))
+            nulls = ctx.null(r.field)
+            expected = f"present iff {r.when_field}={r.when_value}"
+            midx = np.nonzero(when & nulls)[0]
+            if midx.size:
+                out.append(Branch(midx, r.field, "ref", expected, "missing", 90))
+            if r.iff:
+                uidx = np.nonzero(~when & ~nulls)[0]
+                if uidx.size:
+                    out.append(Branch(uidx, r.field, "ref", expected, "unexpected", 91))
+            return out
+
+        checks.append(ref_check)
+    return checks
+
+
+def _branches_to_table(
+    branches: list[Branch],
+    eid: pa.Array,
+    event_name: str,
+    run_ts: _dt.datetime,
+    n_rows: int,
+    log_valid: bool,
+    log_payload: bool,
+    batch: pa.Table,
+) -> pa.Table:
+    """Assemble the 12-column log table from violation branches + valid rows."""
+    # deterministic branch order: by field, then rule position (the vectorized
+    # pass loses the reference's walk order; SURVEY.md §7.4 item 3)
+    branches = [b for b in branches if b.idx.size]
+    branches.sort(key=lambda b: (b.field, b.rule_pos, b.error_type))
+
+    idx_parts: list[np.ndarray] = []
+    field_parts: list[pa.Array] = []
+    etype_parts: list[pa.Array] = []
+    exp_parts: list[pa.Array] = []
+    act_parts: list[pa.Array] = []
+    err_row_mask = np.zeros(n_rows, dtype=bool)
+
+    for b in branches:
+        k = b.idx.size
+        idx_parts.append(b.idx)
+        err_row_mask[b.idx] = True
+        field_parts.append(const_str_array(b.field, k))
+        etype_parts.append(const_str_array(b.error_type, k))
+        exp_parts.append(const_str_array(b.expected, k))
+        if isinstance(b.actual, (pa.Array, pa.ChunkedArray)):
+            arr = b.actual
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            act_parts.append(arr)
+        else:
+            act_parts.append(const_str_array(b.actual, k))
+
+    n_err = int(sum(p.size for p in idx_parts))
+    all_idx = np.concatenate(idx_parts) if idx_parts else np.empty(0, dtype=np.int64)
+    ts_us = int(run_ts.timestamp() * 1_000_000)
+
+    def _concat(parts: list[pa.Array], n: int) -> pa.Array:
+        return pa.concat_arrays(parts) if parts else pa.array([], type=pa.string())
+
+    def _ts_col(n: int) -> pa.Array:
+        return pa.array(np.full(n, ts_us, dtype=np.int64), type=pa.timestamp("us"))
+
+    payload_col: pa.Array
+    if log_payload and n_err:
+        # LOG_PAYLOAD_WHEN_ERROR analog (loggingHelpers.js:18): serialize the
+        # offending source row as JSON (slow path; off by default)
+        rows = batch.take(pa.array(all_idx, type=pa.int64())).to_pylist()
+        payload_col = pa.array(
+            [json.dumps(r, default=str, separators=(",", ":")) for r in rows],
+            type=pa.string(),
+        )
+    else:
+        payload_col = pa.nulls(n_err, type=pa.string())
+
+    err_tbl = pa.table(
+        {
+            "event_id": take_np(eid, all_idx),
+            "field": _concat(field_parts, n_err),
+            "error_type": _concat(etype_parts, n_err),
+            "expected": _concat(exp_parts, n_err),
+            "actual": _concat(act_parts, n_err),
+            "timestamp": _ts_col(n_err),
+            "source_event": pa.nulls(n_err, type=pa.string()),
+            "status": const_str_array("error", n_err),
+            "event_name": const_str_array(event_name, n_err),
+            "event_data": payload_col,
+            "value": pa.nulls(n_err, type=pa.string()),
+            "type": pa.nulls(n_err, type=pa.string()),
+        },
+        schema=VIOLATION_SCHEMA,
+    )
+
+    if not log_valid:
+        return err_tbl
+
+    # one status='valid' row per clean turn (logPassed, loggingHelpers.js:22-31)
+    vidx = np.nonzero(~err_row_mask)[0]
+    n_ok = vidx.size
+    ok_tbl = pa.table(
+        {
+            "event_id": take_np(eid, vidx),
+            "field": pa.nulls(n_ok, type=pa.string()),
+            "error_type": pa.nulls(n_ok, type=pa.string()),
+            "expected": pa.nulls(n_ok, type=pa.string()),
+            "actual": pa.nulls(n_ok, type=pa.string()),
+            "timestamp": _ts_col(n_ok),
+            "source_event": pa.nulls(n_ok, type=pa.string()),
+            "status": const_str_array("valid", n_ok),
+            "event_name": const_str_array(event_name, n_ok),
+            "event_data": pa.nulls(n_ok, type=pa.string()),
+            "value": pa.nulls(n_ok, type=pa.string()),
+            "type": pa.nulls(n_ok, type=pa.string()),
+        },
+        schema=VIOLATION_SCHEMA,
+    )
+    return pa.concat_tables([err_tbl, ok_tbl])
+
+
+class ValidateBatch:
+    """Callable class for ``map_batches`` actor pools: spec compiled once per
+    actor in ``__init__`` (the analog of loading the schema once — the
+    reference re-downloads it per event, index.js:45 / AGENTS.md:807), work per
+    batch in ``__call__``."""
+
+    def __init__(
+        self,
+        spec: Spec | dict,
+        run_ts: _dt.datetime = DEFAULT_RUN_TS,
+        log_valid: bool = True,
+        log_payload: bool = False,
+        id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        include_refs: bool = True,
+    ):
+        from ..spec import load_spec
+
+        self.spec = spec if isinstance(spec, Spec) else load_spec(spec)
+        self.run_ts = run_ts
+        self.log_valid = log_valid
+        self.log_payload = log_payload
+        self.id_cols = tuple(id_cols)
+        self.include_refs = include_refs
+        self._compiled: tuple[tuple[str, ...], list[CheckFn]] | None = None
+
+    def _checks_for(self, schema: pa.Schema) -> list[CheckFn]:
+        key = tuple(f"{f.name}:{f.type}" for f in schema)
+        if self._compiled is None or self._compiled[0] != key:
+            checks: list[CheckFn] = []
+            for rule in self.spec.fields.values():
+                checks.extend(_compile_field(rule, schema))
+            if self.include_refs:
+                checks.extend(compile_ref_checks(self.spec, schema))
+            self._compiled = (key, checks)
+        return self._compiled[1]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        checks = self._checks_for(batch.schema)
+        ctx = _BatchCtx(batch)
+        branches: list[Branch] = []
+        for fn in checks:
+            branches.extend(fn(ctx))
+        eid = make_event_id(batch, self.id_cols)
+        return _branches_to_table(
+            branches,
+            eid,
+            self.spec.event_name,
+            self.run_ts,
+            batch.num_rows,
+            self.log_valid,
+            self.log_payload,
+            batch,
+        )
+
+
+class ValidateJsonDocs:
+    """Nested-document validation (JSON-payload mode): full `nestedSchema`
+    recursion parity via the row oracle over a JSON string column. This is the
+    slow path, used only for document-typed payloads (arrays/objects) the
+    columnar pass can't express — FIXTURES.md §4.
+
+    Schemas are keyed by the document's event-name attribute (the broadcast
+    `event_name -> compiled plan` lookup replacing the reference's per-event
+    GCS fetch, index.js:45)."""
+
+    def __init__(
+        self,
+        specs: dict[str, Spec],
+        json_col: str = "text",
+        run_ts: _dt.datetime = DEFAULT_RUN_TS,
+        event_name_attr: str = "event_name",
+        id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        log_valid: bool = True,
+    ):
+        self.specs = specs
+        self.json_col = json_col
+        self.run_ts = run_ts
+        self.event_name_attr = event_name_attr
+        self.id_cols = tuple(id_cols)
+        self.log_valid = log_valid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..oracle import validate_event
+
+        eid = make_event_id(batch, self.id_cols).to_pylist()
+        docs = batch[self.json_col].to_pylist()
+        ts_us = int(self.run_ts.timestamp() * 1_000_000)
+        rows: dict[str, list] = {name: [] for name in VIOLATION_SCHEMA.names}
+
+        def emit(eid_v, field, etype, exp, act, status, ename):
+            rows["event_id"].append(eid_v)
+            rows["field"].append(field)
+            rows["error_type"].append(etype)
+            rows["expected"].append(exp)
+            rows["actual"].append(act)
+            rows["timestamp"].append(ts_us)
+            rows["source_event"].append(None)
+            rows["status"].append(status)
+            rows["event_name"].append(ename)
+            rows["event_data"].append(None)
+            rows["value"].append(None)
+            rows["type"].append(None)
+
+        for i, raw in enumerate(docs):
+            if raw is None:
+                emit(eid[i], None, "invalid_request", "request body", "missing", "error", None)
+                continue
+            try:
+                doc = json.loads(raw)
+            except (json.JSONDecodeError, TypeError):
+                emit(eid[i], None, "invalid_request", "valid JSON", "parse error", "error", None)
+                continue
+            if not isinstance(doc, dict):
+                emit(eid[i], None, "invalid_request", "object", type(doc).__name__, "error", None)
+                continue
+            ename = doc.get(self.event_name_attr)
+            if not ename:
+                # index.js:40-43
+                emit(eid[i], None, "invalid_request", self.event_name_attr, "missing", "error", None)
+                continue
+            spec = self.specs.get(ename)
+            if spec is None:
+                # index.js:47-50
+                emit(eid[i], None, "schema_not_found", "schema", "not found", "error", ename)
+                continue
+            violations = validate_event(spec.fields, doc)
+            if violations:
+                for field, etype, exp, act in violations:
+                    emit(eid[i], field, etype, exp, act, "error", ename)
+            elif self.log_valid:
+                emit(eid[i], None, None, None, None, "valid", ename)
+
+        arrays = {}
+        for name in VIOLATION_SCHEMA.names:
+            typ = VIOLATION_SCHEMA.field(name).type
+            arrays[name] = pa.array(rows[name], type=typ)
+        return pa.table(arrays, schema=VIOLATION_SCHEMA)

@@ -1,0 +1,110 @@
+"""End-to-end parity on the deterministic synthetic transcript corpus:
+Ray pipeline vs DuckDB oracle SQL generated from the SAME spec, and
+salted vs unsalted conversation checks."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from events_validator_ray.pipelines.sqlgen import (
+    column_kinds_for_transcripts,
+    conversation_violations_sql,
+    scalar_violations_sql,
+    valid_rows_condition,
+)
+from events_validator_ray.sources.transcripts import ensure_transcripts, transcripts_glob
+from events_validator_ray.spec import transcript_spec
+from events_validator_ray.stages.conversation import (
+    conversation_violations,
+    conversation_violations_salted,
+)
+from events_validator_ray.stages.validate import ValidateBatch
+
+SF = 0.001
+VCOLS = ["event_id", "field", "error_type", "expected", "actual", "event_name", "status"]
+
+
+@pytest.fixture(scope="module")
+def tdir():
+    return ensure_transcripts(SF)
+
+
+@pytest.fixture(scope="module")
+def con(tdir):
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW transcripts AS SELECT * FROM read_parquet('{transcripts_glob(SF)}')"
+    )
+    return c
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[VCOLS].copy()
+    for c in VCOLS:
+        df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df.sort_values(VCOLS).reset_index(drop=True)
+
+
+def test_scalar_violations_match_sql(ray_session, tdir, con):
+    import ray.data as rd
+
+    spec = transcript_spec()
+    ds = rd.read_parquet(tdir)
+    out = ds.map_batches(
+        ValidateBatch(spec, log_valid=False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    got = norm(out.select_columns(VCOLS).to_pandas())
+    sql = scalar_violations_sql(spec, "transcripts", column_kinds_for_transcripts())
+    want = norm(con.sql(sql).df())
+    assert len(got) > 50  # injected violations exist
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_valid_rows_match_sql(ray_session, tdir, con):
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    spec = transcript_spec()
+    ds = rd.read_parquet(tdir)
+    out = ds.map_batches(
+        ValidateBatch(spec, log_valid=True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    got_valid = (
+        out.filter(expr="status == 'valid'").select_columns(["event_id"]).to_pandas()
+    )
+    cond = valid_rows_condition(spec, column_kinds_for_transcripts())
+    want = con.sql(
+        f"SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS event_id "
+        f"FROM transcripts WHERE {cond}"
+    ).df()
+    assert len(got_valid) == len(want) > 1000
+    assert sorted(got_valid["event_id"]) == sorted(want["event_id"])
+
+
+def test_conversation_checks_match_sql(ray_session, tdir, con):
+    import ray.data as rd
+
+    spec = transcript_spec()
+    ds = rd.read_parquet(tdir)
+    out = conversation_violations(ds, spec)
+    got = norm(out.select_columns(VCOLS).to_pandas())
+    want = norm(con.sql(conversation_violations_sql(spec, "transcripts")).df())
+    # every check kind fires on the fixture
+    kinds = set(got["error_type"]) | set(got["field"])
+    assert {"unique", "order", "ref"} <= set(got["error_type"])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_salted_equals_unsalted(ray_session, tdir):
+    import ray.data as rd
+
+    spec = transcript_spec()
+    ds = rd.read_parquet(tdir)
+    plain = norm(conversation_violations(ds, spec).select_columns(VCOLS).to_pandas())
+    salted = norm(
+        conversation_violations_salted(ds, spec, chunk=5)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
