@@ -1,0 +1,108 @@
+"""Reporting plane over the violations/log Dataset — the Ray Data analog of
+the reference's Streamlit "Validation Report"
+(streamlit_ev/app/validation_report.py:59-197).
+
+The reference reads its BigQuery log table for a date range, filters, and
+computes two aggregations (SURVEY.md §2.5 A2/A3):
+- failures by day × dimension: group_by + len + sort (validation_report.py:110-116)
+- daily error rate: 100 · n_unique(event_id | error) / n_unique(event_id)
+  (validation_report.py:119-131)
+
+Here the log is a Dataset (error + valid rows); `date_utc` is derived from the
+`timestamp` column (the reference materializes it at log time,
+loggingHelpers.js:17). Distinct counts are exact two-level groupbys (dedup to
+(day, event_id) pairs, then count) — at 10^12 scale swap the inner dedup for
+the HLL sketch in stages/sketches.py.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _with_date(ds):
+    def add_date(t: pa.Table) -> pa.Table:
+        return t.append_column("date_utc", pc.strftime(t["timestamp"], format="%Y-%m-%d"))
+
+    return ds.map_batches(add_date, batch_format="pyarrow")
+
+
+def failures_by_day(ds, dim: str = "field"):
+    """Failures by day × dimension (default: the violated field; the reference
+    uses event_name as its dimension, validation_report.py:110-116), sorted by
+    day. Returns a Dataset with (date_utc, {dim}, n_failures)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _with_date(ds.filter(expr="status == 'error'"))
+        .groupby(["date_utc", dim])
+        .aggregate(Count(alias_name="n_failures"))
+        .sort("date_utc")
+    )
+
+
+def daily_error_rate(ds):
+    """Per-day total distinct events, distinct error events, and error rate %
+    (validation_report.py:119-131). Returns (date_utc, n_events,
+    n_error_events, error_rate) sorted by day."""
+    from ray.data.aggregate import Count
+
+    with_date = _with_date(ds).select_columns(["date_utc", "event_id", "status"])
+
+    def batch_dedup(t: pa.Table) -> pa.Table:
+        # pre-aggregate within the batch before the shuffle: one row per
+        # (date, event_id, is_error) cuts the groupby input by ~the batch's
+        # duplication factor
+        flags = pc.equal(t["status"], "error")
+        t2 = pa.table(
+            {
+                "date_utc": t["date_utc"],
+                "event_id": t["event_id"],
+                "is_error": flags,
+            }
+        )
+        return t2.group_by(["date_utc", "event_id"]).aggregate([("is_error", "max")])
+
+    pairs = (
+        with_date.map_batches(batch_dedup, batch_format="pyarrow")
+        .groupby(["date_utc", "event_id"])
+        .aggregate(Count(alias_name="_n"))  # global dedup to distinct pairs
+    )
+    # pairs lost the is_error flag in the Count agg; recompute flags by a
+    # second pass: distinct (date, eid) over error rows only
+    err_pairs = (
+        _with_date(ds.filter(expr="status == 'error'"))
+        .select_columns(["date_utc", "event_id"])
+        .groupby(["date_utc", "event_id"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    totals = pairs.groupby("date_utc").aggregate(Count(alias_name="n_events"))
+    errors = err_pairs.groupby("date_utc").aggregate(Count(alias_name="n_error_events"))
+
+    tdf = totals.to_pandas()
+    edf = errors.to_pandas()
+    out = tdf.merge(edf, on="date_utc", how="left").fillna({"n_error_events": 0})
+    out["n_error_events"] = out["n_error_events"].astype("int64")
+    out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)
+    return out.sort_values("date_utc").reset_index(drop=True)
+
+
+def unique_event_names(ds):
+    """Distinct event names (the report's filter widget,
+    validation_report.py:85)."""
+    return sorted(x for x in ds.unique("event_name") if x is not None)
+
+
+def worst_offenders(ds, k: int = 20):
+    """Top-k (field, error_type) pairs by violation count — 'worst partitions'
+    style report view (SURVEY.md §2.6 O5)."""
+    from ray.data.aggregate import Count
+
+    return (
+        ds.filter(expr="status == 'error'")
+        .groupby(["field", "error_type"])
+        .aggregate(Count(alias_name="n"))
+        .sort("n", descending=True)
+        .limit(k)
+    )

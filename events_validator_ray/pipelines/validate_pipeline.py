@@ -1,0 +1,201 @@
+"""The flagship end-to-end pipeline: read -> vectorized scalar validation ->
+conversation checks -> sketch profile -> partitioned violations parquet +
+checkpoint manifest.
+
+Stage layout (all Ray-Data-native; raw Ray tasks are never needed):
+
+1. scalar stage — per input-file partition: ``read_parquet(files)`` ->
+   ``map_batches(ValidateBatch, batch_format='pyarrow', zero_copy_batch=True)``
+   -> ``write_parquet(out/part_k)`` (atomic tmp+rename), one manifest record
+   per partition. Embarrassingly parallel AND resumable at partition
+   granularity.
+2. conversation stage — one global ``groupby(conv_id)`` shuffle over the
+   PROJECTED key columns (conv_id, turn_idx, ts, role — never `text`);
+   written once, its own manifest record (resume skips it wholesale).
+3. profile stage — mergeable sketches (stats/HLL/t-digest/cat-hist), partials
+   merged to a JSON profile in the manifest directory; drift scored against a
+   stored reference profile when provided.
+
+Scale: partition granularity (`files_per_partition`) controls the resume
+quantum; within a partition Ray's streaming executor pipelines
+read->validate->write with backpressure. At 10^12 turns, one partition ≈ one
+cluster-filling wave of blocks.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob as _glob
+import json
+import os
+import time
+
+import pyarrow as pa
+
+from ..spec import Spec
+from ..stages.conversation import conversation_violations, conversation_violations_salted
+from ..stages.sketches import CatHist, drift_report, profile_table, sketch_dataset
+from ..stages.validate import DEFAULT_RUN_TS, ValidateBatch
+from ..state.manifest import (
+    Manifest,
+    PartitionRecord,
+    atomic_output_dir,
+    fingerprint_files,
+)
+
+DEFAULT_SKETCH_PLAN = {
+    "conv_id": ("stats", "hll"),
+    "turn_idx": ("stats", "tdigest"),
+    "role": ("stats", "cathist"),
+    "tool": ("cathist",),
+    "ts": ("stats",),
+}
+
+
+def _partitions(files: list[str], files_per_partition: int) -> list[tuple[str, list[str]]]:
+    files = sorted(files)
+    out = []
+    for i in range(0, len(files), files_per_partition):
+        out.append((f"part_{i // files_per_partition:05d}", files[i : i + files_per_partition]))
+    return out
+
+
+def run_validation(
+    input_path: str,
+    out_dir: str,
+    spec: Spec,
+    run_ts: _dt.datetime = DEFAULT_RUN_TS,
+    files_per_partition: int = 8,
+    log_valid: bool = True,
+    salted: bool = False,
+    salt_chunk: int = 10_000,
+    sketch_plan: dict | None = None,
+    reference_profile: dict[str, dict[str, int]] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Run the full validation pipeline; returns a summary dict. Safe to
+    re-run after a kill: completed partitions (matching fingerprint + spec
+    hash) are skipped."""
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    manifest = Manifest(out_dir)
+    spec_hash = spec.spec_hash()
+    summary: dict = {"partitions": [], "skipped": 0, "executed": 0}
+
+    # ---- stage 1: scalar validation, per partition
+    for part_id, part_files in _partitions(files, files_per_partition):
+        fp = fingerprint_files(part_files)
+        done = manifest.completed(part_id, fp, spec_hash) if resume else None
+        if done:
+            summary["skipped"] += 1
+            summary["partitions"].append(done.partition_id)
+            continue
+        t0 = time.time()
+        final_dir = os.path.join(out_dir, "violations", part_id)
+        ds = rd.read_parquet(part_files)
+        n_rows = ds.count()
+        out = ds.map_batches(
+            ValidateBatch(spec, run_ts=run_ts, log_valid=log_valid),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        with atomic_output_dir(final_dir) as tmp:
+            out.write_parquet(tmp)
+        written = rd.read_parquet(final_dir)
+        n_err = written.filter(expr="status == 'error'").count()
+        n_valid = written.count() - n_err
+        manifest.append(
+            PartitionRecord(
+                partition_id=part_id,
+                input_files=part_files,
+                fingerprint=fp,
+                spec_hash=spec_hash,
+                status="done",
+                n_rows=n_rows,
+                n_violations=n_err,
+                n_valid=n_valid,
+                output_path=final_dir,
+                wall_s=round(time.time() - t0, 3),
+            )
+        )
+        summary["executed"] += 1
+        summary["partitions"].append(part_id)
+
+    # ---- stage 2: conversation checks (one global shuffle over all inputs)
+    conv_fp = fingerprint_files(files)
+    conv_done = manifest.completed("conversation", conv_fp, spec_hash) if resume else None
+    if conv_done:
+        summary["skipped"] += 1
+    else:
+        t0 = time.time()
+        final_dir = os.path.join(out_dir, "violations", "conversation")
+        ds = rd.read_parquet(files)
+        conv = (
+            conversation_violations_salted(ds, spec, run_ts, chunk=salt_chunk)
+            if salted
+            else conversation_violations(ds, spec, run_ts)
+        )
+        with atomic_output_dir(final_dir) as tmp:
+            conv.write_parquet(tmp)
+        n_err = rd.read_parquet(final_dir).count()
+        manifest.append(
+            PartitionRecord(
+                partition_id="conversation",
+                input_files=files,
+                fingerprint=conv_fp,
+                spec_hash=spec_hash,
+                status="done",
+                n_violations=n_err,
+                output_path=final_dir,
+                wall_s=round(time.time() - t0, 3),
+            )
+        )
+        summary["executed"] += 1
+
+    # ---- stage 3: sketch profile (+ drift)
+    prof_done = manifest.completed("profile", conv_fp, spec_hash) if resume else None
+    prof_path = os.path.join(out_dir, "profile.json")
+    if not prof_done:
+        t0 = time.time()
+        plan = sketch_plan or DEFAULT_SKETCH_PLAN
+        plan = {c: k for c, k in plan.items()}
+        sketches = sketch_dataset(rd.read_parquet(files), plan)
+        prof = profile_table(sketches)
+        payload = {"profile": prof.to_dict(orient="records")}
+        payload["histograms"] = {
+            c: sk.counts for (c, kind), sk in sketches.items() if kind == "cathist"
+        }
+        if reference_profile:
+            dr = drift_report(sketches, reference_profile)
+            payload["drift"] = dr.to_dict(orient="records")
+        with open(prof_path + ".tmp", "w") as f:
+            json.dump(payload, f, default=str)
+        os.replace(prof_path + ".tmp", prof_path)
+        manifest.append(
+            PartitionRecord(
+                partition_id="profile",
+                input_files=files,
+                fingerprint=conv_fp,
+                spec_hash=spec_hash,
+                status="done",
+                output_path=prof_path,
+                wall_s=round(time.time() - t0, 3),
+            )
+        )
+        summary["executed"] += 1
+    else:
+        summary["skipped"] += 1
+
+    summary["violations_dir"] = os.path.join(out_dir, "violations")
+    summary["profile_path"] = prof_path
+    summary["manifest_path"] = manifest.path
+    return summary
+
+
+def read_violations(out_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(out_dir, "violations"))

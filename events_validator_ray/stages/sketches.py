@@ -1,0 +1,432 @@
+"""Mergeable per-column sketches: basic stats, HyperLogLog distinct, t-digest
+quantiles, categorical histograms, and distribution-drift scores (PSI /
+chi-square).
+
+These generalize the reference's only distinct-count (n_unique(event_id),
+streamlit_ev/app/validation_report.py:119-131) into the stateful profile plane
+the north rule mandates (SURVEY.md §2.3 ST1, §2.5 A5).
+
+Execution pattern (scale-sane): a ``map_batches`` stage emits ONE serialized
+partial sketch row per (batch, column, kind); a block-level combine stage
+merges within each downstream block; the driver merges the per-block partials
+(a few thousand rows even at 10^12 turns — never the data). All sketches merge
+associatively, so the same partials can be persisted in the checkpoint
+manifest and merged across resumed runs.
+
+Hashing: pandas.util.hash_array (64-bit, stable across processes and runs —
+unlike Python's salted hash()).
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from typing import Any, Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def hash64(values: np.ndarray) -> np.ndarray:
+    """Stable vectorized 64-bit hash of an object/str/numeric array."""
+    arr = np.asarray(values)
+    if arr.dtype == object:
+        arr = arr.astype("U")
+    if arr.dtype.kind == "U":
+        return pd.util.hash_array(arr.astype(object))
+    return pd.util.hash_array(arr)
+
+
+# ---------------------------------------------------------------------------
+# Basic per-column stats
+# ---------------------------------------------------------------------------
+
+
+class ColumnStats:
+    """count / nulls / min / max / (numeric) sum & sum-of-squares — mergeable."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.count = 0
+        self.nulls = 0
+        self.min: Any = None
+        self.max: Any = None
+        self.sum = 0.0
+        self.sumsq = 0.0
+        self.numeric = False
+
+    def add_column(self, col: pa.ChunkedArray | pa.Array) -> None:
+        n = len(col)
+        nn = col.null_count
+        self.count += n
+        self.nulls += nn
+        if n == nn:
+            return
+        mn = pc.min(col).as_py()
+        mx = pc.max(col).as_py()
+        self.min = mn if self.min is None else min(self.min, mn)
+        self.max = mx if self.max is None else max(self.max, mx)
+        if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+            self.numeric = True
+            self.sum += pc.sum(col).as_py() or 0
+            self.sumsq += pc.sum(pc.multiply(col, col)).as_py() or 0
+
+    def merge(self, other: "ColumnStats") -> "ColumnStats":
+        self.count += other.count
+        self.nulls += other.nulls
+        if other.min is not None:
+            self.min = other.min if self.min is None else min(self.min, other.min)
+        if other.max is not None:
+            self.max = other.max if self.max is None else max(self.max, other.max)
+        self.sum += other.sum
+        self.sumsq += other.sumsq
+        self.numeric = self.numeric or other.numeric
+        return self
+
+    def mean(self) -> float | None:
+        nn = self.count - self.nulls
+        return self.sum / nn if (self.numeric and nn) else None
+
+    def std(self) -> float | None:
+        nn = self.count - self.nulls
+        if not (self.numeric and nn):
+            return None
+        var = max(0.0, self.sumsq / nn - (self.sum / nn) ** 2)
+        return math.sqrt(var)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al.; standard dense registers + linear counting)
+# ---------------------------------------------------------------------------
+
+
+class HLL:
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = (h << np.uint64(self.p)).astype(np.uint64)
+        # rank = leading zeros of w in (64-p) bits + 1; frexp exponent is exact
+        # for the leading-bit position (values < 2^53 after the shift-down)
+        bits = 64 - self.p
+        wf = (w >> np.uint64(64 - bits)).astype(np.float64)  # top `bits` bits
+        _, exp = np.frexp(wf)
+        rank = np.where(wf == 0, bits + 1, bits - exp + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+
+    def add_values(self, values: np.ndarray) -> None:
+        self.add_hashes(hash64(values))
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * math.log(m / zeros)  # linear counting
+        return e
+
+
+# ---------------------------------------------------------------------------
+# t-digest (Dunning; merge-based compression with the k1 scale function)
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    def __init__(self, delta: float = 200.0):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    def add_values(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return
+        # batch insert: treat each value as a unit-weight centroid, compress
+        self.means = np.concatenate([self.means, v])
+        self.weights = np.concatenate([self.weights, np.ones(v.size)])
+        self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return (self.delta / (2 * math.pi)) * np.arcsin(2 * q - 1)
+
+    def _compress(self) -> None:
+        if self.means.size <= self.delta:
+            if self.means.size and not np.all(np.diff(self.means) >= 0):
+                order = np.argsort(self.means, kind="stable")
+                self.means, self.weights = self.means[order], self.weights[order]
+            return
+        order = np.argsort(self.means, kind="stable")
+        means, weights = self.means[order], self.weights[order]
+        total = weights.sum()
+        out_m: list[float] = []
+        out_w: list[float] = []
+        cur_m, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q0 = w_so_far / total
+            q1 = (w_so_far + cur_w + w) / total
+            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    def quantile(self, q: float) -> float | None:
+        if not self.means.size:
+            return None
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+
+# ---------------------------------------------------------------------------
+# Categorical histogram + drift scores
+# ---------------------------------------------------------------------------
+
+
+class CatHist:
+    """Bounded value-counts (top-K keys + 'other' spill) — mergeable."""
+
+    NULL = "\x00<null>"
+    OTHER = "\x00<other>"
+
+    def __init__(self, max_keys: int = 1000):
+        self.max_keys = max_keys
+        self.counts: dict[str, int] = {}
+
+    def add_column(self, col: pa.ChunkedArray | pa.Array) -> None:
+        vc = pc.value_counts(pc.cast(col, pa.string()))
+        for item in vc.to_pylist():
+            key = item["values"] if item["values"] is not None else self.NULL
+            self.counts[key] = self.counts.get(key, 0) + item["counts"]
+        self._trim()
+
+    def merge(self, other: "CatHist") -> "CatHist":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self._trim()
+        return self
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.max_keys:
+            return
+        items = sorted(self.counts.items(), key=lambda kv: -kv[1])
+        keep = dict(items[: self.max_keys])
+        spilled = sum(v for _, v in items[self.max_keys :])
+        keep[self.OTHER] = keep.get(self.OTHER, 0) + spilled
+        self.counts = keep
+
+
+def psi(observed: dict[str, int], reference: dict[str, int], eps: float = 1e-6) -> float:
+    """Population Stability Index between two categorical histograms."""
+    keys = set(observed) | set(reference)
+    n_o = max(1, sum(observed.values()))
+    n_r = max(1, sum(reference.values()))
+    score = 0.0
+    for k in keys:
+        po = max(observed.get(k, 0) / n_o, eps)
+        pr = max(reference.get(k, 0) / n_r, eps)
+        score += (po - pr) * math.log(po / pr)
+    return score
+
+
+def chi_square(observed: dict[str, int], reference: dict[str, int]) -> float:
+    """Chi-square statistic of observed counts vs reference-derived expected."""
+    n_o = sum(observed.values())
+    n_r = max(1, sum(reference.values()))
+    stat = 0.0
+    for k in set(observed) | set(reference):
+        exp = n_o * reference.get(k, 0) / n_r
+        if exp > 0:
+            stat += (observed.get(k, 0) - exp) ** 2 / exp
+    return stat
+
+
+# ---------------------------------------------------------------------------
+# Ray plumbing: partial-sketch rows -> block combine -> driver merge
+# ---------------------------------------------------------------------------
+
+_KINDS = ("stats", "hll", "tdigest", "cathist")
+
+
+def _new_sketch(kind: str, col: str):
+    if kind == "stats":
+        return ColumnStats(col)
+    if kind == "hll":
+        return HLL()
+    if kind == "tdigest":
+        return TDigest()
+    if kind == "cathist":
+        return CatHist()
+    raise ValueError(kind)
+
+
+def _add(sketch, kind: str, col: pa.ChunkedArray) -> None:
+    if kind == "stats":
+        sketch.add_column(col)
+    elif kind == "cathist":
+        sketch.add_column(col)
+    else:
+        valid = col.drop_null()
+        if len(valid) == 0:
+            return
+        if kind == "hll":
+            sketch.add_values(valid.to_numpy(zero_copy_only=False))
+        elif kind == "tdigest":
+            sketch.add_values(valid.to_numpy(zero_copy_only=False).astype(np.float64))
+
+
+class SketchPartials:
+    """map_batches stage: one serialized partial per (column, kind) per batch.
+
+    `plan` maps column -> tuple of kinds, e.g.
+    {"conv_id": ("stats", "hll"), "turn_idx": ("stats", "tdigest"),
+     "role": ("stats", "cathist")}.
+    """
+
+    def __init__(self, plan: dict[str, tuple[str, ...]]):
+        for col, kinds in plan.items():
+            for k in kinds:
+                if k not in _KINDS:
+                    raise ValueError(f"unknown sketch kind {k!r} for {col!r}")
+        self.plan = plan
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols, kinds, payloads = [], [], []
+        for col, kk in self.plan.items():
+            if col not in batch.schema.names:
+                continue
+            for kind in kk:
+                sk = _new_sketch(kind, col)
+                _add(sk, kind, batch[col])
+                cols.append(col)
+                kinds.append(kind)
+                payloads.append(pickle.dumps(sk))
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+
+def combine_sketch_rows(batch: pa.Table) -> pa.Table:
+    """Block-level combine: merge all partials sharing (col, kind) within this
+    block — the tree-reduce step keeping driver-side merge input bounded."""
+    merged: dict[tuple[str, str], Any] = {}
+    for row in batch.to_pylist():
+        key = (row["col"], row["kind"])
+        sk = pickle.loads(row["payload"])
+        if key in merged:
+            merged[key].merge(sk)
+        else:
+            merged[key] = sk
+    cols = [k[0] for k in merged]
+    kinds = [k[1] for k in merged]
+    payloads = [pickle.dumps(v) for v in merged.values()]
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def sketch_dataset(ds, plan: dict[str, tuple[str, ...]]):
+    """ds -> merged sketches {(col, kind): sketch}. Projects to the planned
+    columns before sketching; two map_batches levels keep the all-to-driver
+    fan-in tiny."""
+    cols = [c for c in plan]
+    rows = (
+        ds.select_columns(cols)
+        .map_batches(SketchPartials(plan), batch_format="pyarrow")
+        .map_batches(combine_sketch_rows, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    merged: dict[tuple[str, str], Any] = {}
+    for row in rows:
+        key = (row["col"], row["kind"])
+        sk = pickle.loads(row["payload"])
+        if key in merged:
+            merged[key].merge(sk)
+        else:
+            merged[key] = sk
+    return merged
+
+
+def profile_table(sketches: dict[tuple[str, str], Any]) -> pd.DataFrame:
+    """Flatten merged sketches into a profile DataFrame (one row per column)."""
+    cols = sorted({c for c, _ in sketches})
+    rows = []
+    for c in cols:
+        st: ColumnStats | None = sketches.get((c, "stats"))
+        hll: HLL | None = sketches.get((c, "hll"))
+        td: TDigest | None = sketches.get((c, "tdigest"))
+        rows.append(
+            {
+                "column": c,
+                "count": st.count if st else None,
+                "nulls": st.nulls if st else None,
+                "min": str(st.min) if st and st.min is not None else None,
+                "max": str(st.max) if st and st.max is not None else None,
+                "mean": st.mean() if st else None,
+                "std": st.std() if st else None,
+                "approx_distinct": round(hll.estimate()) if hll else None,
+                "p50": td.quantile(0.5) if td else None,
+                "p95": td.quantile(0.95) if td else None,
+                "p99": td.quantile(0.99) if td else None,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def drift_report(
+    sketches: dict[tuple[str, str], Any],
+    reference: dict[str, dict[str, int]],
+    method: str = "psi",
+    threshold: float = 0.2,
+) -> pd.DataFrame:
+    """Drift of observed categorical histograms vs a stored reference profile
+    (one row per column: score + pass/fail)."""
+    rows = []
+    for col, ref_hist in reference.items():
+        h: CatHist | None = sketches.get((col, "cathist"))
+        obs = h.counts if h else {}
+        score = psi(obs, ref_hist) if method == "psi" else chi_square(obs, ref_hist)
+        rows.append(
+            {
+                "column": col,
+                "method": method,
+                "score": score,
+                "drifted": bool(score > threshold),
+            }
+        )
+    return pd.DataFrame(rows)

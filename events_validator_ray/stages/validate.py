@@ -347,6 +347,7 @@ def _branches_to_table(
     log_valid: bool,
     log_payload: bool,
     batch: pa.Table,
+    ts_source: pa.Array | None = None,
 ) -> pa.Table:
     """Assemble the 12-column log table from violation branches + valid rows."""
     # deterministic branch order: by field, then rule position (the vectorized
@@ -383,7 +384,11 @@ def _branches_to_table(
     def _concat(parts: list[pa.Array], n: int) -> pa.Array:
         return pa.concat_arrays(parts) if parts else pa.array([], type=pa.string())
 
-    def _ts_col(n: int) -> pa.Array:
+    def _ts_col(n: int, idx: np.ndarray | None = None) -> pa.Array:
+        if ts_source is not None and idx is not None:
+            # event-time stamping: the violation carries the source row's ts
+            # (reporting by event day instead of validation day)
+            return take_np(ts_source, idx).cast(pa.timestamp("us"))
         return pa.array(np.full(n, ts_us, dtype=np.int64), type=pa.timestamp("us"))
 
     payload_col: pa.Array
@@ -405,7 +410,7 @@ def _branches_to_table(
             "error_type": _concat(etype_parts, n_err),
             "expected": _concat(exp_parts, n_err),
             "actual": _concat(act_parts, n_err),
-            "timestamp": _ts_col(n_err),
+            "timestamp": _ts_col(n_err, all_idx),
             "source_event": pa.nulls(n_err, type=pa.string()),
             "status": const_str_array("error", n_err),
             "event_name": const_str_array(event_name, n_err),
@@ -429,7 +434,7 @@ def _branches_to_table(
             "error_type": pa.nulls(n_ok, type=pa.string()),
             "expected": pa.nulls(n_ok, type=pa.string()),
             "actual": pa.nulls(n_ok, type=pa.string()),
-            "timestamp": _ts_col(n_ok),
+            "timestamp": _ts_col(n_ok, vidx),
             "source_event": pa.nulls(n_ok, type=pa.string()),
             "status": const_str_array("valid", n_ok),
             "event_name": const_str_array(event_name, n_ok),
@@ -456,6 +461,7 @@ class ValidateBatch:
         log_payload: bool = False,
         id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         include_refs: bool = True,
+        date_from: str | None = None,
     ):
         from ..spec import load_spec
 
@@ -465,6 +471,7 @@ class ValidateBatch:
         self.log_payload = log_payload
         self.id_cols = tuple(id_cols)
         self.include_refs = include_refs
+        self.date_from = date_from
         self._compiled: tuple[tuple[str, ...], list[CheckFn]] | None = None
 
     def _checks_for(self, schema: pa.Schema) -> list[CheckFn]:
@@ -485,6 +492,9 @@ class ValidateBatch:
         for fn in checks:
             branches.extend(fn(ctx))
         eid = make_event_id(batch, self.id_cols)
+        ts_source = None
+        if self.date_from is not None and self.date_from in batch.schema.names:
+            ts_source = batch[self.date_from].combine_chunks()
         return _branches_to_table(
             branches,
             eid,
@@ -494,6 +504,7 @@ class ValidateBatch:
             self.log_valid,
             self.log_payload,
             batch,
+            ts_source,
         )
 
 

@@ -1,0 +1,67 @@
+"""Checkpoint/resume: a second run skips completed partitions; a damaged
+partition is recomputed; final output is identical."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from events_validator_ray.pipelines.validate_pipeline import read_violations, run_validation
+from events_validator_ray.sources.transcripts import ensure_transcripts
+from events_validator_ray.spec import transcript_spec
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def _violation_set(out_dir):
+    rows = read_violations(out_dir).filter(expr="status == 'error'").take_all()
+    return sorted(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"]) for r in rows
+    )
+
+
+def test_run_resume_and_recompute(ray_session, out_dir):
+    tdir = ensure_transcripts(0.001)
+    spec = transcript_spec()
+
+    s1 = run_validation(tdir, out_dir, spec, files_per_partition=1)
+    assert s1["executed"] >= 3 and s1["skipped"] == 0
+    first = _violation_set(out_dir)
+    assert len(first) > 100
+
+    # full resume: everything skipped
+    s2 = run_validation(tdir, out_dir, spec, files_per_partition=1)
+    assert s2["executed"] == 0
+    assert s2["skipped"] == s1["executed"]
+    assert _violation_set(out_dir) == first
+
+    # damage one scalar partition -> only it is recomputed
+    victim = os.path.join(out_dir, "violations", "part_00000")
+    shutil.rmtree(victim)
+    s3 = run_validation(tdir, out_dir, spec, files_per_partition=1)
+    assert s3["executed"] == 1
+    assert _violation_set(out_dir) == first
+
+    # manifest carries lineage + metrics
+    with open(os.path.join(out_dir, "manifest.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    done = {r["partition_id"]: r for r in recs if r["status"] == "done"}
+    assert "conversation" in done and "profile" in done
+    part = done["part_00000"]
+    assert part["n_rows"] > 0 and part["fingerprint"] and part["spec_hash"]
+    assert os.path.exists(os.path.join(out_dir, "profile.json"))
+
+
+def test_spec_change_invalidates(ray_session, out_dir):
+    from events_validator_ray.spec import load_spec, TRANSCRIPT_SPEC_JSON
+
+    tdir = ensure_transcripts(0.001)
+    run_validation(tdir, out_dir, transcript_spec(), files_per_partition=2)
+    changed = json.loads(json.dumps(TRANSCRIPT_SPEC_JSON))
+    changed["text"]["optional"] = True
+    s = run_validation(tdir, out_dir, load_spec(changed), files_per_partition=2)
+    assert s["executed"] > 0  # new spec hash -> partitions recomputed

@@ -1,0 +1,109 @@
+"""Sketch correctness: mergeability + accuracy vs exact computations."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from events_validator_ray.stages.sketches import (
+    HLL,
+    CatHist,
+    ColumnStats,
+    TDigest,
+    chi_square,
+    hash64,
+    psi,
+    profile_table,
+    sketch_dataset,
+)
+
+
+def test_hash64_stable():
+    a = hash64(np.array(["x", "y", "x"], dtype=object))
+    assert a[0] == a[2] != a[1]
+    # stable across calls (and, by pandas contract, across processes)
+    assert np.array_equal(a, hash64(np.array(["x", "y", "x"], dtype=object)))
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 50_000, 200_000)
+    h1, h2 = HLL(), HLL()
+    h1.add_values(vals[:100_000])
+    h2.add_values(vals[100_000:])
+    merged = h1.merge(h2)
+    exact = len(np.unique(vals))
+    est = merged.estimate()
+    assert abs(est - exact) / exact < 0.02  # p=14 -> ~0.8% standard error
+
+
+def test_hll_partition_invariance():
+    vals = np.arange(30_000)
+    whole = HLL()
+    whole.add_values(vals)
+    parts = HLL()
+    for chunk in np.array_split(vals, 7):
+        h = HLL()
+        h.add_values(chunk)
+        parts.merge(h)
+    assert whole.estimate() == pytest.approx(parts.estimate())
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(1)
+    vals = rng.normal(100, 15, 100_000)
+    td = TDigest()
+    for chunk in np.array_split(vals, 20):
+        part = TDigest()
+        part.add_values(chunk)
+        td.merge(part)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        assert abs(td.quantile(q) - exact) < 1.0  # within ~0.07 sigma
+
+
+def test_column_stats_merge():
+    a = pa.chunked_array([pa.array([1.0, 2.0, None, 4.0])])
+    b = pa.chunked_array([pa.array([0.5, None, 10.0])])
+    s1, s2 = ColumnStats("x"), ColumnStats("x")
+    s1.add_column(a)
+    s2.add_column(b)
+    s1.merge(s2)
+    assert s1.count == 7 and s1.nulls == 2
+    assert s1.min == 0.5 and s1.max == 10.0
+    assert s1.mean() == pytest.approx((1 + 2 + 4 + 0.5 + 10) / 5)
+
+
+def test_cathist_and_drift():
+    h1, h2 = CatHist(), CatHist()
+    h1.add_column(pa.chunked_array([pa.array(["a", "a", "b", None])]))
+    h2.add_column(pa.chunked_array([pa.array(["b", "c"])]))
+    h1.merge(h2)
+    assert h1.counts["a"] == 2 and h1.counts["b"] == 2 and h1.counts["c"] == 1
+    assert h1.counts[CatHist.NULL] == 1
+    same = psi({"a": 50, "b": 50}, {"a": 500, "b": 500})
+    assert same == pytest.approx(0.0, abs=1e-9)
+    shifted = psi({"a": 90, "b": 10}, {"a": 50, "b": 50})
+    assert shifted > 0.2
+    assert chi_square({"a": 50, "b": 50}, {"a": 50, "b": 50}) == pytest.approx(0.0)
+
+
+def test_sketch_dataset_end_to_end(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    d = ensure_transcripts(0.001)
+    ds = rd.read_parquet(d)
+    plan = {
+        "conv_id": ("stats", "hll"),
+        "turn_idx": ("stats", "tdigest"),
+        "role": ("cathist",),
+    }
+    sk = sketch_dataset(ds, plan)
+    prof = profile_table(sk)
+    row = prof[prof.column == "conv_id"].iloc[0]
+    exact_distinct = len(set(ds.unique("conv_id")))
+    assert row["count"] == ds.count()
+    assert abs(row["approx_distinct"] - exact_distinct) / exact_distinct < 0.05
+    roles = sk[("role", "cathist")].counts
+    assert roles["user"] > 0 and roles["assistant"] > 0
