@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01 and
+compares it against the matching ``oracle_sql()[name]`` via DuckDB.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Neither this module nor the library calls ``ray.init()`` / ``ray.shutdown()``
+— the caller owns the session (see tests/conftest.py and bench.py).
 """
 
 from __future__ import annotations
@@ -20,25 +15,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: read transcripts ->
+    vectorized scalar validation -> conversation checks -> sketch profile ->
+    partitioned violations parquet + checkpoint manifest; returns the
+    violations Dataset."""
+    from events_validator_ray.pipelines.validate_pipeline import (
+        read_violations,
+        run_validation,
+    )
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+    from events_validator_ray.spec import transcript_spec
+
+    tdir = ensure_transcripts(0.001)
+    out_dir = "/tmp/graft_entry_out"
+    run_validation(tdir, out_dir, transcript_spec(), files_per_partition=8)
+    return read_violations(out_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from events_validator_ray.pipelines.queries import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # generates/caches the sf0.01 transcript corpus so the SQL's
+    # read_parquet() paths exist before DuckDB runs
+    from events_validator_ray.pipelines.queries import build_oracles
+
+    return build_oracles(sf=0.01)

@@ -44,12 +44,16 @@ def _branch(
     expected_sql: str,
     actual_sql: str,
     event_name: str,
+    date_col: str | None = None,
 ) -> str:
+    date_sel = (
+        f", strftime({date_col}, '%Y-%m-%d') AS date_utc" if date_col else ""
+    )
     return (
         f"SELECT {_eid(key_cols)} AS event_id, {_lit(field)} AS field, "
         f"{_lit(etype)} AS error_type, {expected_sql} AS expected, "
         f"{actual_sql} AS actual, {_lit(event_name)} AS event_name, "
-        f"'error' AS status FROM {table} WHERE {cond}"
+        f"'error' AS status{date_sel} FROM {table} WHERE {cond}"
     )
 
 
@@ -166,6 +170,7 @@ def scalar_violations_sql(
     col_kinds: dict[str, str],
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     include_refs: bool = True,
+    date_col: str | None = None,
 ) -> str:
     """UNION ALL of every scalar-rule violation branch (the SQL twin of
     ValidateBatch with log_valid=False)."""
@@ -184,12 +189,13 @@ def scalar_violations_sql(
                         "'field present'",
                         "'field missing'",
                         spec.event_name,
+                        date_col,
                     )
                 )
             continue
         for cond, field, etype, exp, act in _scalar_conditions(rule, kind):
             branches.append(
-                _branch(table, key_cols, cond, field, etype, exp, act, spec.event_name)
+                _branch(table, key_cols, cond, field, etype, exp, act, spec.event_name, date_col)
             )
     if include_refs:
         for r in spec.table.refs:
@@ -204,6 +210,7 @@ def scalar_violations_sql(
                     _lit(expected),
                     "'missing'",
                     spec.event_name,
+                    date_col,
                 )
             )
             if r.iff:
@@ -217,6 +224,7 @@ def scalar_violations_sql(
                         _lit(expected),
                         "'unexpected'",
                         spec.event_name,
+                        date_col,
                     )
                 )
     return "\nUNION ALL\n".join(branches)
