@@ -1,0 +1,179 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+`--scaling` runs the headline pipeline in two fresh processes (num_cpus=8 and
+32) on the same input and reports both throughputs + scaling efficiency
+(the sandbox evidence for the N -> 4N cluster criterion; see BASELINE.md).
+
+The headline is the flagship validation pass: transcripts -> vectorized
+scalar+ref validation (violations + valid rows, materialized as counts) —
+the engine's "validated turns/sec" metric. Additional timed queries cover the
+wide conversation shuffle, the salted variant, sketches, and the report plane.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline(ds, spec):
+    """Full scalar validation; consumed via per-batch partial aggregation
+    (one (status, n) row per batch) + driver sum — no wide shuffle on the
+    log rows just to count them."""
+    import pyarrow as pa
+
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["status"])
+            .group_by("status")
+            .aggregate([("status", "count")])
+            .rename_columns(["status", "n"])
+        )
+
+    out = ds.map_batches(
+        ValidateBatch(spec, log_valid=True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(counts_partial, batch_format="pyarrow")
+    df = out.to_pandas().groupby("status")["n"].sum()
+    return df.to_dict()
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from events_validator_ray.sources.transcripts import ensure_transcripts, sf_from_dir
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.conversation import (
+        conversation_violations,
+        conversation_violations_salted,
+    )
+    from events_validator_ray.stages.sketches import sketch_dataset
+
+    import glob as _glob
+
+    sf = sf_from_dir(sf_dir)
+    tdir = ensure_transcripts(sf)
+    spec = transcript_spec()
+
+    # repeat the shard list to scale the measured workload without extra
+    # storage (the default ×4 puts ~2.4M turns through the pipeline at sf0.1);
+    # n_turns below reflects the rows actually processed
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "4"))
+    files = sorted(_glob.glob(os.path.join(tdir, "transcripts_*.parquet"))) * repeat
+
+    def read():
+        return rd.read_parquet(files)
+
+    # untimed warmup: starts the worker pool and warms the page cache so the
+    # timed runs measure compute + shuffle, not cold start
+    n_turns = read().count()
+    _headline(rd.read_parquet(files[: len(files) // repeat]), spec)
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    counts = _headline(read(), spec)
+    headline = time.time() - t0
+    queries["validate_scalar"] = round(headline, 3)
+
+    t0 = time.time()
+    conversation_violations(read(), spec).count()
+    queries["conversation_checks"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    conversation_violations_salted(read(), spec, chunk=1000).count()
+    queries["conversation_checks_salted"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    sketch_dataset(
+        read(),
+        {"conv_id": ("stats", "hll"), "turn_idx": ("stats", "tdigest"), "role": ("cathist",)},
+    )
+    queries["sketch_profile"] = round(time.time() - t0, 3)
+
+    from events_validator_ray.pipelines.report import daily_error_rate, failures_by_day
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    t0 = time.time()
+    log = read().map_batches(
+        ValidateBatch(spec, log_valid=True, date_from="ts"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    failures_by_day(log, dim="field").count()
+    queries["report_failures_by_day"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "status_counts": counts,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (same pipeline, fresh sessions)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "turns_per_sec_lo": r_lo["turns_per_sec"],
+        "turns_per_sec_hi": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        print(json.dumps(run_bench(sf_dir, ncpu)))

@@ -185,7 +185,9 @@ def ensure_transcripts(sf: float, root: str = DEFAULT_ROOT, n_files: int | None 
     n_turns = n_turns_for_sf(sf)
     table = generate_transcripts(n_turns)
     if n_files is None:
-        n_files = max(1, min(32, len(table) // 200_000))
+        # ~50k rows per shard so a single-sf read already has enough blocks to
+        # fill a 32-way pool (shards also define the resume partitions)
+        n_files = max(1, min(64, len(table) // 50_000))
     os.makedirs(root, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=root, prefix=f".sf{sf:g}_")
     try:

@@ -256,77 +256,69 @@ class _ChunkChecker:
         return _finish(rows, self.run_ts)
 
 
-class _BoundaryMerger:
-    """Phase 2: per conversation over its per-chunk summaries — cross-chunk
-    contiguity/min-zero/first-role violations + suspect-chunk flags for the ts
-    re-scan (status='suspect' rows carry the prefix max in event_data)."""
+def _phase2_driver(summaries: "pd.DataFrame", spec: Spec, run_ts: _dt.datetime):
+    """Phase 2, vectorized (pandas) over the tiny per-chunk summaries:
+    cross-chunk contiguity / min-turn-zero / first-role violations, plus the
+    suspect-chunk list for the ts re-scan.
 
-    def __init__(self, spec: Spec, run_ts: _dt.datetime):
-        self.spec = spec
-        self.run_ts = run_ts
-        self.__name__ = type(self).__name__
+    Runs on the driver: summaries are one row per (conv, chunk) — orders of
+    magnitude smaller than the data. At extreme conversation counts the same
+    vectorized logic runs distributed (sort by (conv, chunk) + map_batches
+    with boundary carry); the sandbox path keeps it driver-side.
+    """
+    import pandas as pd
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        conv = g["event_name"][0].as_py()
-        ename = self.spec.event_name
-        rows = _empty_out()
-        sums = sorted(
-            (json.loads(s) for s in g["event_data"].to_pylist()),
-            key=lambda d: d["chunk"],
-        )
-        order = self.spec.table.order
-        if order and order.contiguous:
-            if sums[0]["min_turn"] != 0:
-                _emit(
-                    rows,
-                    f"{conv}:{sums[0]['min_turn']}",
-                    "turn_idx",
-                    "order",
-                    "0",
-                    str(sums[0]["min_turn"]),
-                    ename,
-                )
-            for prev, cur in zip(sums, sums[1:]):
-                if cur["min_turn"] - prev["max_turn"] > 1:
-                    _emit(
-                        rows,
-                        f"{conv}:{cur['min_turn']}",
-                        "turn_idx",
-                        "order",
-                        str(prev["max_turn"] + 1),
-                        str(cur["min_turn"]),
-                        ename,
-                    )
-        first = self.spec.table.first_role
-        if first and "first_ok" in sums[0]:
-            if not sums[0]["first_ok"]:
-                _emit(
-                    rows,
-                    f"{conv}:{sums[0]['min_turn']}",
-                    "role",
-                    "ref",
-                    f"first_role={first}",
-                    sums[0]["min_role"],
-                    ename,
-                )
-        if order and order.ts_monotone:
-            prefix = None
-            for s in sums:
-                if prefix is not None and s["min_ts"] is not None and s["min_ts"] < prefix:
-                    _emit(
-                        rows,
-                        f"{conv}:{s['chunk']}",
-                        None,
-                        "suspect",
-                        None,
-                        None,
-                        conv,
-                        status="suspect",
-                        payload=json.dumps({"chunk": s["chunk"], "prefix_max": prefix}),
-                    )
-                if s["max_ts"] is not None:
-                    prefix = s["max_ts"] if prefix is None else max(prefix, s["max_ts"])
-        return _finish(rows, self.run_ts)
+    rows = _empty_out()
+    ename = spec.event_name
+    suspects: list[tuple[str, int, int]] = []  # (conv, chunk, prefix_max)
+    if summaries.empty:
+        return _finish(rows, run_ts), suspects
+    df = summaries.sort_values(["conv", "chunk"]).reset_index(drop=True)
+    g = df.groupby("conv", sort=False)
+    first_of_conv = g.cumcount() == 0
+    order = spec.table.order
+
+    if order and order.contiguous:
+        m = first_of_conv & (df["min_turn"] != 0)
+        for conv, mt in zip(df.loc[m, "conv"], df.loc[m, "min_turn"]):
+            _emit(rows, f"{conv}:{mt}", "turn_idx", "order", "0", str(mt), ename)
+        prev_max = g["max_turn"].shift(1)
+        m = (~first_of_conv) & (df["min_turn"] - prev_max > 1)
+        for conv, mt, pm in zip(
+            df.loc[m, "conv"], df.loc[m, "min_turn"], prev_max[m]
+        ):
+            _emit(
+                rows, f"{conv}:{mt}", "turn_idx", "order", str(int(pm) + 1), str(mt), ename
+            )
+
+    first = spec.table.first_role
+    if first and "first_ok" in df.columns:
+        m = first_of_conv & (~df["first_ok"].astype(bool))
+        for conv, mt, mr in zip(
+            df.loc[m, "conv"], df.loc[m, "min_turn"], df.loc[m, "min_role"]
+        ):
+            _emit(
+                rows,
+                f"{conv}:{mt}",
+                "role",
+                "ref",
+                f"first_role={first}",
+                None if pd.isna(mr) else mr,
+                ename,
+            )
+
+    if order and order.ts_monotone:
+        max_ts = df["max_ts"].astype("float64")
+        prefix = g["max_ts"].apply(lambda s: s.astype("float64").cummax().shift(1)).reset_index(drop=True)
+        if isinstance(prefix, pd.DataFrame):  # pandas version quirk
+            prefix = prefix.iloc[:, 0]
+        prefix.index = df.index
+        min_ts = df["min_ts"].astype("float64")
+        m = prefix.notna() & min_ts.notna() & (min_ts < prefix)
+        for conv, ch, pm in zip(df.loc[m, "conv"], df.loc[m, "chunk"], prefix[m]):
+            suspects.append((conv, int(ch), int(pm)))
+
+    return _finish(rows, run_ts), suspects
 
 
 class _SuspectRescan:
@@ -337,8 +329,8 @@ class _SuspectRescan:
     def __init__(self, spec: Spec, run_ts: _dt.datetime, prefix_max: dict):
         self.spec = spec
         self.run_ts = run_ts
-        self.prefix_max = prefix_max
-        self.__name__ = type(self).__name__  # (conv, chunk) -> prefix max ts_us
+        self.prefix_max = prefix_max  # (conv, chunk) -> prefix max ts_us
+        self.__name__ = type(self).__name__
 
     def __call__(self, g: pa.Table) -> pa.Table:
         conv = g["conv_id"][0].as_py()
@@ -385,7 +377,9 @@ def conversation_violations_salted(
     chunk, so uniqueness and within-chunk checks are exact; only boundary
     contiguity and cross-chunk ts ordering need the (tiny) summary merge.
     """
+    import pandas as pd
     import pyarrow.compute as _pc
+    import ray.data as rd
 
     projected = _project(ds, spec)
 
@@ -405,24 +399,22 @@ def conversation_violations_salted(
         .materialize()
     )
     viol1 = phase1.filter(expr="status == 'error'")
-    summaries = phase1.filter(expr="status == 'summary'")
-    phase2 = (
-        summaries.groupby("event_name")
-        .map_groups(_BoundaryMerger(spec, run_ts), batch_format="pyarrow")
-        .materialize()
+    sum_rows = (
+        phase1.filter(expr="status == 'summary'")
+        .select_columns(["event_name", "event_data"])
+        .take_all()
     )
-    viol2 = phase2.filter(expr="status == 'error'")
-    suspects = [
-        json.loads(r["event_data"]) | {"conv": r["event_name"]}
-        for r in phase2.filter(expr="status == 'suspect'").take_all()
-    ]
-    out = viol1.union(viol2)
+    summaries = pd.DataFrame(
+        [json.loads(r["event_data"]) | {"conv": r["event_name"]} for r in sum_rows]
+    )
+    viol2_tbl, suspects = _phase2_driver(summaries, spec, run_ts)
+    out = viol1
+    if viol2_tbl.num_rows:
+        out = out.union(rd.from_arrow(viol2_tbl))
     if suspects:
-        pmax = {(s["conv"], s["chunk"]): s["prefix_max"] for s in suspects}
-        suspect_convs = list({s["conv"] for s in suspects})
-        rescan_src = salted.filter(
-            expr=f"conv_id in {suspect_convs!r}"
-        )
+        pmax = {(c, ch): pm for c, ch, pm in suspects}
+        suspect_convs = sorted({c for c, _, _ in suspects})
+        rescan_src = salted.filter(expr=f"conv_id in {suspect_convs!r}")
         viol3 = rescan_src.groupby(["conv_id", "chunk"]).map_groups(
             _SuspectRescan(spec, run_ts, pmax), batch_format="pyarrow"
         )

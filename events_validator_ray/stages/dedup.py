@@ -1,0 +1,427 @@
+"""Deduplication operators over a document corpus (training-data pipeline
+ops; first-class alongside the validation engine).
+
+All variants follow the same scale shape: a vectorized ``map_batches``
+signature stage (hash / minhash / simhash / embedding-LSH per batch), a
+``groupby`` on the signature (the only shuffle — hash-partitioned, tiny rows:
+signature + doc id), and candidate verification. Cluster assembly uses
+driver-side union-find over candidate PAIRS — bounded by the number of
+near-duplicate documents, not the corpus (at 10^12-doc scale swap in the
+distributed min-label-propagation rounds; the pair generation is identical).
+
+- exact_dedup: content-hash partition + per-group min id (exact; SQL twin:
+  GROUP BY text -> MIN(doc_id))
+- minhash_lsh_dedup: word-shingle -> k minhash permutations -> banded LSH
+  buckets -> candidate pairs -> exact Jaccard verification (Broder'97 /
+  Leskovec MMDS ch.3)
+- simhash_dedup: 64-bit simhash -> banded bucket candidates -> Hamming
+  verification (Charikar'02)
+- embedding_dedup: unit-normalized vectors -> random-hyperplane LSH buckets ->
+  cosine verification
+- ngram_jaccard_pairs: the exact verification kernel exposed standalone
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .sketches import hash64
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
+    vals = batch[col].to_numpy(zero_copy_only=False)
+    h = hash64(np.where(pd.isna(vals), "", vals))
+    return batch.append_column(out, pa.array(h.astype(np.uint64)))
+
+
+def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Keeper ids: min id per exact content. groupby on the 64-bit content
+    hash (shuffles 16 bytes/row, never the text)."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.select_columns([id_col, col]).map_batches(
+        lambda b: add_content_hash(b, col), batch_format="pyarrow"
+    )
+    return (
+        hashed.select_columns([id_col, "content_hash"])
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(texts: np.ndarray, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """All word-n-gram shingle hashes for a batch, plus doc offsets
+    (len n_docs+1). Tokenization in C (re.findall), hashing vectorized."""
+    all_shingles: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = _TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+        if len(toks) < n:
+            sh = [" ".join(toks)] if toks else []
+        else:
+            sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        all_shingles.extend(sh)
+        offsets.append(len(all_shingles))
+    if all_shingles:
+        h = hash64(np.array(all_shingles, dtype=object))
+    else:
+        h = np.empty(0, dtype=np.uint64)
+    return h.astype(np.uint64), np.array(offsets, dtype=np.int64)
+
+
+@dataclass
+class MinHashParams:
+    num_perm: int = 128
+    bands: int = 16
+    seed: int = 7
+
+    @property
+    def rows(self) -> int:
+        return self.num_perm // self.bands
+
+
+def _perm_coeffs(p: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(p.seed)
+    a = rng.integers(1, (1 << 61) - 1, p.num_perm, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, p.num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_matrix(texts: np.ndarray, p: MinHashParams, ngram: int = 3) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures (empty docs -> max)."""
+    sh, offsets = _shingle_hashes(texts, ngram)
+    n_docs = len(offsets) - 1
+    out = np.full((n_docs, p.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if not sh.size:
+        return out
+    a, b = _perm_coeffs(p)
+    nonempty = np.diff(offsets) > 0
+    red_offsets = offsets[:-1][nonempty]
+    sh61 = sh % _MERSENNE
+    for k in range(p.num_perm):
+        v = (a[k] * sh61 + b[k]) % _MERSENNE
+        mins = np.minimum.reduceat(v, red_offsets)
+        out[nonempty, k] = mins
+    return out
+
+
+def _band_hashes(M: np.ndarray, p: MinHashParams) -> np.ndarray:
+    """(n_docs, bands) uint64: FNV-style fold of each band's rows."""
+    n = M.shape[0]
+    out = np.empty((n, p.bands), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for b in range(p.bands):
+        acc = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        for j in range(p.rows):
+            acc = (acc * prime) ^ M[:, b * p.rows + j]
+        out[:, b] = acc
+    return out
+
+
+class MinHashSignatures:
+    """map_batches stage -> (doc_id, band, band_hash) rows, `bands` per doc."""
+
+    def __init__(self, p: MinHashParams | None = None, col: str = "text", id_col: str = "doc_id", ngram: int = 3):
+        self.p = p or MinHashParams()
+        self.col = col
+        self.id_col = id_col
+        self.ngram = ngram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        M = minhash_matrix(texts, self.p, self.ngram)
+        bh = _band_hashes(M, self.p)
+        n, B = bh.shape
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, B)),
+                "band": pa.array(np.tile(np.arange(B, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+            }
+        )
+
+
+def _bucket_pairs(ds, id_col: str):
+    """groupby(band, band_hash) -> candidate (a, b) id pairs (a < b, each
+    bucket contributes its star pairs against the bucket min)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        rep = ids[0]
+        return pd.DataFrame({"a": np.full(ids.size - 1, rep), "b": ids[1:]})
+
+    return (
+        ds.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
+def _union_find(pairs: list[tuple], all_ids: set | None = None) -> dict:
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in nodes}
+
+
+def jaccard_verify_pairs(ds, pairs: list[tuple], col: str, id_col: str, ngram: int, threshold: float) -> list[tuple]:
+    """Exact n-gram Jaccard for the candidate pairs. Ships only the candidate
+    docs' shingle SETS (hash sets) to the driver — bounded by candidates."""
+    cand_ids = sorted({x for pr in pairs for x in pr})
+    if not cand_ids:
+        return []
+    id_set = set(cand_ids)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.array([i in id_set for i in ids])
+        if not mask.any():
+            return pa.table({id_col: pa.array([], type=batch[id_col].type), "sh": pa.array([], type=pa.list_(pa.uint64()))})
+        texts = batch[col].to_numpy(zero_copy_only=False)[mask]
+        sh, off = _shingle_hashes(texts, ngram)
+        lists = [sh[off[i] : off[i + 1]] for i in range(len(off) - 1)]
+        return pa.table({id_col: pa.array(ids[mask]), "sh": pa.array([l.tolist() for l in lists], type=pa.list_(pa.uint64()))})
+
+    rows = ds.select_columns([id_col, col]).map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    sets = {r[id_col]: set(r["sh"]) for r in rows}
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 1.0
+        if jac >= threshold:
+            out.append((a, b))
+    return out
+
+
+def minhash_lsh_dedup(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    params: MinHashParams | None = None,
+    ngram: int = 3,
+    verify: bool = True,
+):
+    """Near-dup clustering: returns a pandas DataFrame (doc_id, cluster) for
+    every doc in a near-dup cluster (cluster = min doc id). Docs absent from
+    the output are unique."""
+    p = params or MinHashParams()
+    sig = ds.map_batches(MinHashSignatures(p, col, id_col, ngram), batch_format="pyarrow")
+    raw_pairs = [
+        (r["a"], r["b"]) for r in _bucket_pairs(sig, id_col).take_all()
+    ]
+    raw_pairs = sorted(set(raw_pairs))
+    if verify:
+        raw_pairs = jaccard_verify_pairs(ds, raw_pairs, col, id_col, ngram, threshold)
+    labels = _union_find(raw_pairs)
+    return pd.DataFrame(
+        {"doc_id": list(labels), "cluster": [labels[k] for k in labels]}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash_vector(texts: np.ndarray) -> np.ndarray:
+    """64-bit simhash per doc from token hashes (unit weights)."""
+    all_tokens: list[str] = []
+    offsets = [0]
+    for t in texts:
+        toks = _TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
+        all_tokens.extend(toks)
+        offsets.append(len(all_tokens))
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not all_tokens:
+        return out
+    H = hash64(np.array(all_tokens, dtype=object)).astype(np.uint64)
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+    acc = np.zeros((n_docs, 64), dtype=np.int32)
+    for j in range(64):
+        bit = ((H >> np.uint64(j)) & np.uint64(1)).astype(np.int32) * 2 - 1
+        np.add.at(acc[:, j], doc_idx, bit)
+    bits = (acc > 0).astype(np.uint64)
+    for j in range(64):
+        out |= bits[:, j] << np.uint64(j)
+    return out
+
+
+class SimHashSignatures:
+    """map_batches stage -> (doc_id, band, band_hash, simhash): 4 bands of 16
+    bits for candidate generation + the full hash for verification."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.col].to_numpy(zero_copy_only=False)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sh = simhash_vector(texts)
+        n = len(ids)
+        bands = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            bands[:, b] = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                self.id_col: pa.array(np.repeat(ids, 4)),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_hash": pa.array(bands.reshape(-1)),
+                "simhash": pa.array(np.repeat(sh, 4)),
+            }
+        )
+
+
+def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+    """Near-dup clusters by simhash: banded candidates (any identical 16-bit
+    band) verified by exact Hamming distance <= max_hamming."""
+    sig = ds.map_batches(SimHashSignatures(col, id_col), batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []})
+        return pd.DataFrame(
+            {"a": ids[0].repeat(ids.size - 1), "b": ids[1:], "ha": hs[0].repeat(ids.size - 1), "hb": hs[1:]}
+        )
+
+    cand = sig.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas").take_all()
+    seen = {}
+    for r in cand:
+        seen[(r["a"], r["b"])] = (np.uint64(r["ha"]), np.uint64(r["hb"]))
+    verified = []
+    for (a, b), (ha, hb) in seen.items():
+        if bin(int(ha ^ hb)).count("1") <= max_hamming:
+            verified.append((a, b))
+    labels = _union_find(verified)
+    return pd.DataFrame(
+        {"doc_id": list(labels), "cluster": [labels[k] for k in labels]}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def ngram_jaccard_pairs(ds, pairs: list[tuple], col: str = "text", id_col: str = "doc_id", ngram: int = 3) -> pd.DataFrame:
+    """Exact n-gram Jaccard similarity for explicit id pairs (the standalone
+    verification kernel)."""
+    cand_ids = sorted({x for pr in pairs for x in pr})
+    verified = jaccard_verify_pairs(ds, pairs, col, id_col, ngram, threshold=-1.0)
+    # recompute with scores for reporting
+    id_set = set(cand_ids)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.array([i in id_set for i in ids])
+        texts = batch[col].to_numpy(zero_copy_only=False)[mask]
+        sh, off = _shingle_hashes(texts, ngram)
+        lists = [sh[off[i] : off[i + 1]].tolist() for i in range(len(off) - 1)]
+        return pa.table({id_col: pa.array(ids[mask]), "sh": pa.array(lists, type=pa.list_(pa.uint64()))})
+
+    rows = ds.select_columns([id_col, col]).map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    sets = {r[id_col]: set(r["sh"]) for r in rows}
+    out = []
+    for a, b in pairs:
+        sa, sb = sets.get(a, set()), sets.get(b, set())
+        union = len(sa | sb)
+        out.append({"a": a, "b": b, "jaccard": (len(sa & sb) / union) if union else 1.0})
+    return pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneLSH:
+    """map_batches stage: sign-bit bucket of each (normalized) embedding under
+    `n_bits` random hyperplanes."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 11, col: str = "embedding", id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch[self.col].to_numpy(zero_copy_only=False))
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-12)
+        bits = (emb @ self.planes) > 0
+        bucket = np.zeros(len(bits), dtype=np.uint64)
+        for j in range(bits.shape[1]):
+            bucket |= bits[:, j].astype(np.uint64) << np.uint64(j)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "bucket": pa.array(bucket),
+                "emb_norm": pa.array(list(emb.astype(np.float32)), type=pa.list_(pa.float32())),
+            }
+        )
+
+
+def embedding_dedup(ds, threshold: float = 0.95, col: str = "embedding", id_col: str = "vec_id", n_bits: int = 12, dim: int | None = None):
+    """Embedding-cosine near-dup clusters: hyperplane-LSH buckets ->
+    within-bucket exact cosine >= threshold -> union-find."""
+    if dim is None:
+        first = ds.take(1)[0][col]
+        dim = len(first)
+    sig = ds.map_batches(HyperplaneLSH(dim, n_bits, col=col, id_col=id_col), batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        E = np.stack(g["emb_norm"].to_numpy())
+        sims = E @ E.T
+        iu = np.triu_indices(ids.size, k=1)
+        hit = sims[iu] >= threshold
+        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
+
+    cand = sig.groupby("bucket").map_groups(pairs, batch_format="pandas").take_all()
+    verified = sorted({(r["a"], r["b"]) for r in cand})
+    labels = _union_find(verified)
+    return pd.DataFrame(
+        {"vec_id": list(labels), "cluster": [labels[k] for k in labels]}
+    ).sort_values("vec_id").reset_index(drop=True)

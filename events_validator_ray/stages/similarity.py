@@ -1,0 +1,205 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(`list<float>`).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` (read per actor/task, never re-shipped per batch); each
+``map_batches`` call does one float64 matmul (batch × queries) and emits only
+its per-batch top-k candidate rows; a final tiny per-query reduction keeps the
+global top-k. Wall-clock scales linearly in corpus size with zero shuffle of
+the embeddings themselves.
+
+Scale path: IVF-style bucketing — k-means-lite coarse centroids (sampled,
+computed once on the driver), each vector assigned to its nearest centroid in
+a map_batches pass, searches probe only the closest `nprobe` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """map_batches stage: per-batch cosine top-k against the broadcast query
+    matrix (queries fetched from the object store once per worker)."""
+
+    def __init__(self, queries_ref, k: int, col: str = "embedding", id_col: str = "vec_id"):
+        self.queries_ref = queries_ref  # ray.ObjectRef to (q_ids, Q) or the tuple itself
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+        self._q = None
+
+    def _queries(self):
+        if self._q is None:
+            obj = self.queries_ref
+            try:
+                import ray
+
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            q_ids, Q = obj
+            self._q = (np.asarray(q_ids), _normalize(np.asarray(Q, dtype=np.float64)))
+        return self._q
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        q_ids, Q = self._queries()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        E = _normalize(np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        sims = Q @ E.T  # (n_queries, batch)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = top[qi]
+            rows_q.append(np.full(k, q_ids[qi]))
+            rows_v.append(ids[idx])
+            rows_s.append(sims[qi, idx])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q)),
+                "vec_id": pa.array(np.concatenate(rows_v)),
+                "score": pa.array(np.concatenate(rows_s)),
+            }
+        )
+
+
+def ann_topk(ds, query_ids: list, k: int = 10, col: str = "embedding", id_col: str = "vec_id"):
+    """Global cosine top-k of each query vector against the corpus.
+    Returns a DataFrame (query_id, vec_id, rank, score) with rank 1..k by
+    descending score (ties broken by vec_id for determinism)."""
+    import ray
+
+    qset = set(query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.array([i in qset for i in ids])
+        return batch.filter(pa.array(mask)).select([id_col, col])
+
+    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    by_id = {r[id_col]: r[col] for r in qrows}
+    q_ids = [q for q in query_ids if q in by_id]
+    Q = np.stack([np.asarray(by_id[q], dtype=np.float64) for q in q_ids])
+    ref = ray.put((q_ids, Q))
+
+    partials = ds.map_batches(
+        BruteForceTopK(ref, k, col, id_col), batch_format="pyarrow"
+    ).to_pandas()
+    # final per-query reduction (tiny: n_queries × k × n_blocks rows)
+    partials = partials.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "rank", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF-style bucketed variant (the scale path)
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(ds, n_centroids: int = 64, sample: int = 10_000, iters: int = 10, col: str = "embedding", seed: int = 3):
+    """k-means-lite on a driver-side sample -> (n_centroids, dim) float64."""
+    import ray.data as rd  # noqa: F401
+
+    n = ds.count()
+    frac = min(1.0, sample / max(1, n))
+    rows = ds.random_sample(frac, seed=seed).take_all()
+    X = _normalize(np.stack([np.asarray(r[col], dtype=np.float64) for r in rows]))
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(C.shape[0]):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class IVFAssign:
+    """map_batches stage: nearest-centroid bucket id per vector."""
+
+    def __init__(self, centroids_ref, col: str = "embedding"):
+        self.centroids_ref = centroids_ref
+        self.col = col
+        self._C = None
+
+    def _c(self):
+        if self._C is None:
+            obj = self.centroids_ref
+            try:
+                import ray
+
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            self._C = np.asarray(obj, dtype=np.float64)
+        return self._C
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        C = self._c()
+        E = _normalize(np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        bucket = np.argmax(E @ C.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(bucket))
+
+
+def ann_topk_ivf(
+    ds,
+    query_ids: list,
+    k: int = 10,
+    n_centroids: int = 64,
+    nprobe: int = 8,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-bucketed ANN: search only the `nprobe` closest buckets per query.
+    Approximate (recall < 1 by design); compare against ann_topk in tests."""
+    import ray
+
+    C = train_centroids(ds, n_centroids, col=col)
+    cref = ray.put(C)
+    assigned = ds.map_batches(IVFAssign(cref, col), batch_format="pyarrow")
+
+    qset = set(query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.array([i in qset for i in ids])
+        return batch.filter(pa.array(mask)).select([id_col, col])
+
+    qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    by_id = {r[id_col]: r[col] for r in qrows}
+    q_ids = [q for q in query_ids if q in by_id]
+    Q = _normalize(np.stack([np.asarray(by_id[q], dtype=np.float64) for q in q_ids]))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
+    probed: dict[int, list[int]] = {}
+    for qi, buckets in enumerate(probe):
+        for b in buckets:
+            probed.setdefault(int(b), []).append(qi)
+    wanted_buckets = sorted(probed)
+
+    filtered = assigned.filter(expr=f"ivf_bucket in {wanted_buckets!r}")
+    qref = ray.put((q_ids, Q))
+    partials = filtered.map_batches(
+        BruteForceTopK(qref, k, col, id_col), batch_format="pyarrow"
+    ).to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "score", "vec_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["score"] = out["score"].round(6)
+    return out[["query_id", "vec_id", "rank", "score"]].reset_index(drop=True)

@@ -1,0 +1,119 @@
+"""Dedup operators: exact vs SQL semantics, minhash/simhash/embedding near-dup
+detection on corpora with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from events_validator_ray.stages.dedup import (
+    MinHashParams,
+    embedding_dedup,
+    exact_dedup,
+    minhash_lsh_dedup,
+    minhash_matrix,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    simhash_vector,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm "
+    "windowsill and the birds sing in the garden under a bright morning sun"
+)
+
+
+def corpus():
+    """40 unique docs + planted exact dups + planted near dups."""
+    rng = np.random.default_rng(4)
+    words = BASE.split()
+    docs = []
+    for i in range(40):
+        perm = rng.permutation(words).tolist()
+        docs.append(" ".join(perm) + f" marker{i}")
+    docs.append(docs[0])  # exact dup of 0 -> id 40
+    docs.append(docs[1])  # exact dup of 1 -> id 41
+    near = docs[2].split()
+    near[5] = "changed"
+    docs.append(" ".join(near))  # near dup of 2 -> id 42
+    return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session):
+    import ray.data as rd
+
+    return rd.from_pandas(corpus()).repartition(4)
+
+
+def test_exact_dedup(ds):
+    keepers = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    df = corpus()
+    want = sorted(df.groupby("text")["doc_id"].min())
+    assert keepers == want
+    assert 40 not in keepers and 41 not in keepers and 42 in keepers
+
+
+def test_minhash_accuracy():
+    texts = np.array([BASE, BASE, BASE.replace("fox", "wolf"), "totally different words entirely"], dtype=object)
+    M = minhash_matrix(texts, MinHashParams())
+    agree01 = (M[0] == M[1]).mean()
+    agree02 = (M[0] == M[2]).mean()
+    agree03 = (M[0] == M[3]).mean()
+    assert agree01 == 1.0  # identical docs -> identical signature
+    assert 0.5 < agree02 < 1.0  # near dup -> high agreement
+    assert agree03 < 0.2
+
+
+def test_minhash_lsh_dedup(ds):
+    clusters = minhash_lsh_dedup(ds, threshold=0.7)
+    by_doc = dict(zip(clusters.doc_id, clusters.cluster))
+    assert by_doc.get(40) == by_doc.get(0) == 0
+    assert by_doc.get(41) == by_doc.get(1) == 1
+    assert by_doc.get(42) == by_doc.get(2) == 2  # near dup clustered
+    # the 40 distinct docs must NOT collapse together
+    assert len(set(clusters.cluster)) == len(clusters.cluster.unique())
+    distinct_in_clusters = set(clusters.doc_id) - {0, 1, 2, 40, 41, 42}
+    assert not distinct_in_clusters
+
+
+def test_simhash(ray_session):
+    import ray.data as rd
+
+    h = simhash_vector(np.array([BASE, BASE, "unrelated content here"], dtype=object))
+    assert h[0] == h[1] != h[2]
+    # simhash is bag-of-words — needs docs with DIFFERENT vocab (permutations
+    # of one word set would all collide, by design)
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"word{i}" for i in range(400)])
+    docs = [" ".join(rng.choice(vocab, size=30, replace=False)) for _ in range(30)]
+    docs.append(docs[0])  # exact dup -> id 30
+    docs.append(docs[1])  # exact dup -> id 31
+    ds2 = rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    clusters = simhash_dedup(ds2, max_hamming=3)
+    by_doc = dict(zip(clusters.doc_id, clusters.cluster))
+    assert by_doc.get(30) == 0 and by_doc.get(31) == 1
+    # distinct docs don't collapse
+    assert set(clusters.doc_id) <= {0, 1, 30, 31}
+
+
+def test_ngram_jaccard_pairs(ds):
+    df = ngram_jaccard_pairs(ds, [(0, 40), (0, 1)])
+    j = dict(zip(zip(df.a, df.b), df.jaccard))
+    assert j[(0, 40)] == 1.0
+    assert j[(0, 1)] < 0.5
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    vecs[50] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # near dup
+    vecs[51] = vecs[1]  # exact dup
+    df = pd.DataFrame({"vec_id": range(60), "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(3)
+    clusters = embedding_dedup(ds, threshold=0.98, n_bits=6)
+    by_id = dict(zip(clusters.vec_id, clusters.cluster))
+    assert by_id.get(51) == 1
+    assert by_id.get(50) == 0
