@@ -266,6 +266,158 @@ def q_events_error_rate(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Training-data ops: dedup / similarity / text (documents + embeddings tables)
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 5
+
+
+def _read_table(sf_dir: str, name: str):
+    import os
+
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup keepers: min doc_id per distinct text (hash-partitioned)."""
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(_read_table(sf_dir, "documents"))
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup clustering (full labeling incl. singletons)."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        _read_table(sf_dir, "documents"), threshold=0.8, include_singletons=True
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    return simhash_dedup(
+        _read_table(sf_dir, "documents"), max_hamming=3, include_singletons=True
+    )
+
+
+def q_dedup_embedding(sf_dir: str):
+    from ..stages.dedup import embedding_dedup
+
+    return embedding_dedup(
+        _read_table(sf_dir, "embeddings"), threshold=0.98, n_bits=8, include_singletons=True
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k (broadcast queries, per-batch matmul).
+    score_micro = floor(sim * 1e6 + 0.5) keeps the compare integral."""
+    import numpy as np
+
+    from ..stages.similarity import ann_topk
+
+    df = ann_topk(_read_table(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K)
+    df = df.copy()
+    df["score_micro"] = np.floor(df["score"] * 1_000_000 + 0.5).astype("int64")
+    return df[["query_id", "vec_id", "rank", "score_micro"]]
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed approximate variant (rows-only; recall tested vs exact)."""
+    from ..stages.similarity import ann_topk_ivf
+
+    return ann_topk_ivf(
+        _read_table(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K, n_centroids=16, nprobe=8
+    )
+
+
+def q_text_stats(sf_dir: str):
+    """Integer text statistics (token/char/punct/stopword counts) — the
+    SQL-exact slice of the quality-scoring stage."""
+    import re
+
+    import pandas as pd
+
+    from ..stages.text import LANG_STOPWORDS, TOKEN_PATTERN
+
+    word_re = re.compile(TOKEN_PATTERN)
+    punct_re = re.compile(r"[^\w\s]")
+    stop = LANG_STOPWORDS["en"]
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        toks = text.str.lower().str.findall(word_re)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": text.str.len().astype("int64"),
+                "n_tokens": toks.map(len).astype("int64"),
+                "n_punct": text.str.count(punct_re).astype("int64"),
+                "n_stop": toks.map(lambda ws: sum(w in stop for w in ws)).astype("int64"),
+            }
+        )
+
+    return _read_table(sf_dir, "documents").map_batches(stats, batch_format="pandas")
+
+
+def q_quality_scores(sf_dir: str):
+    from ..stages.text import quality_scores
+
+    return quality_scores(_read_table(sf_dir, "documents"))
+
+
+def q_lang_id(sf_dir: str):
+    from ..stages.text import lang_id
+
+    return lang_id(_read_table(sf_dir, "documents"))
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing fingerprints reduced to scalars (count + min) for the
+    rows-only check."""
+    import pandas as pd
+
+    from ..stages.text import fingerprints
+
+    df = fingerprints(_read_table(sf_dir, "documents")).to_pandas()
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_fp": df["fingerprint"].map(len).astype("int64"),
+            "fp_min": df["fingerprint"].map(lambda l: int(min(l)) if len(l) else 0),
+        }
+    )
+
+
+def training_ops_oracles() -> dict[str, str]:
+    stop_list = ", ".join(f"'{w}'" for w in sorted(__import__("events_validator_ray.stages.text", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS["en"]))
+    ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+        "ann_topk": (
+            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})), "
+            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
+            f"SELECT query_id, vec_id, rank, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS score_micro "
+            f"FROM r WHERE rank <= {ANN_K}"
+        ),
+        "text_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct, "
+            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN ({stop_list}))) AS n_stop "
+            "FROM documents"
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
 

@@ -240,10 +240,13 @@ def minhash_lsh_dedup(
     params: MinHashParams | None = None,
     ngram: int = 3,
     verify: bool = True,
+    include_singletons: bool = False,
 ):
     """Near-dup clustering: returns a pandas DataFrame (doc_id, cluster) for
     every doc in a near-dup cluster (cluster = min doc id). Docs absent from
-    the output are unique."""
+    the output are unique; `include_singletons=True` adds them with
+    cluster=doc_id (full labeling — only for corpora whose id list fits the
+    driver)."""
     p = params or MinHashParams()
     sig = ds.map_batches(MinHashSignatures(p, col, id_col, ngram), batch_format="pyarrow")
     raw_pairs = [
@@ -253,6 +256,9 @@ def minhash_lsh_dedup(
     if verify:
         raw_pairs = jaccard_verify_pairs(ds, raw_pairs, col, id_col, ngram, threshold)
     labels = _union_find(raw_pairs)
+    if include_singletons:
+        for i in ds.unique(id_col):
+            labels.setdefault(i, i)
     return pd.DataFrame(
         {"doc_id": list(labels), "cluster": [labels[k] for k in labels]}
     ).sort_values("doc_id").reset_index(drop=True)
@@ -313,7 +319,7 @@ class SimHashSignatures:
         )
 
 
-def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, include_singletons: bool = False):
     """Near-dup clusters by simhash: banded candidates (any identical 16-bit
     band) verified by exact Hamming distance <= max_hamming."""
     sig = ds.map_batches(SimHashSignatures(col, id_col), batch_format="pyarrow")
@@ -337,6 +343,9 @@ def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id", max_hamming: in
         if bin(int(ha ^ hb)).count("1") <= max_hamming:
             verified.append((a, b))
     labels = _union_find(verified)
+    if include_singletons:
+        for i in ds.unique(id_col):
+            labels.setdefault(i, i)
     return pd.DataFrame(
         {"doc_id": list(labels), "cluster": [labels[k] for k in labels]}
     ).sort_values("doc_id").reset_index(drop=True)
@@ -400,7 +409,7 @@ class HyperplaneLSH:
         )
 
 
-def embedding_dedup(ds, threshold: float = 0.95, col: str = "embedding", id_col: str = "vec_id", n_bits: int = 12, dim: int | None = None):
+def embedding_dedup(ds, threshold: float = 0.95, col: str = "embedding", id_col: str = "vec_id", n_bits: int = 12, dim: int | None = None, include_singletons: bool = False):
     """Embedding-cosine near-dup clusters: hyperplane-LSH buckets ->
     within-bucket exact cosine >= threshold -> union-find."""
     if dim is None:
@@ -422,6 +431,9 @@ def embedding_dedup(ds, threshold: float = 0.95, col: str = "embedding", id_col:
     cand = sig.groupby("bucket").map_groups(pairs, batch_format="pandas").take_all()
     verified = sorted({(r["a"], r["b"]) for r in cand})
     labels = _union_find(verified)
+    if include_singletons:
+        for i in ds.unique(id_col):
+            labels.setdefault(i, i)
     return pd.DataFrame(
         {"vec_id": list(labels), "cluster": [labels[k] for k in labels]}
     ).sort_values("vec_id").reset_index(drop=True)
