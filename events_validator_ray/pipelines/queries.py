@@ -523,10 +523,21 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "validate_events": q_validate_events,
         "events_failures_by_day": q_events_failures_by_day,
         "events_error_rate": q_events_error_rate,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "text_stats": q_text_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
     }
 
 
 def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out = transcript_oracles(sf)
     out.update(events_oracles())
+    out.update(training_ops_oracles())
     return out
