@@ -393,6 +393,40 @@ def q_fingerprints(sf_dir: str):
     )
 
 
+def q_validate_json_props(sf_dir: str):
+    """JSON-payload (nested-document) mode: the row oracle with full
+    `nestedSchema` recursion semantics over the events table's `props` JSON
+    column (SURVEY.md §2.2 M2; FIXTURES.md §4). Spec: k must be the number
+    42 — the `value` rule fires via bilateral toString on every other k."""
+    from ..spec import load_spec
+    from ..stages.validate import ValidateJsonDocs
+
+    spec = load_spec({"k": {"type": "number", "value": 42}}, event_name="props")
+    ds = _read_events(sf_dir)
+    return ds.map_batches(
+        ValidateJsonDocs(
+            {"props": spec},
+            json_col="props",
+            id_cols=("event_id",),
+            default_event_name="props",
+            log_valid=False,
+        ),
+        batch_format="pyarrow",
+    ).select_columns(VCOLS)
+
+
+def json_props_oracle() -> str:
+    # value rule: actual?.toString() !== expected?.toString(); k is always an
+    # integer in the corpus so the JSON text equals the JS toString
+    return (
+        "SELECT CAST(event_id AS VARCHAR) AS event_id, 'k' AS field, "
+        "'value' AS error_type, '42' AS expected, "
+        "CAST(json_extract(props, '$.k') AS VARCHAR) AS actual, "
+        "'props' AS event_name, 'error' AS status "
+        "FROM events WHERE CAST(json_extract(props, '$.k') AS VARCHAR) <> '42'"
+    )
+
+
 def training_ops_oracles() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in sorted(__import__("events_validator_ray.stages.text", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS["en"]))
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -530,6 +564,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
+        "validate_json_props": q_validate_json_props,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -540,4 +575,5 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out = transcript_oracles(sf)
     out.update(events_oracles())
     out.update(training_ops_oracles())
+    out["validate_json_props"] = json_props_oracle()
     return out

@@ -1,0 +1,98 @@
+"""CLI entry point — the `ray job submit` surface.
+
+    python -m events_validator_ray.runner \
+        --input /data/transcripts --out /data/validation_out \
+        [--spec spec.json] [--salted] [--sample 0.01] [--resume/--no-resume]
+
+Owns the Ray session (the ONLY library-adjacent place that calls ray.init,
+guarded for pre-initialised cluster drivers). On a multi-node cluster, run
+the same command via `ray job submit -- python -m events_validator_ray.runner ...`
+— the pipeline code is identical; only `ray.init(address=...)` changes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="Ray-Data-native transcript validation engine")
+    p.add_argument("--input", required=True, help="directory of transcript parquet files")
+    p.add_argument("--out", required=True, help="output directory (violations + manifest)")
+    p.add_argument("--spec", help="constraint-spec JSON file (default: transcript spec)")
+    p.add_argument("--salted", action="store_true", help="salted conversation checks (skew)")
+    p.add_argument("--salt-chunk", type=int, default=10_000)
+    p.add_argument("--sample", type=float, default=None, help="validate a random fraction (GTM-style sampling, reference README.md:62-64)")
+    p.add_argument("--files-per-partition", type=int, default=8)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--no-log-valid", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--lint-only", action="store_true", help="check spec vs observed schema and exit")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    from .spec import load_spec_file, transcript_spec
+
+    spec = load_spec_file(args.spec) if args.spec else transcript_spec()
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{args.input}/*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input}", file=sys.stderr)
+        return 2
+    schema = pq.read_schema(files[0])
+
+    from .functions.lint import spec_lint
+
+    findings = spec_lint(spec, schema)
+    for f in findings:
+        print(f"[lint:{f.severity}] {f.field}: {f.message}", file=sys.stderr)
+    if args.lint_only:
+        return 1 if any(f.severity == "critical" for f in findings) else 0
+
+    ds = rd.read_parquet(files)
+    if args.sample:
+        ds = ds.random_sample(args.sample, seed=42)
+        tmp_in = args.out + "/_sampled_input"
+        ds.write_parquet(tmp_in)
+        input_path = tmp_in
+    else:
+        input_path = args.input
+
+    from .pipelines.validate_pipeline import run_validation
+
+    summary = run_validation(
+        input_path,
+        args.out,
+        spec,
+        files_per_partition=args.files_per_partition,
+        log_valid=not args.no_log_valid,
+        salted=args.salted,
+        salt_chunk=args.salt_chunk,
+        resume=not args.no_resume,
+    )
+    print(json.dumps(summary, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

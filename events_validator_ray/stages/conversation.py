@@ -570,11 +570,8 @@ def _phase2_driver(summaries: "pd.DataFrame", spec: Spec, run_ts: _dt.datetime):
             )
 
     if order and order.ts_monotone:
-        max_ts = df["max_ts"].astype("float64")
-        prefix = g["max_ts"].apply(lambda s: s.astype("float64").cummax().shift(1)).reset_index(drop=True)
-        if isinstance(prefix, pd.DataFrame):  # pandas version quirk
-            prefix = prefix.iloc[:, 0]
-        prefix.index = df.index
+        cm = df["max_ts"].astype("float64").groupby(df["conv"], sort=False).cummax()
+        prefix = cm.groupby(df["conv"], sort=False).shift(1)
         min_ts = df["min_ts"].astype("float64")
         m = prefix.notna() & min_ts.notna() & (min_ts < prefix)
         for conv, ch, pm in zip(df.loc[m, "conv"], df.loc[m, "chunk"], prefix[m]):

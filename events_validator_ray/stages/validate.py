@@ -462,6 +462,7 @@ class ValidateBatch:
         id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         include_refs: bool = True,
         date_from: str | None = None,
+        log_valid_fields: bool = False,
     ):
         from ..spec import load_spec
 
@@ -472,6 +473,7 @@ class ValidateBatch:
         self.id_cols = tuple(id_cols)
         self.include_refs = include_refs
         self.date_from = date_from
+        self.log_valid_fields = log_valid_fields
         self._compiled: tuple[tuple[str, ...], list[CheckFn]] | None = None
 
     def _checks_for(self, schema: pa.Schema) -> list[CheckFn]:
@@ -495,7 +497,7 @@ class ValidateBatch:
         ts_source = None
         if self.date_from is not None and self.date_from in batch.schema.names:
             ts_source = batch[self.date_from].combine_chunks()
-        return _branches_to_table(
+        out = _branches_to_table(
             branches,
             eid,
             self.spec.event_name,
@@ -506,6 +508,61 @@ class ValidateBatch:
             batch,
             ts_source,
         )
+        if self.log_valid_fields:
+            vf = self._valid_field_rows(batch, ctx, branches, eid)
+            if vf.num_rows:
+                out = pa.concat_tables([out, vf])
+        return out
+
+    def _valid_field_rows(
+        self, batch: pa.Table, ctx: _BatchCtx, branches: list[Branch], eid: pa.Array
+    ) -> pa.Table:
+        """LOG_VALID_FIELDS analog (logValidField, loggingHelpers.js:33-46):
+        one status='valid' row per field whose TYPE check passed, with
+        `value` = JSON.stringify(rule.type). Off by default, like the
+        reference flag (cloudHelpers.js:10)."""
+        tables = []
+        ts_us = int(self.run_ts.timestamp() * 1_000_000)
+        for rule in self.spec.fields.values():
+            if rule.type is None or rule.name not in batch.schema.names:
+                continue
+            if rule.type in ("array", "object") and rule.nested:
+                continue  # nested recursion logs inner fields, not the parent
+            fail = np.zeros(batch.num_rows, dtype=bool)
+            for b in branches:
+                if b.field == rule.name and b.error_type == "type":
+                    fail[b.idx] = True
+            mask = ~fail & ~ctx.skip(rule.name, rule.optional)
+            if rule.optional:
+                mask &= ~ctx.null(rule.name)
+            vidx = np.nonzero(mask)[0]
+            if not vidx.size:
+                continue
+            n = vidx.size
+            tables.append(
+                pa.table(
+                    {
+                        "event_id": take_np(eid, vidx),
+                        "field": const_str_array(rule.name, n),
+                        "error_type": pa.nulls(n, type=pa.string()),
+                        "expected": pa.nulls(n, type=pa.string()),
+                        "actual": pa.nulls(n, type=pa.string()),
+                        "timestamp": pa.array(
+                            np.full(n, ts_us, dtype=np.int64), type=pa.timestamp("us")
+                        ),
+                        "source_event": pa.nulls(n, type=pa.string()),
+                        "status": const_str_array("valid", n),
+                        "event_name": const_str_array(self.spec.event_name, n),
+                        "event_data": pa.nulls(n, type=pa.string()),
+                        "value": const_str_array(json.dumps(rule.type), n),
+                        "type": pa.nulls(n, type=pa.string()),
+                    },
+                    schema=VIOLATION_SCHEMA,
+                )
+            )
+        if not tables:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables(tables)
 
 
 class ValidateJsonDocs:
@@ -526,6 +583,7 @@ class ValidateJsonDocs:
         event_name_attr: str = "event_name",
         id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         log_valid: bool = True,
+        default_event_name: str | None = None,
     ):
         self.specs = specs
         self.json_col = json_col
@@ -533,6 +591,7 @@ class ValidateJsonDocs:
         self.event_name_attr = event_name_attr
         self.id_cols = tuple(id_cols)
         self.log_valid = log_valid
+        self.default_event_name = default_event_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..oracle import validate_event
@@ -568,7 +627,7 @@ class ValidateJsonDocs:
             if not isinstance(doc, dict):
                 emit(eid[i], None, "invalid_request", "object", type(doc).__name__, "error", None)
                 continue
-            ename = doc.get(self.event_name_attr)
+            ename = doc.get(self.event_name_attr) or self.default_event_name
             if not ename:
                 # index.js:40-43
                 emit(eid[i], None, "invalid_request", self.event_name_attr, "missing", "error", None)

@@ -1,0 +1,129 @@
+"""Spec lint, valid-field logging, and the CLI runner."""
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pytest
+
+from events_validator_ray.functions.lint import spec_lint
+from events_validator_ray.spec import load_spec, transcript_spec
+from events_validator_ray.stages.validate import ValidateBatch
+
+
+def test_spec_lint_clean():
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    findings = spec_lint(transcript_spec(), schema)
+    assert not any(f.severity == "critical" for f in findings)
+
+
+def test_spec_lint_findings():
+    spec = load_spec(
+        {
+            "a": {"type": "number"},
+            "gone": {"type": "string"},
+            "maybe": {"type": "string", "optional": True},
+            "n": {"type": "number", "length": 3},
+        }
+    )
+    schema = pa.schema([("a", pa.string()), ("n", pa.int64()), ("extra", pa.bool_())])
+    by_code = {}
+    for f in spec_lint(spec, schema):
+        by_code.setdefault(f.code, []).append(f)
+    assert by_code["type_conflict"][0].field == "a"
+    assert by_code["type_conflict"][0].severity == "critical"
+    missing = {f.field: f.severity for f in by_code["missing_column"]}
+    assert missing == {"gone": "critical", "maybe": "minor"}
+    assert by_code["length_on_scalar"][0].field == "n"
+    assert by_code["unvalidated_column"][0].field == "extra"
+
+
+def test_valid_field_rows():
+    spec = load_spec(
+        {"a": {"type": "string"}, "b": {"type": "number"}, "c": {"type": "string", "optional": True}}
+    )
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c2", "c3"]),
+            "turn_idx": pa.array([0, 1, 2]),
+            "a": pa.array(["x", "", None]),
+            "b": pa.array([1, 2, None], pa.int64()),
+            "c": pa.array(["y", None, "z"]),
+        }
+    )
+    out = ValidateBatch(spec, log_valid=False, log_valid_fields=True)(batch)
+    vf = out.filter(pa.compute.equal(out["status"], "valid")).to_pylist()
+    got = {(r["event_id"], r["field"]): r["value"] for r in vf}
+    # a passes only on row 0; b on rows 0,1; c on rows 0,2
+    assert set(got) == {
+        ("c1:0", "a"),
+        ("c1:0", "b"),
+        ("c2:1", "b"),
+        ("c1:0", "c"),
+        ("c3:2", "c"),
+    }
+    assert got[("c1:0", "a")] == '"string"'  # JSON.stringify(type)
+    assert got[("c1:0", "b")] == '"number"'
+
+
+def test_runner_cli(tmp_path):
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    tdir = ensure_transcripts(0.001)
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "events_validator_ray.runner",
+            "--input",
+            tdir,
+            "--out",
+            str(out),
+            "--files-per-partition",
+            "4",
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["executed"] >= 1
+    assert (out / "manifest.jsonl").exists()
+
+
+def test_runner_lint_only(tmp_path):
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    tdir = ensure_transcripts(0.001)
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "events_validator_ray.runner",
+            "--input",
+            tdir,
+            "--out",
+            str(tmp_path / "o"),
+            "--lint-only",
+            "--num-cpus",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
