@@ -55,6 +55,34 @@ UNDEFINED = _Undefined()
 Violation = tuple[str, str, str | None, str | None]  # (field, error_type, expected, actual)
 
 
+def get_by_path(obj: Any, path: str | list | None) -> Any:
+    """`getByPath` (validator_src/index.js:89-102): dot/bracket path
+    extractor used for envelope unwrap and event-name extraction
+    (`a.b[0].c`). Missing segments yield UNDEFINED, like the JS reduce."""
+    if path is None or path == "":
+        return obj
+    if isinstance(path, list):
+        parts = [str(p) for p in path]
+    else:
+        s = re.sub(r"\[(\w+)\]", r".\1", str(path).strip())
+        s = re.sub(r"^\.", "", s)
+        parts = [p for p in s.split(".") if p]
+    cur = obj
+    for key in parts:
+        if cur is None or cur is UNDEFINED:
+            return UNDEFINED
+        if isinstance(cur, dict):
+            cur = cur.get(key, UNDEFINED)
+        elif isinstance(cur, list):
+            try:
+                cur = cur[int(key)]
+            except (ValueError, IndexError):
+                return UNDEFINED
+        else:
+            return UNDEFINED
+    return cur
+
+
 def js_typeof(v: Any) -> str:
     """JS `typeof` (arrays handled by callers via Array.isArray first)."""
     if v is UNDEFINED:

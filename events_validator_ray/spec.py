@@ -110,6 +110,7 @@ class FieldRule:
     optional: bool = False
     description: str | None = None
     nested: dict[str, "FieldRule"] | None = None
+    extra: dict[str, Any] = field(default_factory=dict)  # unknown rule keys -> custom Check registry
 
     @property
     def has_value(self) -> bool:
@@ -193,6 +194,10 @@ def _parse_field(name: str, raw: dict[str, Any]) -> FieldRule:
         # drop empty / "Any" per helpers.py:139-143
         if not (isinstance(v, str) and (v == "" or v == "Any")):
             value = v
+    known = {
+        "type", "value", "enum", "regex", "length", "optional", "required",
+        "description", "nestedSchema",
+    }
     return FieldRule(
         name=name,
         type=raw.get("type"),
@@ -203,6 +208,7 @@ def _parse_field(name: str, raw: dict[str, Any]) -> FieldRule:
         optional=optional,
         description=raw.get("description"),
         nested=nested,
+        extra={k: v for k, v in raw.items() if k not in known},
     )
 
 

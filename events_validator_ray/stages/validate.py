@@ -130,6 +130,17 @@ class _BatchCtx:
 
 CheckFn = Callable[[_BatchCtx], list[Branch]]
 
+#: user-extension surface (SURVEY.md §2.10): register a compiler for a new
+#: rule kind; any unknown key in a field rule (FieldRule.extra) is dispatched
+#: here. A compiler takes (rule, raw_value, schema) and returns a CheckFn
+#: producing violation Branches — the analog of "add to validationHelpers.js"
+#: (reference AGENTS.md:790-793) without touching engine code.
+CUSTOM_CHECKS: dict[str, Callable[["FieldRule", Any, pa.Schema], CheckFn]] = {}
+
+
+def register_check(kind: str, compiler: Callable[["FieldRule", Any, pa.Schema], CheckFn]) -> None:
+    CUSTOM_CHECKS[kind] = compiler
+
 
 def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
     """Compile one field rule into vectorized branch evaluators."""
@@ -304,6 +315,11 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
             return out
 
         checks.append(regex_check)
+
+    for kind, raw_val in rule.extra.items():
+        compiler = CUSTOM_CHECKS.get(kind)
+        if compiler is not None:
+            checks.append(compiler(rule, raw_val, schema))
 
     return checks
 
@@ -584,6 +600,7 @@ class ValidateJsonDocs:
         id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
         log_valid: bool = True,
         default_event_name: str | None = None,
+        data_path: str | None = None,
     ):
         self.specs = specs
         self.json_col = json_col
@@ -592,6 +609,8 @@ class ValidateJsonDocs:
         self.id_cols = tuple(id_cols)
         self.log_valid = log_valid
         self.default_event_name = default_event_name
+        # EVENT_DATA_PATH analog (index.js:14-15): envelope unwrap path
+        self.data_path = data_path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..oracle import validate_event
@@ -624,6 +643,14 @@ class ValidateJsonDocs:
             except (json.JSONDecodeError, TypeError):
                 emit(eid[i], None, "invalid_request", "valid JSON", "parse error", "error", None)
                 continue
+            if self.data_path:
+                from ..oracle import UNDEFINED, get_by_path
+
+                doc = get_by_path(doc, self.data_path)
+                if doc is UNDEFINED or not isinstance(doc, dict):
+                    # index.js:32-37: no event data at path
+                    emit(eid[i], None, "invalid_request", f"data at {self.data_path}", "missing", "error", None)
+                    continue
             if not isinstance(doc, dict):
                 emit(eid[i], None, "invalid_request", "object", type(doc).__name__, "error", None)
                 continue
