@@ -427,6 +427,55 @@ def json_props_oracle() -> str:
     )
 
 
+def q_turn_text_digest(sf_dir: str):
+    """Per-turn text digest under the stable (conv_id, turn_idx) ordering —
+    the row-level evidence for 'per-turn text equality under stable turn
+    ordering' (BASELINE.json input_hint): any divergence in text content or
+    turn identity shows up as a hash mismatch."""
+    import hashlib
+
+    import pandas as pd
+
+    def digest(batch: pd.DataFrame) -> pd.DataFrame:
+        md5 = batch["text"].map(
+            lambda t: hashlib.md5(t.encode()).hexdigest() if isinstance(t, str) else None
+        )
+        return pd.DataFrame(
+            {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"], "text_md5": md5}
+        )
+
+    return _read_transcripts(sf_dir).map_batches(digest, batch_format="pandas")
+
+
+def q_worst_offenders(sf_dir: str):
+    """Top (field, error_type) pairs by violation count (report view O5;
+    rows-only: ties make LIMIT ordering engine-specific)."""
+    from ..pipelines.report import worst_offenders
+    from ..stages.validate import ValidateBatch
+
+    ds = _read_transcripts(sf_dir)
+    log = ds.map_batches(
+        ValidateBatch(transcript_spec(), log_valid=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return worst_offenders(log, k=20)
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing smoke: deterministic fake media corpus through the
+    actor-pool image decode stage (rows-only; codecs stubbed — see
+    stages/multimodal.py)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_images, synthetic_media
+
+    media = rd.from_arrow(synthetic_media(96))
+    return decode_images(media, feature_dim=16, concurrency=2).select_columns(
+        ["media_id", "width", "height"]
+    )
+
+
 def training_ops_oracles() -> dict[str, str]:
     stop_list = ", ".join(f"'{w}'" for w in sorted(__import__("events_validator_ray.stages.text", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS["en"]))
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -568,6 +617,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
+        "turn_text_digest": q_turn_text_digest,
+        "worst_offenders": q_worst_offenders,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -576,4 +628,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out.update(events_oracles())
     out.update(training_ops_oracles())
     out["validate_json_props"] = json_props_oracle()
+    out["turn_text_digest"] = (
+        f"SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM {_transcripts_table_sql(sf)}"
+    )
     return out
