@@ -45,6 +45,7 @@ def _headline(ds, spec):
     out = ds.map_batches(
         ValidateBatch(spec, log_valid=True),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     ).map_batches(counts_partial, batch_format="pyarrow")
     df = out.to_pandas().groupby("status")["n"].sum()
@@ -85,7 +86,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "4"))
     files = sorted(_glob.glob(os.path.join(tdir, "transcripts_*.parquet"))) * repeat
 
+    # optional fixed block count (identical at every CPU level): coarse blocks
+    # keep per-task work in the hundreds of ms so scheduling overhead doesn't
+    # dominate — tiny tasks flatline scaling
+    nblocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "0"))
+
     def read():
+        if nblocks:
+            return rd.read_parquet(files, override_num_blocks=nblocks)
         return rd.read_parquet(files)
 
     # untimed warmup: starts the worker pool and warms the page cache so the
@@ -99,6 +107,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     counts = _headline(read(), spec)
     headline = time.time() - t0
     queries["validate_scalar"] = round(headline, 3)
+
+    if os.environ.get("GRAFT_BENCH_ONLY"):
+        # scaling mode: measure only the headline (compute-bound, larger
+        # repeat) so fixed session overheads don't mask parallel speedup
+        ray.shutdown()
+        return {
+            "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",
+            "value": round(headline, 3),
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "n_turns": n_turns,
+            "turns_per_sec": round(n_turns / headline, 1),
+            "status_counts": counts,
+        }
 
     t0 = time.time()
     conversation_violations(read(), spec).count()
@@ -122,6 +146,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     log = read().map_batches(
         ValidateBatch(spec, log_valid=True, date_from="ts"),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     )
     failures_by_day(log, dim="field").count()
@@ -144,7 +169,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_BENCH_ONLY="1",
+            GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_SCALING_REPEAT", "128"),
+            GRAFT_BENCH_BLOCKS=os.environ.get("GRAFT_SCALING_BLOCKS", "160"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -87,6 +87,7 @@ def q_validate_scalar(sf_dir: str):
     return ds.map_batches(
         ValidateBatch(transcript_spec(), log_valid=False),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     ).select_columns(VCOLS)
 
@@ -100,6 +101,7 @@ def q_valid_turns(sf_dir: str):
         ds.map_batches(
             ValidateBatch(transcript_spec(), log_valid=True),
             batch_format="pyarrow",
+            batch_size=None,
             zero_copy_batch=True,
         )
         .filter(expr="status == 'valid'")
@@ -134,6 +136,7 @@ def q_failures_by_day(sf_dir: str):
     log = ds.map_batches(
         ValidateBatch(transcript_spec(), log_valid=False, date_from="ts"),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     )
     return failures_by_day(log, dim="field")
@@ -149,6 +152,7 @@ def q_error_rate(sf_dir: str):
     log = ds.map_batches(
         ValidateBatch(transcript_spec(), log_valid=True, date_from="ts"),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     )
     df = daily_error_rate(log)
@@ -234,6 +238,7 @@ def q_validate_events(sf_dir: str):
     return ds.map_batches(
         ValidateBatch(events_spec(), log_valid=False, id_cols=("event_id",)),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     ).select_columns(VCOLS)
 
@@ -246,6 +251,7 @@ def q_events_failures_by_day(sf_dir: str):
     log = ds.map_batches(
         ValidateBatch(events_spec(), log_valid=False, id_cols=("event_id",), date_from="ts"),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     )
     return failures_by_day(log, dim="field")
@@ -259,6 +265,7 @@ def q_events_error_rate(sf_dir: str):
     log = ds.map_batches(
         ValidateBatch(events_spec(), log_valid=True, id_cols=("event_id",), date_from="ts"),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     )
     df = daily_error_rate(log)
@@ -457,6 +464,7 @@ def q_worst_offenders(sf_dir: str):
     log = ds.map_batches(
         ValidateBatch(transcript_spec(), log_valid=False),
         batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the validator is fully vectorized
         zero_copy_batch=True,
     )
     return worst_offenders(log, k=20)

@@ -100,6 +100,7 @@ def run_validation(
         out = ds.map_batches(
             ValidateBatch(spec, run_ts=run_ts, log_valid=log_valid),
             batch_format="pyarrow",
+            batch_size=None,
             zero_copy_batch=True,
         )
         with atomic_output_dir(final_dir) as tmp:
