@@ -471,53 +471,6 @@ def conversation_violations(
 # ---------------------------------------------------------------------------
 
 
-class _ChunkChecker:
-    """Phase 1: per (conv_id, salt-chunk) group — exact within-chunk checks +
-    one summary row (status='summary', payload in event_data)."""
-
-    def __init__(self, spec: Spec, run_ts: _dt.datetime, chunk: int):
-        self.spec = spec
-        self.run_ts = run_ts
-        self.chunk = chunk
-        self.__name__ = type(self).__name__
-
-    def __call__(self, g: pa.Table) -> pa.Table:
-        conv = g["conv_id"][0].as_py()
-        ename = self.spec.event_name
-        rows = _empty_out()
-        turns, ts_us, ts_valid, roles = _group_arrays(g)
-        chunk_id = int(turns.min()) // self.chunk
-        # within-chunk checks only; the global min-turn==0 check is owned by
-        # phase 2 (it sees every chunk's min)
-        _check_turn_block(
-            rows, conv, ename, turns, ts_us, ts_valid, False, self.spec
-        )
-        summary = {
-            "chunk": chunk_id,
-            "min_turn": int(turns.min()),
-            "max_turn": int(turns.max()),
-            "max_ts": int(ts_us[ts_valid].max()) if ts_valid.any() else None,
-            "min_ts": int(ts_us[ts_valid].min()) if ts_valid.any() else None,
-        }
-        first = self.spec.table.first_role
-        if first and roles is not None:
-            ok, actual = _first_role_info(turns, roles, first)
-            summary["first_ok"] = ok
-            summary["min_role"] = actual
-        _emit(
-            rows,
-            f"{conv}:{chunk_id}",
-            None,
-            "summary",
-            None,
-            None,
-            conv,
-            status="summary",
-            payload=json.dumps(summary),
-        )
-        return _finish(rows, self.run_ts)
-
-
 def _phase2_driver(summaries: "pd.DataFrame", spec: Spec, run_ts: _dt.datetime):
     """Phase 2, vectorized (pandas) over the tiny per-chunk summaries:
     cross-chunk contiguity / min-turn-zero / first-role violations, plus the
