@@ -40,17 +40,27 @@ def read_json_events(
     batch-mode S1: each line is one HTTP-POST body; the envelope is unwrapped
     by `data_path` exactly like the reference (EVENT_DATA_PATH, index.js:14-22)
     and re-serialized so downstream validation (ValidateJsonDocs) sees the
-    payload document."""
+    payload document.
+
+    Uses read_text + per-line parse (NOT read_json): tabular JSON ingestion
+    schema-merges heterogeneous documents, turning absent keys into nulls —
+    which this engine's semantics must distinguish (missing-field vs
+    null-type violations)."""
     import ray.data as rd
 
     from ..oracle import UNDEFINED, get_by_path
 
-    ds = rd.read_json(path)
+    ds = rd.read_text(path)
 
     def unwrap(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
         names, payloads = [], []
-        for body in rows:
+        for line in batch["text"].to_pylist():
+            try:
+                body = json.loads(line)
+            except (json.JSONDecodeError, TypeError):
+                names.append(None)
+                payloads.append(None)
+                continue
             doc = get_by_path(body, data_path)
             if doc is UNDEFINED or not isinstance(doc, dict):
                 names.append(None)
