@@ -434,6 +434,52 @@ def json_props_oracle() -> str:
     )
 
 
+#: per-event-type schema map (J1 dispatch over the events table): `error`
+#: events have no schema on purpose -> schema_not_found (index.js:47-50)
+DISPATCH_SPECS_JSON: dict[str, dict] = {
+    "click": {"value": {"type": "number", "length": 3}},  # length-on-number quirk
+    "view": {"user_id": {"type": "number"}},
+    "purchase": {"props": {"type": "string", "regex": '"k": [0-9]$'}},
+    "signup": {"user_id": {"type": "number"}, "props": {"type": "string"}},
+}
+
+
+def q_validate_dispatch(sf_dir: str):
+    """Per-record schema dispatch (J1): each event_type validated against its
+    own spec; unmapped types -> schema_not_found."""
+    from ..stages.validate import ValidateDispatchBatch
+
+    specs = {
+        name: load_spec(raw, event_name=name) for name, raw in DISPATCH_SPECS_JSON.items()
+    }
+    ds = _read_events(sf_dir)
+    return ds.map_batches(
+        ValidateDispatchBatch(
+            specs, dispatch_col="event_type", id_cols=("event_id",), log_valid=False
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).select_columns(VCOLS)
+
+
+def dispatch_oracle() -> str:
+    parts = []
+    for name, raw in DISPATCH_SPECS_JSON.items():
+        spec = load_spec(raw, event_name=name)
+        sub = f"(SELECT * FROM events WHERE event_type = '{name}')"
+        parts.append(
+            scalar_violations_sql(spec, sub, EVENTS_COL_KINDS, key_cols=("event_id",))
+        )
+    known = ", ".join(f"'{n}'" for n in DISPATCH_SPECS_JSON)
+    parts.append(
+        "SELECT CAST(event_id AS VARCHAR) AS event_id, CAST(NULL AS VARCHAR) AS field, "
+        "'schema_not_found' AS error_type, 'schema' AS expected, 'not found' AS actual, "
+        f"event_type AS event_name, 'error' AS status FROM events WHERE event_type NOT IN ({known})"
+    )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_turn_text_digest(sf_dir: str):
     """Per-turn text digest under the stable (conv_id, turn_idx) ordering —
     the row-level evidence for 'per-turn text equality under stable turn
@@ -622,6 +668,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "validate_json_props": q_validate_json_props,
+        "validate_dispatch": q_validate_dispatch,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -636,6 +683,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out.update(events_oracles())
     out.update(training_ops_oracles())
     out["validate_json_props"] = json_props_oracle()
+    out["validate_dispatch"] = dispatch_oracle()
     out["turn_text_digest"] = (
         f"SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM {_transcripts_table_sql(sf)}"
     )

@@ -676,3 +676,86 @@ class ValidateJsonDocs:
             typ = VIOLATION_SCHEMA.field(name).type
             arrays[name] = pa.array(rows[name], type=typ)
         return pa.table(arrays, schema=VIOLATION_SCHEMA)
+
+
+class ValidateDispatchBatch:
+    """Per-record schema dispatch for FLAT tables: the vectorized analog of
+    the reference's `event_name -> schema` lookup (index.js:45; SURVEY.md §2.4
+    J1). The spec map is broadcast inside the callable (never a shuffle); each
+    batch is split by the dispatch column and each subset runs its
+    spec's compiled plan. Rows whose dispatch value has no spec emit
+    `schema_not_found` (index.js:47-50) unless a `default` spec is given."""
+
+    def __init__(
+        self,
+        specs: dict[str, Spec],
+        dispatch_col: str = "event_name",
+        run_ts: _dt.datetime = DEFAULT_RUN_TS,
+        log_valid: bool = True,
+        id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        default: Spec | None = None,
+    ):
+        self.dispatch_col = dispatch_col
+        self.run_ts = run_ts
+        self.log_valid = log_valid
+        self.id_cols = tuple(id_cols)
+        self.default = default
+        self._validators = {
+            name: ValidateBatch(spec, run_ts=run_ts, log_valid=log_valid, id_cols=id_cols)
+            for name, spec in specs.items()
+        }
+        self._default_validator = (
+            ValidateBatch(default, run_ts=run_ts, log_valid=log_valid, id_cols=id_cols)
+            if default is not None
+            else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        disp = js_string_cast(batch[self.dispatch_col])
+        parts: list[pa.Table] = []
+        matched = np.zeros(batch.num_rows, dtype=bool)
+        from ..functions.kernels import bool_np as _bool_np
+
+        for name, validator in self._validators.items():
+            mask = _bool_np(_pc.equal(disp, name))
+            if not mask.any():
+                continue
+            matched |= mask
+            parts.append(validator(batch.filter(pa.array(mask))))
+        rest = ~matched
+        if rest.any():
+            sub = batch.filter(pa.array(rest))
+            if self._default_validator is not None:
+                parts.append(self._default_validator(sub))
+            else:
+                eid = make_event_id(sub, self.id_cols)
+                n = sub.num_rows
+                ts_us = int(self.run_ts.timestamp() * 1_000_000)
+                parts.append(
+                    pa.table(
+                        {
+                            "event_id": eid,
+                            "field": pa.nulls(n, type=pa.string()),
+                            "error_type": const_str_array("schema_not_found", n),
+                            "expected": const_str_array("schema", n),
+                            "actual": const_str_array("not found", n),
+                            "timestamp": pa.array(
+                                np.full(n, ts_us, dtype=np.int64), type=pa.timestamp("us")
+                            ),
+                            "source_event": pa.nulls(n, type=pa.string()),
+                            "status": const_str_array("error", n),
+                            "event_name": js_string_cast(sub[self.dispatch_col]).combine_chunks()
+                            if isinstance(js_string_cast(sub[self.dispatch_col]), pa.ChunkedArray)
+                            else js_string_cast(sub[self.dispatch_col]),
+                            "event_data": pa.nulls(n, type=pa.string()),
+                            "value": pa.nulls(n, type=pa.string()),
+                            "type": pa.nulls(n, type=pa.string()),
+                        },
+                        schema=VIOLATION_SCHEMA,
+                    )
+                )
+        if not parts:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
