@@ -360,14 +360,29 @@ def combine_sketch_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def sketch_dataset(ds, plan: dict[str, tuple[str, ...]]):
+def sketch_dataset(ds, plan: dict[str, tuple[str, ...]], concurrency: int | None = None):
     """ds -> merged sketches {(col, kind): sketch}. Projects to the planned
     columns before sketching; two map_batches levels keep the all-to-driver
-    fan-in tiny."""
+    fan-in tiny.
+
+    `concurrency=N` runs the partial stage as an actor pool (plan validated /
+    state constructed once per actor — the north-star's stateful-stage shape);
+    default is stateless tasks, which fuse with the read and win on this
+    workload since per-batch partials carry all the state that matters."""
     cols = [c for c in plan]
+    projected = ds.select_columns(cols)
+    if concurrency:
+        partials = projected.map_batches(
+            SketchPartials,
+            fn_constructor_kwargs={"plan": plan},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    else:
+        partials = projected.map_batches(SketchPartials(plan), batch_format="pyarrow")
     rows = (
-        ds.select_columns(cols)
-        .map_batches(SketchPartials(plan), batch_format="pyarrow")
+        partials
         .map_batches(combine_sketch_rows, batch_format="pyarrow", batch_size=4096)
         .take_all()
     )
