@@ -480,6 +480,43 @@ def dispatch_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_window_tumbling(sf_dir: str):
+    """Event-time tumbling windows (1 day) per user over the events stream:
+    the batch expression of a streaming windowed aggregate (SURVEY.md §2.9).
+    Values summed in integer cents so the float summation order can't break
+    oracle equality."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.windows import tumbling_window_agg
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return t.drop_columns(["value"]).append_column("value_cents", cents)
+
+    ds = _read_events(sf_dir).map_batches(to_cents, batch_format="pyarrow")
+    return tumbling_window_agg(
+        ds, key="user_id", ts_col="ts", window_s=86400, value_col="value_cents"
+    )
+
+
+def q_window_session(sf_dir: str):
+    """Gap-based session windows (30 min) per user (rows-only: the
+    vectorized sessionizer is SQL-expressible but the window-function twin is
+    checked in tests instead)."""
+    from ..stages.windows import session_window_agg
+
+    return session_window_agg(_read_events(sf_dir), key="user_id", ts_col="ts", gap_s=1800)
+
+
+def tumbling_oracle() -> str:
+    return (
+        "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) * 86400 AS window_start, "
+        "COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
 def q_turn_text_digest(sf_dir: str):
     """Per-turn text digest under the stable (conv_id, turn_idx) ordering —
     the row-level evidence for 'per-turn text equality under stable turn
@@ -669,6 +706,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": q_text_stats,
         "validate_json_props": q_validate_json_props,
         "validate_dispatch": q_validate_dispatch,
+        "window_tumbling": q_window_tumbling,
+        "window_session": q_window_session,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -684,6 +723,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out.update(training_ops_oracles())
     out["validate_json_props"] = json_props_oracle()
     out["validate_dispatch"] = dispatch_oracle()
+    out["window_tumbling"] = tumbling_oracle()
     out["turn_text_digest"] = (
         f"SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM {_transcripts_table_sql(sf)}"
     )
