@@ -501,12 +501,26 @@ def q_window_tumbling(sf_dir: str):
 
 
 def q_window_session(sf_dir: str):
-    """Gap-based session windows (30 min) per user (rows-only: the
-    vectorized sessionizer is SQL-expressible but the window-function twin is
-    checked in tests instead)."""
+    """Gap-based session windows (30 min) per user — the sessionizer is a
+    hash-bucketed vectorized pass; oracle is the LAG/cumsum window-function
+    twin."""
     from ..stages.windows import session_window_agg
 
     return session_window_agg(_read_events(sf_dir), key="user_id", ts_col="ts", gap_s=1800)
+
+
+def session_oracle(gap_s: int = 1800) -> str:
+    g = gap_s * 1_000_000
+    return (
+        "WITH t AS (SELECT user_id, epoch_us(ts) AS tsu FROM events), "
+        "o AS (SELECT user_id, tsu, CASE WHEN LAG(tsu) OVER w IS NULL "
+        f"OR tsu - LAG(tsu) OVER w > {g} THEN 1 ELSE 0 END AS brk "
+        "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsu)), "
+        "s AS (SELECT user_id, tsu, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, MIN(tsu) AS session_start, MAX(tsu) AS session_end, "
+        "COUNT(*) AS n FROM s GROUP BY user_id, sid"
+    )
 
 
 def tumbling_oracle() -> str:
@@ -724,6 +738,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["validate_json_props"] = json_props_oracle()
     out["validate_dispatch"] = dispatch_oracle()
     out["window_tumbling"] = tumbling_oracle()
+    out["window_session"] = session_oracle()
     out["turn_text_digest"] = (
         f"SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM {_transcripts_table_sql(sf)}"
     )
