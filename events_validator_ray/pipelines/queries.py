@@ -531,6 +531,69 @@ def tumbling_oracle() -> str:
     )
 
 
+def q_broadcast_join(sf_dir: str):
+    """Broadcast small-side join (the J1 pattern generalized): orders
+    enriched with customer nation, aggregated per nation — customer+nation
+    ship once via ray.put; zero shuffle on the fact side."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_join
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet")).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")[
+        ["c_custkey", "n_name"]
+    ]
+    orders = _read_table(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, dim, on="o_custkey", dim_on="c_custkey", take_cols=["n_name"])
+
+    import pandas as pd
+    import pyarrow as pa
+
+    def cents_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        g = df.groupby("n_name", sort=False).agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+        return g.reset_index()
+
+    from ray.data.aggregate import Sum
+
+    partials = joined.map_batches(cents_partial, batch_format="pandas")
+    return (
+        partials.groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+def q_bucketed_join(sf_dir: str):
+    """Explicit partitioned hash join (both sides 'large'): orders ⨝ customer
+    on custkey, one tagged-union shuffle, per-bucket pandas merge."""
+    from ..stages.joins import bucketed_hash_join
+    from ray.data.aggregate import Count
+
+    orders = _read_table(sf_dir, "orders").select_columns(["o_custkey", "o_orderkey"])
+    cust = _read_table(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
+
+    def renamed(b):
+        return b.rename_columns(["custkey", "o_orderkey"]) if b.schema.names[0] == "o_custkey" else b
+
+    import pyarrow as pa
+
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["custkey", "o_orderkey"]), batch_format="pyarrow"
+    )
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["custkey", "c_mktsegment"]), batch_format="pyarrow"
+    )
+    joined = bucketed_hash_join(orders, cust, on="custkey", num_buckets=16)
+    return (
+        joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
+    )
+
+
 def q_turn_text_digest(sf_dir: str):
     """Per-turn text digest under the stable (conv_id, turn_idx) ordering —
     the row-level evidence for 'per-turn text equality under stable turn
@@ -722,6 +785,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "validate_dispatch": q_validate_dispatch,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
+        "broadcast_join": q_broadcast_join,
+        "bucketed_join": q_bucketed_join,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -739,6 +804,17 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["validate_dispatch"] = dispatch_oracle()
     out["window_tumbling"] = tumbling_oracle()
     out["window_session"] = session_oracle()
+    out["broadcast_join"] = (
+        "SELECT n.n_name AS n_name, COUNT(*) AS n_orders, "
+        "SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    )
+    out["bucketed_join"] = (
+        "SELECT c.c_mktsegment AS c_mktsegment, COUNT(*) AS n_orders "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment"
+    )
     out["turn_text_digest"] = (
         f"SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM {_transcripts_table_sql(sf)}"
     )

@@ -1,0 +1,129 @@
+"""Join patterns (SURVEY.md §2.4 + ray_guide): broadcast small-side lookup
+inside ``map_batches`` (never a shuffle), and the explicit bucketed hash join
+for two large sides.
+
+The reference's only join is the event_name -> schema lookup (a broadcast of
+a tiny dim table, index.js:45); these generalize it to relational shapes a
+training-data pipeline meets (dim enrichment, id semi-joins)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class BroadcastJoin:
+    """map_batches stage: enrich each batch by a small dimension table shipped
+    once via ``ray.put`` (fetched per worker on first use, cached in the
+    callable — the "broadcast small side" pattern)."""
+
+    def __init__(self, dim_ref, on: str, dim_on: str, take_cols: list[str]):
+        self.dim_ref = dim_ref  # ray.ObjectRef to a pandas DataFrame (or the df)
+        self.on = on
+        self.dim_on = dim_on
+        self.take_cols = take_cols
+        self._dim: pd.DataFrame | None = None
+
+    def _dim_df(self) -> pd.DataFrame:
+        if self._dim is None:
+            obj = self.dim_ref
+            try:
+                import ray
+
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            self._dim = obj.set_index(self.dim_on)[self.take_cols]
+        return self._dim
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        dim = self._dim_df()
+        joined = batch.join(dim, on=self.on)  # left join, C-speed index lookup
+        return joined
+
+
+def broadcast_join(ds, dim_df: pd.DataFrame, on: str, dim_on: str, take_cols: list[str]):
+    """Left-join `ds` against an in-memory dimension DataFrame, broadcast via
+    the object store (one copy cluster-wide, zero shuffle)."""
+    import ray
+
+    ref = ray.put(dim_df)
+    return ds.map_batches(
+        BroadcastJoin(ref, on, dim_on, take_cols), batch_format="pandas"
+    )
+
+
+def semi_join_filter(ds, keys, on: str, anti: bool = False):
+    """Semi/anti join: broadcast the key SET and filter inside map_batches
+    (the Bloom-filter slot at extreme key cardinalities)."""
+    import ray
+
+    key_ref = ray.put(frozenset(keys))
+    holder = {}
+
+    def flt(batch: pd.DataFrame) -> pd.DataFrame:
+        if "keys" not in holder:
+            obj = key_ref
+            try:
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            holder["keys"] = obj
+        mask = batch[on].isin(holder["keys"])
+        return batch[~mask] if anti else batch[mask]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    on: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+):
+    """Both-sides-large join: add `bucket = hash(key) % B` to both sides,
+    co-group per bucket, pandas-merge inside the group (the portable
+    partitioned hash join from the guide; salt hot keys upstream if skewed).
+
+    Implemented with a tagged union + groupby(bucket) so ONE shuffle serves
+    both sides (each side padded to the union schema with nulls before the
+    union; the per-bucket merge selects its own columns back)."""
+    from .sketches import hash64
+
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str, own_cols: list[str]):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.NA
+            b = b[all_cols]
+            b["__bucket"] = (
+                hash64(b[on].to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            b["__side"] = side
+            return b
+
+        fn.__name__ = f"tag_{side}"
+        return fn
+
+    lt = left.map_batches(tag("l", left_cols), batch_format="pandas")
+    rt = right.map_batches(tag("r", right_cols), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols]
+        r = g.loc[g["__side"] == "r", right_cols]
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame(columns=all_cols)
+        return l.merge(r, on=on, how=how)
+
+    join_bucket.__name__ = "join_bucket"
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
