@@ -268,11 +268,48 @@ def chi_square(observed: dict[str, int], reference: dict[str, int]) -> float:
     return stat
 
 
+class NumHist:
+    """Fixed-bin numeric histogram (mergeable) for PSI / chi-square drift on
+    continuous columns: `bins` equal-width buckets over [lo, hi) plus
+    underflow/overflow/null buckets. Bin edges must be fixed up front (take
+    them from the reference profile being drifted against) so partials merge
+    associatively."""
+
+    def __init__(self, lo: float, hi: float, bins: int = 20):
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.bins = int(bins)
+        self.counts = np.zeros(self.bins + 3, dtype=np.int64)  # [under, bins..., over, null]
+
+    def add_column(self, col: pa.ChunkedArray | pa.Array) -> None:
+        self.counts[-1] += col.null_count
+        vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        if not vals.size:
+            return
+        idx = np.floor((vals - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
+        under = idx < 0
+        over = idx >= self.bins
+        mid = ~(under | over)
+        self.counts[0] += int(under.sum())
+        self.counts[self.bins + 1] += int(over.sum())
+        np.add.at(self.counts, idx[mid] + 1, 1)
+
+    def merge(self, other: "NumHist") -> "NumHist":
+        self.counts += other.counts
+        return self
+
+    def as_dict(self) -> dict[str, int]:
+        out = {"<under>": int(self.counts[0]), "<over>": int(self.counts[self.bins + 1]), "<null>": int(self.counts[-1])}
+        for i in range(self.bins):
+            out[f"bin_{i}"] = int(self.counts[i + 1])
+        return {k: v for k, v in out.items() if v}
+
+
 # ---------------------------------------------------------------------------
 # Ray plumbing: partial-sketch rows -> block combine -> driver merge
 # ---------------------------------------------------------------------------
 
-_KINDS = ("stats", "hll", "tdigest", "cathist")
+_KINDS = ("stats", "hll", "tdigest", "cathist", "numhist")
 
 
 def _new_sketch(kind: str, col: str):
@@ -284,13 +321,15 @@ def _new_sketch(kind: str, col: str):
         return TDigest()
     if kind == "cathist":
         return CatHist()
+    if kind.startswith("numhist"):
+        # parametrized kind string: "numhist:lo:hi:bins"
+        _, lo, hi, bins = kind.split(":")
+        return NumHist(float(lo), float(hi), int(bins))
     raise ValueError(kind)
 
 
 def _add(sketch, kind: str, col: pa.ChunkedArray) -> None:
-    if kind == "stats":
-        sketch.add_column(col)
-    elif kind == "cathist":
+    if kind == "stats" or kind == "cathist" or kind.startswith("numhist"):
         sketch.add_column(col)
     else:
         valid = col.drop_null()
@@ -313,7 +352,7 @@ class SketchPartials:
     def __init__(self, plan: dict[str, tuple[str, ...]]):
         for col, kinds in plan.items():
             for k in kinds:
-                if k not in _KINDS:
+                if k not in _KINDS and not k.startswith("numhist:"):
                     raise ValueError(f"unknown sketch kind {k!r} for {col!r}")
         self.plan = plan
 
@@ -433,8 +472,16 @@ def drift_report(
     (one row per column: score + pass/fail)."""
     rows = []
     for col, ref_hist in reference.items():
-        h: CatHist | None = sketches.get((col, "cathist"))
-        obs = h.counts if h else {}
+        h = sketches.get((col, "cathist"))
+        if h is None:
+            # numeric drift: any numhist kind registered for this column
+            for (c, kind), sk in sketches.items():
+                if c == col and kind.startswith("numhist"):
+                    h = sk
+                    break
+        obs = (
+            h.counts if isinstance(h, CatHist) else (h.as_dict() if h is not None else {})
+        )
         score = psi(obs, ref_hist) if method == "psi" else chi_square(obs, ref_hist)
         rows.append(
             {

@@ -107,3 +107,54 @@ def test_sketch_dataset_end_to_end(ray_session):
     assert abs(row["approx_distinct"] - exact_distinct) / exact_distinct < 0.05
     roles = sk[("role", "cathist")].counts
     assert roles["user"] > 0 and roles["assistant"] > 0
+
+
+def test_numhist_drift(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.sketches import NumHist, drift_report
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    from events_validator_ray.stages.sketches import sketch_dataset
+
+    sk = sketch_dataset(ds, {"value": ("numhist:0:500:10",)})
+    key = next(k for k in sk if k[1].startswith("numhist"))
+    hist = sk[key].as_dict()
+    assert sum(hist.values()) == ds.count()
+    # self-drift is ~zero; shifted reference drifts
+    ref_same = {k: v * 3 for k, v in hist.items()}
+    df = drift_report({("value", "cathist"): None, **{key: sk[key]}}, {"value": ref_same})
+    row = df[df.column == "value"].iloc[0]
+    assert row.score == pytest.approx(0.0, abs=1e-6)
+    shifted = {"bin_9": 1000}
+    df2 = drift_report({key: sk[key]}, {"value": shifted})
+    assert df2.iloc[0].score > 0.5
+
+
+def test_validate_empty_batch():
+    import pyarrow as pa
+
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    out = ValidateBatch(transcript_spec())(empty)
+    assert out.num_rows == 0
+
+
+def test_spec_file_fixtures():
+    from events_validator_ray.spec import load_spec_file
+
+    spec = load_spec_file("specs/transcript.json")
+    assert spec.table.unique == ["conv_id", "turn_idx"]
+    spec2 = load_spec_file("specs/events.json")
+    assert spec2.fields["event_type"].enum is not None
