@@ -526,7 +526,7 @@ def session_oracle(gap_s: int = 1800) -> str:
 def tumbling_oracle() -> str:
     return (
         "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) * 86400 AS window_start, "
-        "COUNT(*) AS n, SUM(CAST(round(value * 100) AS BIGINT)) AS sum_value "
+        "COUNT(*) AS n, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value "
         "FROM events GROUP BY 1, 2"
     )
 
@@ -806,7 +806,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["window_session"] = session_oracle()
     out["broadcast_join"] = (
         "SELECT n.n_name AS n_name, COUNT(*) AS n_orders, "
-        "SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_cents "
+        "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
     )
