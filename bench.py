@@ -146,7 +146,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     queries["sketch_profile"] = round(time.time() - t0, 3)
 
-    from events_validator_ray.pipelines.report import daily_error_rate, failures_by_day
+    from events_validator_ray.pipelines.report import failures_by_day
     from events_validator_ray.stages.validate import ValidateBatch
 
     t0 = time.time()

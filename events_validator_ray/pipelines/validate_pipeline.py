@@ -30,11 +30,9 @@ import json
 import os
 import time
 
-import pyarrow as pa
-
 from ..spec import Spec
 from ..stages.conversation import conversation_violations, conversation_violations_salted
-from ..stages.sketches import CatHist, drift_report, profile_table, sketch_dataset
+from ..stages.sketches import drift_report, profile_table, sketch_dataset
 from ..stages.validate import DEFAULT_RUN_TS, ValidateBatch
 from ..state.manifest import (
     Manifest,

@@ -16,7 +16,6 @@ a map_batches pass, searches probe only the closest `nprobe` buckets.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -110,8 +109,6 @@ def ann_topk(ds, query_ids: list, k: int = 10, col: str = "embedding", id_col: s
 
 def train_centroids(ds, n_centroids: int = 64, sample: int = 10_000, iters: int = 10, col: str = "embedding", seed: int = 3):
     """k-means-lite on a driver-side sample -> (n_centroids, dim) float64."""
-    import ray.data as rd  # noqa: F401
-
     n = ds.count()
     frac = min(1.0, sample / max(1, n))
     rows = ds.random_sample(frac, seed=seed).take_all()

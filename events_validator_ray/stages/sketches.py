@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import math
 import pickle
-from typing import Any, Iterable
+from typing import Any
 
 import numpy as np
 import pandas as pd

@@ -16,7 +16,6 @@ import re
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 
 from .sketches import hash64
 

@@ -15,7 +15,6 @@ tumbling / session windows, expressed Dataset-first.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
