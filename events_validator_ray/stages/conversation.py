@@ -446,6 +446,45 @@ def _with_bucket(ds, num_buckets: int, cols: tuple[str, ...] = ("conv_id",)):
     return ds.map_batches(add_bucket, batch_format="pyarrow")
 
 
+def detect_skew(
+    ds,
+    within: str = "conv_id",
+    sample_frac: float = 0.02,
+    seed: int = 7,
+    top_k: int = 5,
+) -> dict:
+    """Heavy-hitter probe for the grouping key: sampled value-counts estimate
+    the largest group's share of all rows (the 'detect skew from a conv_id
+    heavy-hitter sketch' step, SURVEY.md §4.2). Drives the auto choice
+    between the plain and salted conversation paths."""
+    sample = ds.select_columns([within]).random_sample(sample_frac, seed=seed)
+    vc = sample.to_pandas()[within].value_counts()
+    total = int(vc.sum())
+    top = [(str(k), int(v)) for k, v in vc.head(top_k).items()]
+    return {
+        "sampled_rows": total,
+        "top": top,
+        "max_share": (top[0][1] / total) if total else 0.0,
+    }
+
+
+def conversation_violations_auto(
+    ds,
+    spec: Spec,
+    run_ts: _dt.datetime = DEFAULT_RUN_TS,
+    skew_share_threshold: float = 0.01,
+    chunk: int = 10_000,
+    num_buckets: int = 64,
+):
+    """Choose the salted path automatically when the heaviest conversation
+    holds more than `skew_share_threshold` of (sampled) rows — i.e. when a
+    single group could dominate one task."""
+    probe = detect_skew(ds, within=spec.table.order.within if spec.table.order else "conv_id")
+    if probe["max_share"] > skew_share_threshold:
+        return conversation_violations_salted(ds, spec, run_ts, chunk=chunk)
+    return conversation_violations(ds, spec, run_ts, num_buckets=num_buckets)
+
+
 def conversation_violations(
     ds,
     spec: Spec,

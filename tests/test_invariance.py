@@ -48,3 +48,71 @@ def test_conversation_invariant_under_repartition_and_buckets(ray_session):
         rd.read_parquet(tdir).repartition(5, shuffle=True), spec, num_buckets=3
     )
     assert _multiset(a) == _multiset(b)
+
+
+def test_skew_detection_and_auto(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.conversation import (
+        conversation_violations,
+        conversation_violations_auto,
+        detect_skew,
+    )
+
+    tdir = ensure_transcripts(0.001)
+    ds = rd.read_parquet(tdir)
+    probe = detect_skew(ds, sample_frac=0.5)
+    # the generator plants one heavy conversation holding ~2% of all turns
+    assert probe["max_share"] > 0.01
+    assert probe["top"][0][0].startswith("conv_")
+    spec = transcript_spec()
+    auto = _multiset(conversation_violations_auto(ds, spec, skew_share_threshold=0.01))
+    plain = _multiset(conversation_violations(rd.read_parquet(tdir), spec))
+    assert auto == plain  # salted path chosen, identical rows
+
+
+def test_salted_bounds_group_size(ray_session):
+    """Structural skew guarantee: with salt chunk K, no phase-1 group spans
+    more than K distinct turn values (verified from the summary rows)."""
+    import json
+
+    import ray.data as rd
+
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.conversation import (
+        BucketChecker,
+        _project,
+        _with_bucket,
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    K = 5
+    tdir = ensure_transcripts(0.001)
+    projected = _project(rd.read_parquet(tdir), transcript_spec())
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = pc.cast(
+            pc.floor(pc.divide(pc.cast(t["turn_idx"], pa.float64()), K)), pa.int64()
+        )
+        return t.append_column("chunk", salt)
+
+    phase1 = (
+        _with_bucket(projected.map_batches(add_salt, batch_format="pyarrow"), 8, cols=("conv_id", "chunk"))
+        .groupby("bucket")
+        .map_groups(
+            BucketChecker(
+                transcript_spec(),
+                check_min_zero=False,
+                emit_summaries=True,
+                group_cols=("conv_id", "chunk"),
+            ),
+            batch_format="pandas",
+        )
+    )
+    sums = [
+        json.loads(r["event_data"])
+        for r in phase1.filter(expr="status == 'summary'").take_all()
+    ]
+    assert sums
+    assert all(s["max_turn"] - s["min_turn"] < K for s in sums)
