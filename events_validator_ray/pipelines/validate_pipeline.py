@@ -31,7 +31,11 @@ import os
 import time
 
 from ..spec import Spec
-from ..stages.conversation import conversation_violations, conversation_violations_salted
+from ..stages.conversation import (
+    conversation_violations,
+    conversation_violations_auto,
+    conversation_violations_salted,
+)
 from ..stages.sketches import drift_report, profile_table, sketch_dataset
 from ..stages.validate import DEFAULT_RUN_TS, ValidateBatch
 from ..state.manifest import (
@@ -65,7 +69,7 @@ def run_validation(
     run_ts: _dt.datetime = DEFAULT_RUN_TS,
     files_per_partition: int = 8,
     log_valid: bool = True,
-    salted: bool = False,
+    salted: bool | str = "auto",
     salt_chunk: int = 10_000,
     sketch_plan: dict | None = None,
     reference_profile: dict[str, dict[str, int]] | None = None,
@@ -132,11 +136,13 @@ def run_validation(
         t0 = time.time()
         final_dir = os.path.join(out_dir, "violations", "conversation")
         ds = rd.read_parquet(files)
-        conv = (
-            conversation_violations_salted(ds, spec, run_ts, chunk=salt_chunk)
-            if salted
-            else conversation_violations(ds, spec, run_ts)
-        )
+        if salted == "auto":
+            # heavy-hitter probe picks the salted path only under real skew
+            conv = conversation_violations_auto(ds, spec, run_ts, chunk=salt_chunk)
+        elif salted:
+            conv = conversation_violations_salted(ds, spec, run_ts, chunk=salt_chunk)
+        else:
+            conv = conversation_violations(ds, spec, run_ts)
         with atomic_output_dir(final_dir) as tmp:
             conv.write_parquet(tmp)
         n_err = rd.read_parquet(final_dir).count()

@@ -22,7 +22,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="directory of transcript parquet files")
     p.add_argument("--out", required=True, help="output directory (violations + manifest)")
     p.add_argument("--spec", help="constraint-spec JSON file (default: transcript spec)")
-    p.add_argument("--salted", action="store_true", help="salted conversation checks (skew)")
+    p.add_argument(
+        "--salt-mode",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="conversation-check skew handling: auto probes for heavy conversations",
+    )
     p.add_argument("--salt-chunk", type=int, default=10_000)
     p.add_argument("--sample", type=float, default=None, help="validate a random fraction (GTM-style sampling, reference README.md:62-64)")
     p.add_argument("--files-per-partition", type=int, default=8)
@@ -85,7 +90,7 @@ def main(argv: list[str] | None = None) -> int:
         spec,
         files_per_partition=args.files_per_partition,
         log_valid=not args.no_log_valid,
-        salted=args.salted,
+        salted={"auto": "auto", "on": True, "off": False}[args.salt_mode],
         salt_chunk=args.salt_chunk,
         resume=not args.no_resume,
     )
