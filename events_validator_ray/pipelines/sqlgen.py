@@ -10,7 +10,8 @@ column name + value hash).
 Semantics parity notes:
 - `regexp_matches` (DuckDB, RE2) is partial-match like JS RegExp.test and
   pyarrow's match_substring_regex.
-- trim() vs JS String.trim(): both strip the whitespace used by the fixtures.
+- trim(c, <ws>) strips ASCII whitespace (space/tab/newline/CR/FF/VT) to match
+  JS String.trim() / pyarrow utf8_trim_whitespace on the fixtures' content.
 - timestamps are compared/emitted as epoch-microsecond strings (epoch_us) to
   sidestep VARCHAR formatting differences.
 - value/enum compare after string cast (the reference's bilateral toString,
@@ -33,6 +34,14 @@ def _eid(key_cols: tuple[str, ...]) -> str:
 
 def _lit(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+#: ASCII whitespace set for trim() — matches JS String.trim() on ASCII text
+_WS = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
+
+
+def _trim(c: str) -> str:
+    return f"trim({c}, {_WS})"
 
 
 def _branch(
@@ -66,7 +75,7 @@ def _scalar_conditions(rule: FieldRule, col_kind: str) -> list[tuple[str, str, s
     opt = rule.optional
     # optional-skip: optional && (null || trim-empty) skips every rule
     if col_kind == "string":
-        skip = f"({c} IS NULL OR trim({c}) = '')" if opt else "FALSE"
+        skip = f"({c} IS NULL OR {_trim(c)} = '')" if opt else "FALSE"
     else:
         skip = f"({c} IS NULL)" if opt else "FALSE"
     alive = f"NOT {skip}" if opt else "TRUE"
@@ -96,7 +105,7 @@ def _scalar_conditions(rule: FieldRule, col_kind: str) -> list[tuple[str, str, s
                 out.append((f"{c} IS NULL", c, "type", "'string'", "'object'"))
                 out.append(
                     (
-                        f"{c} IS NOT NULL AND trim({c}) = ''",
+                        f"{c} IS NOT NULL AND {_trim(c)} = ''",
                         c,
                         "type",
                         "'non-empty string'",
@@ -128,7 +137,7 @@ def _scalar_conditions(rule: FieldRule, col_kind: str) -> list[tuple[str, str, s
     if rule.regex is not None:
         p = rule.regex
         if col_kind == "string":
-            empty = f"({c} IS NULL OR trim({c}) = '')"
+            empty = f"({c} IS NULL OR {_trim(c)} = '')"
             out.append((f"{alive} AND {empty}", c, "regex", _lit(p), "'empty_value'"))
             out.append(
                 (
