@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 SEED = 42
 TURNS_PER_SF = 6_000_000  # sf1.0 would be 6M turns; sf0.1 -> 600k
-DEFAULT_ROOT = "/tmp/graft_transcripts"
+DEFAULT_ROOT = "/tmp/graft_transcripts_v2"  # bump suffix when generation changes
 
 _PHRASES = np.array(
     [
@@ -110,6 +110,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     role[gidx % 1031 == 7] = None  # null role
     text[gidx % 389 == 11] = ""  # empty text
     text[gidx % 751 == 13] = "   "  # whitespace text
+    text[gidx % 941 == 47] = "\t \n"  # non-space whitespace (JS trim parity)
     text[gidx % 673 == 17] = None  # null text
     m = gidx % 557 == 19  # ref: tool missing
     role[m] = "tool"
