@@ -170,6 +170,16 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
     js_type = arrow_js_typeof(col_type)
     pos = {k: i for i, k in enumerate(RULE_ORDER)}
 
+    if rule.nested and rule.type in ("array", "object"):
+        # nestedSchema recursion over typed list/struct columns is served by
+        # the JSON-document path (ValidateJsonDocs) — fail at compile time
+        # rather than silently skipping item checks (SURVEY.md §7.4 item 1)
+        raise NotImplementedError(
+            f"field {name!r}: nestedSchema validation on a flat column is not "
+            "vectorized; route document-typed payloads through ValidateJsonDocs "
+            "(or explode the list with flat_map first)"
+        )
+
     if rule.has_value:
         expected_str = rule.value_str()
 

@@ -166,3 +166,14 @@ def test_large_random_batch_matches_oracle():
         for r in res.filter(pa.compute.equal(res["status"], "error")).to_pylist()
     }
     assert got == oracle_rows(batch, spec)
+
+
+def test_nested_rule_on_flat_column_fails_fast():
+    spec = load_spec(
+        {"items": {"type": "array", "nestedSchema": {"id": {"type": "string"}}}}
+    )
+    batch = pa.table(
+        {"conv_id": ["c"], "turn_idx": [0], "items": pa.array([[{"id": "x"}]])}
+    )
+    with pytest.raises(NotImplementedError, match="ValidateJsonDocs"):
+        ValidateBatch(spec)(batch)
