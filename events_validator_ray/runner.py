@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-log-valid", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--lint-only", action="store_true", help="check spec vs observed schema and exit")
+    p.add_argument(
+        "--reference-profile",
+        help="JSON file of reference histograms {column: {value: count}} to score drift against",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -84,6 +88,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.validate_pipeline import run_validation
 
+    reference_profile = None
+    if args.reference_profile:
+        with open(args.reference_profile) as f:
+            reference_profile = json.load(f)
+
     summary = run_validation(
         input_path,
         args.out,
@@ -93,6 +102,7 @@ def main(argv: list[str] | None = None) -> int:
         salted={"auto": "auto", "on": True, "off": False}[args.salt_mode],
         salt_chunk=args.salt_chunk,
         resume=not args.no_resume,
+        reference_profile=reference_profile,
     )
     print(json.dumps(summary, default=str))
     ray.shutdown()

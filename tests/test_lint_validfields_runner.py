@@ -127,3 +127,25 @@ def test_runner_lint_only(tmp_path):
         timeout=120,
     )
     assert res.returncode == 0, res.stderr[-2000:]
+
+
+def test_validate_batch_actor_mode(ray_session):
+    """Class + fn_constructor_kwargs + concurrency = actor-pool mode (the
+    stateful-stage shape documented in SCALE.md)."""
+    import ray.data as rd
+
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+    from events_validator_ray.spec import transcript_spec
+
+    tdir = ensure_transcripts(0.001)
+    out = rd.read_parquet(tdir).map_batches(
+        ValidateBatch,
+        fn_constructor_kwargs={"spec": transcript_spec(), "log_valid": False},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    n_actor = out.count()
+    out2 = rd.read_parquet(tdir).map_batches(
+        ValidateBatch(transcript_spec(), log_valid=False), batch_format="pyarrow"
+    )
+    assert n_actor == out2.count() > 100
