@@ -4,10 +4,11 @@ ops; first-class alongside the validation engine).
 All variants follow the same scale shape: a vectorized ``map_batches``
 signature stage (hash / minhash / simhash / embedding-LSH per batch), a
 ``groupby`` on the signature (the only shuffle — hash-partitioned, tiny rows:
-signature + doc id), and candidate verification. Cluster assembly uses
-driver-side union-find over candidate PAIRS — bounded by the number of
-near-duplicate documents, not the corpus (at 10^12-doc scale swap in the
-distributed min-label-propagation rounds; the pair generation is identical).
+signature + doc id), and candidate verification. Cluster assembly: driver
+union-find over candidate PAIRS by default (bounded by the number of
+near-duplicate documents, not the corpus), with `distributed_components`
+(iterative min-label propagation over groupbys) as the drop-in path when even
+the candidate set outgrows the driver.
 
 - exact_dedup: content-hash partition + per-group min id (exact; SQL twin:
   GROUP BY text -> MIN(doc_id))
@@ -199,6 +200,71 @@ def _union_find(pairs: list[tuple], all_ids: set | None = None) -> dict:
                 ra, rb = rb, ra
             parent[rb] = ra
     return {x: find(x) for x in nodes}
+
+
+def distributed_components(pairs_ds, max_rounds: int = 10):
+    """Connected components over a candidate-pair Dataset (columns a, b) via
+    iterative min-label propagation — the 10^12-doc replacement for driver
+    union-find: the heavy per-round work (edge-label min per node) is a
+    distributed groupby; the label table itself is bounded by the number of
+    nodes IN candidate pairs (near-dups, not the corpus) and is broadcast per
+    round via the object store — swap the broadcast attach for
+    joins.bucketed_hash_join if even that outgrows memory.
+
+    Round: label(x) = min(label(x), min(label(n)) for n in neighbors(x)).
+    Converges in O(diameter) rounds; near-dup clusters are tiny cliques/stars
+    so 2-3 rounds typically suffice. Returns a Dataset (src, label)."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    # undirected edge list, one row per direction
+    def sym(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src": pd.concat([b["a"], b["b"]], ignore_index=True),
+                "dst": pd.concat([b["b"], b["a"]], ignore_index=True),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pandas")
+    # initial labels: own id (+ self-edge keeps isolated direction stable)
+    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+
+    def clip_self(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["label"] = b[["src", "label"]].min(axis=1)
+        return b
+
+    labels = labels.map_batches(clip_self, batch_format="pandas").materialize()
+
+    for _ in range(max_rounds):
+        # propagate: neighbor labels via broadcastable merge per batch is a
+        # join; expressed as groupby instead — attach each edge's dst label,
+        # take min per src
+        lbl_df = labels.to_pandas()  # bounded: one row per node IN A PAIR
+        import ray
+
+        ref = ray.put(lbl_df.set_index("src")["label"])
+
+        def attach(b: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            return pd.DataFrame(
+                {"src": b["src"], "cand": b["dst"].map(lab).fillna(b["dst"])}
+            )
+
+        prop = edges.map_batches(attach, batch_format="pandas")
+        new_labels = (
+            prop.groupby("src")
+            .aggregate(Min("cand", alias_name="label"))
+            .map_batches(clip_self, batch_format="pandas")
+            .materialize()
+        )
+        new_df = new_labels.to_pandas().sort_values("src").reset_index(drop=True)
+        old_df = lbl_df.sort_values("src").reset_index(drop=True)
+        labels = new_labels
+        if new_df.equals(old_df):
+            break
+    return labels
 
 
 def jaccard_verify_pairs(ds, pairs: list[tuple], col: str, id_col: str, ngram: int, threshold: float) -> list[tuple]:

@@ -117,3 +117,19 @@ def test_embedding_dedup(ray_session):
     by_id = dict(zip(clusters.vec_id, clusters.cluster))
     assert by_id.get(51) == 1
     assert by_id.get(50) == 0
+
+
+def test_distributed_components(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.dedup import _union_find, distributed_components
+
+    # chain 1-2-3-4, separate pair 10-11, star 20-{21,22}
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)]
+    pairs_ds = rd.from_pandas(pd.DataFrame(pairs, columns=["a", "b"]))
+    got = {
+        r["src"]: r["label"] for r in distributed_components(pairs_ds).take_all()
+    }
+    want = _union_find(pairs)
+    assert got == want
+    assert got[4] == 1 and got[11] == 10 and got[22] == 20
