@@ -714,7 +714,7 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
         ),
         "error_rate": (
             f"WITH viol AS ({scalar_dated}), "
-            f"valid_rows AS (SELECT {eid} AS event_id, strftime(ts, '%Y-%m-%d') AS date_utc "
+            f"valid_rows AS (SELECT {eid} AS event_id, COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc "
             f"FROM {t} WHERE {valid_cond}), "
             "log AS (SELECT event_id, date_utc FROM viol "
             "UNION ALL SELECT event_id, date_utc FROM valid_rows), "
@@ -747,7 +747,7 @@ def events_oracles() -> dict[str, str]:
         "events_error_rate": (
             f"WITH viol AS ({scalar_dated}), "
             "valid_rows AS (SELECT CAST(event_id AS VARCHAR) AS event_id, "
-            f"strftime(ts, '%Y-%m-%d') AS date_utc FROM events WHERE {valid_cond}), "
+            f"COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc FROM events WHERE {valid_cond}), "
             "log AS (SELECT event_id, date_utc FROM viol "
             "UNION ALL SELECT event_id, date_utc FROM valid_rows), "
             "tot AS (SELECT date_utc, COUNT(DISTINCT event_id) AS n_events FROM log GROUP BY date_utc), "

@@ -21,9 +21,16 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+#: sentinel for rows whose timestamp is NULL — a real string key keeps the
+#: group joinable (SQL NULL keys don't equi-join; pandas/Ray group them
+#: inconsistently)
+NULL_DATE = "(null)"
+
+
 def _with_date(ds):
     def add_date(t: pa.Table) -> pa.Table:
-        return t.append_column("date_utc", pc.strftime(t["timestamp"], format="%Y-%m-%d"))
+        d = pc.fill_null(pc.strftime(t["timestamp"], format="%Y-%m-%d"), NULL_DATE)
+        return t.append_column("date_utc", d)
 
     return ds.map_batches(add_date, batch_format="pyarrow")
 

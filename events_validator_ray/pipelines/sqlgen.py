@@ -56,7 +56,9 @@ def _branch(
     date_col: str | None = None,
 ) -> str:
     date_sel = (
-        f", strftime({date_col}, '%Y-%m-%d') AS date_utc" if date_col else ""
+        f", COALESCE(strftime({date_col}, '%Y-%m-%d'), '(null)') AS date_utc"
+        if date_col
+        else ""
     )
     return (
         f"SELECT {_eid(key_cols)} AS event_id, {_lit(field)} AS field, "

@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 SEED = 42
 TURNS_PER_SF = 6_000_000  # sf1.0 would be 6M turns; sf0.1 -> 600k
-DEFAULT_ROOT = "/tmp/graft_transcripts_v2"  # bump suffix when generation changes
+DEFAULT_ROOT = "/tmp/graft_transcripts_v3"  # bump suffix when generation changes
 
 _PHRASES = np.array(
     [
@@ -123,6 +123,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     tool[m] = "9Bad-Tool"
     m = gidx % 811 == 43  # out-of-order ts (before conversation start)
     ts_us[m] -= 10_000 * 1_000_000
+    ts_null = gidx % 863 == 53  # null ts (type violation + order null-skip)
     m = (gidx % 907 == 41) & (turn_idx > 0)  # turn-index gap
     turn_idx[m] += 1_000_000
 
@@ -145,6 +146,7 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
         text = np.concatenate([text, dup_text])
         tool = np.concatenate([tool, tool[dup]])
         ts_us = np.concatenate([ts_us, ts_us[dup] + 1_000_000])
+        ts_null = np.concatenate([ts_null, ts_null[dup]])
 
     # --- global deterministic shuffle so on-disk order ≠ conversation order
     perm = np.random.default_rng(seed + 1).permutation(len(conv_id))
@@ -155,7 +157,9 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
             "role": pa.array(role[perm], pa.string()),
             "text": pa.array(text[perm], pa.string()),
             "tool": pa.array(tool[perm], pa.string()),
-            "ts": pa.array(ts_us[perm], pa.timestamp("us")),
+            "ts": pa.array(
+                np.where(ts_null[perm], None, ts_us[perm]), pa.timestamp("us")
+            ),
         }
     )
 

@@ -325,8 +325,12 @@ class BucketChecker:
             )
 
         if order and order.ts_monotone and has_ts:
-            # prefix max of per-turn max ts over strictly smaller turns
-            cummax = gb["max_ts"].cummax()
+            # prefix max of per-turn max ts over strictly smaller turns.
+            # fillna(-inf) first: pandas cummax leaves NaN at all-null turns,
+            # and shift(1) would then feed NaN prevmax to the next turn,
+            # silently masking real disorder there
+            filled = agg["max_ts"].fillna(float("-inf"))
+            cummax = filled.groupby([agg[c] for c in gcols], sort=False).cummax()
             agg["prevmax"] = cummax.groupby([agg[c] for c in gcols], sort=False).shift(1)
             joined = df.merge(agg[key + ["prevmax"]], on=key, how="left", sort=False)
             m = ts.notna().to_numpy() & (ts.to_numpy() < joined["prevmax"].to_numpy())
@@ -352,14 +356,17 @@ class BucketChecker:
                 sort=False,
             )
             if first and has_role:
-                am = at_min.assign(
-                    _hit=at_min["role"].eq(first),
-                    _role=at_min["role"].where(at_min["role"].notna()),
-                )
+                am = at_min.assign(_hit=at_min["role"].eq(first))
                 gmin2 = am.groupby(gcols, sort=False)
                 info = gmin2.agg(
-                    hit=("_hit", "any"), min_role=("_role", "min"), mturn=("turn_idx", "first")
-                ).reset_index()
+                    hit=("_hit", "any"), mturn=("turn_idx", "first")
+                )
+                # min over NON-NULL roles only (object-dtype min chokes on
+                # NaN/str mixes; groups that are all-null stay absent -> None)
+                nn = am.dropna(subset=["role"])
+                min_role = nn.groupby(gcols, sort=False)["role"].min().rename("min_role")
+                info = info.join(min_role).reset_index()
+                info["min_role"] = info["min_role"].where(info["min_role"].notna(), None)
                 if self.emit_summaries:
                     summaries = info.set_index(gcols)[["hit", "min_role"]].rename(
                         columns={"hit": "first_ok"}

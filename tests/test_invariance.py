@@ -116,3 +116,63 @@ def test_salted_bounds_group_size(ray_session):
     ]
     assert sums
     assert all(s["max_turn"] - s["min_turn"] < K for s in sums)
+
+
+def test_bucket_checker_equals_per_conversation_reference(ray_session):
+    """Differential: the vectorized multi-conversation BucketChecker must
+    reproduce the simple per-conversation ConversationChecker on randomized
+    conversations (dups, gaps, ts disorder, null ts/roles)."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from events_validator_ray.stages.conversation import (
+        BucketChecker,
+        ConversationChecker,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for c in range(60):
+        conv = f"conv_{c:08d}"
+        n = int(rng.integers(1, 15))
+        turns = list(range(n))
+        if rng.random() < 0.3 and n > 2:
+            turns[rng.integers(1, n)] += int(rng.integers(2, 5))  # gap
+        if rng.random() < 0.3:
+            turns.append(turns[int(rng.integers(0, n))])  # dup
+        if rng.random() < 0.2:
+            turns = [t + 1 for t in turns]  # min != 0
+        for i, t in enumerate(turns):
+            ts = base + dt.timedelta(seconds=int(t) * 10 + int(rng.integers(0, 5)))
+            if rng.random() < 0.1:
+                ts = base - dt.timedelta(seconds=100)  # disorder
+            if rng.random() < 0.05:
+                ts = None
+            role = rng.choice(["user", "assistant", "tool", None])
+            rows.append((conv, t, role, ts))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    spec = transcript_spec()
+
+    got = Counter()
+    bc = BucketChecker(spec)
+    for r in bc(df).to_pylist():
+        got[(r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])] += 1
+
+    want = Counter()
+    cc = ConversationChecker(spec)
+    for conv, g in df.groupby("conv_id"):
+        tbl = pa.Table.from_pandas(
+            g.assign(ts=pd.to_datetime(g["ts"])), preserve_index=False
+        ).select(["conv_id", "turn_idx", "role", "ts"])
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
+        )
+        for r in cc(tbl).to_pylist():
+            want[(r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])] += 1
+
+    assert got == want
