@@ -35,10 +35,28 @@ def arrow_js_typeof(t: pa.DataType) -> str:
 
 def js_string_cast(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """`x.toString()` vectorized. Arrow's cast already matches JS for the types
-    we support: 2.0 -> '2', 1.5 -> '1.5', true -> 'true'."""
+    we support (2.0 -> '2', 1.5 -> '1.5', true -> 'true') except float
+    specials: JS says 'NaN'/'Infinity', Arrow says 'nan'/'inf'."""
     if is_string_type(col.type):
         return col
-    return pc.cast(col, pa.string())
+    if pa.types.is_timestamp(col.type):
+        # match str(datetime) / DuckDB VARCHAR: no '.000000' suffix on whole
+        # seconds; Arrow's plain cast (which keeps real 6-digit micros) for
+        # fractional values
+        full = pc.cast(col, pa.string())  # fixed 26 chars: '...HH:MM:SS.ffffff'
+        secs = pc.utf8_slice_codeunits(full, 0, 19)
+        whole = pc.fill_null(pc.equal(pc.subsecond(col), 0.0), True)
+        return pc.if_else(whole, secs, full)
+    s = pc.cast(col, pa.string())
+    if pa.types.is_floating(col.type):
+        s = pc.if_else(pc.fill_null(pc.is_nan(col), False), "NaN", s)
+        s = pc.if_else(
+            pc.fill_null(pc.equal(col, float("inf")), False), "Infinity", s
+        )
+        s = pc.if_else(
+            pc.fill_null(pc.equal(col, float("-inf")), False), "-Infinity", s
+        )
+    return s
 
 
 def bool_np(mask: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -1,0 +1,142 @@
+"""Fuzz differentials: random specs over random typed columns — the
+vectorized validator must match the row oracle everywhere; random
+conversation shapes — BucketChecker must match the per-conversation
+reference checker."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from events_validator_ray.oracle import validate_event
+from events_validator_ray.spec import load_spec, transcript_spec
+from events_validator_ray.stages.validate import ValidateBatch
+
+
+def random_spec_and_batch(seed: int):
+    rng = np.random.default_rng(seed)
+    n = 400
+    cols: dict[str, pa.Array] = {
+        "conv_id": pa.array([f"c{i % 50}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+    }
+    spec_json: dict[str, dict] = {}
+    kinds = ["string", "number", "timestamp"]
+    for ci in range(int(rng.integers(2, 6))):
+        name = f"f{ci}"
+        kind = kinds[int(rng.integers(0, len(kinds)))]
+        if kind == "string":
+            pool = np.array(["alpha", "beta", "", "  ", "x1", "zz9"], dtype=object)
+            vals = pool[rng.integers(0, len(pool), n)]
+            vals[rng.random(n) < 0.1] = None
+            cols[name] = pa.array(vals, pa.string())
+        elif kind == "number":
+            vals = rng.integers(-5, 10, n).astype("float64")
+            vals[rng.random(n) < 0.1] = np.nan  # NaN passes `number`
+            arr = pa.array(vals)
+            nulls = rng.random(n) < 0.1
+            arr = pa.array(
+                [None if m else v for v, m in zip(vals, nulls)], pa.float64()
+            )
+            cols[name] = arr
+        else:
+            base = dt.datetime(2024, 1, 1)
+            vals = [
+                None if rng.random() < 0.1 else base + dt.timedelta(seconds=int(s))
+                for s in rng.integers(0, 1000, n)
+            ]
+            cols[name] = pa.array(vals, pa.timestamp("us"))
+
+        rule: dict = {}
+        if rng.random() < 0.8:
+            rule["type"] = kinds[int(rng.integers(0, len(kinds)))]
+        if rng.random() < 0.3:
+            rule["value"] = ["alpha", "1", 3, "true"][int(rng.integers(0, 4))]
+        if rng.random() < 0.3 and kind == "string":
+            rule["enum"] = ["alpha", "beta", "x1"]
+        if rng.random() < 0.3:
+            rule["regex"] = ["^a", "a", "[0-9]$", "^zz"][int(rng.integers(0, 4))]
+        if rng.random() < 0.3:
+            rule["length"] = int(rng.integers(0, 6))
+        if rng.random() < 0.3:
+            rule["optional"] = True
+        if not rule:
+            rule["type"] = kind
+        spec_json[name] = rule
+    # one always-missing required + one missing optional column
+    spec_json["missing_req"] = {"type": "string"}
+    spec_json["missing_opt"] = {"type": "string", "optional": True}
+    return load_spec(spec_json), pa.table(cols)
+
+
+def oracle_set(batch: pa.Table, spec) -> set:
+    out = set()
+    for row in batch.to_pylist():
+        # pylist gives float('nan') for NaN; keep as-is (oracle handles NaN)
+        eid = f"{row['conv_id']}:{row['turn_idx']}"
+        for field, etype, exp, act in validate_event(spec.fields, row):
+            out.add((eid, field, etype, exp, act))
+    return out
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505])
+def test_fuzz_scalar_vs_oracle(seed):
+    spec, batch = random_spec_and_batch(seed)
+    res = ValidateBatch(spec, log_valid=False, include_refs=False)(batch)
+    got = {
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in res.to_pylist()
+    }
+    want = oracle_set(batch, spec)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [31, 32, 33])
+def test_fuzz_conversation_checkers(ray_session, seed):
+    from collections import Counter
+
+    from events_validator_ray.stages.conversation import (
+        BucketChecker,
+        ConversationChecker,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    for c in range(40):
+        conv = f"conv_{c:08d}"
+        n = int(rng.integers(1, 12))
+        turns = list(range(n))
+        if rng.random() < 0.4 and n > 2:
+            turns[int(rng.integers(1, n))] += int(rng.integers(2, 5))
+        if rng.random() < 0.4:
+            turns.append(turns[int(rng.integers(0, n))])
+        if rng.random() < 0.2:
+            turns = [t + int(rng.integers(1, 3)) for t in turns]
+        for t in turns:
+            ts = base + dt.timedelta(seconds=int(t) * 10 + int(rng.integers(0, 5)))
+            if rng.random() < 0.15:
+                ts = base - dt.timedelta(seconds=int(rng.integers(50, 200)))
+            if rng.random() < 0.1:
+                ts = None
+            rows.append((conv, t, rng.choice(["user", "assistant", None]), ts))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = pd.to_datetime(df["ts"])
+    spec = transcript_spec()
+
+    key = lambda r: (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+    got = Counter(key(r) for r in BucketChecker(spec)(df).to_pylist())
+    want = Counter()
+    for conv, g in df.groupby("conv_id"):
+        tbl = pa.Table.from_pandas(g, preserve_index=False).select(
+            ["conv_id", "turn_idx", "role", "ts"]
+        )
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts", tbl["ts"].cast(pa.timestamp("us"))
+        )
+        for r in ConversationChecker(spec)(tbl).to_pylist():
+            want[key(r)] += 1
+    assert got == want
