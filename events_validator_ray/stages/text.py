@@ -32,16 +32,23 @@ LANG_STOPWORDS: dict[str, set[str]] = {
 
 
 class TokenCount:
-    """Token count per doc (whitespace/alnum regex; the BPE-ish proxy)."""
+    """Token count per doc (whitespace/alnum regex; the BPE-ish proxy) —
+    Arrow split/flatten kernels, no per-token Python."""
 
     def __init__(self, col: str = "text", pattern: str = TOKEN_PATTERN):
         self.col = col
-        self.re = re.compile(pattern)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.col].fillna("").str.lower().str.findall(self.re)
+    def __call__(self, batch: "pa.Table") -> pd.DataFrame:
+        import pyarrow as pa  # noqa: F401
+
+        from ..functions.textkernels import tokenize
+
+        _, _, n_tokens = tokenize(batch[self.col])
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "n_tokens": toks.map(len).astype("int64")}
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "n_tokens": n_tokens,
+            }
         )
 
 
@@ -64,16 +71,31 @@ class QualityScore:
         self.max_chars = max_chars
         self.min_stop_ratio = min_stop_ratio
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        text = batch[self.col].fillna("")
-        n_chars = text.str.len().astype("int64")
-        toks = text.str.lower().str.findall(self.word_re)
-        n_tokens = toks.map(len).astype("int64")
-        mean_tok = toks.map(lambda ws: float(np.mean([len(w) for w in ws])) if ws else 0.0)
-        n_punct = text.str.count(self.punct_re).astype("int64")
-        punct_ratio = (n_punct / n_chars.clip(lower=1)).round(6)
-        stop_hits = toks.map(lambda ws: sum(w in self.stop for w in ws))
-        stop_ratio = (stop_hits / n_tokens.clip(lower=1)).round(6)
+    def __call__(self, batch: "pa.Table") -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        from ..functions.textkernels import (
+            per_doc_sum,
+            punct_count,
+            stop_hits,
+            tokenize,
+        )
+
+        texts = batch[self.col]
+        n_docs = batch.num_rows
+        n_chars = (
+            pc.utf8_length(pc.fill_null(texts, ""))
+            .to_numpy(zero_copy_only=False)
+            .astype("int64")
+        )
+        flat, doc_idx, n_tokens = tokenize(texts)
+        tok_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        mean_tok = per_doc_sum(tok_lens, doc_idx, n_docs) / np.maximum(n_tokens, 1)
+        mean_tok[n_tokens == 0] = 0.0
+        n_punct = punct_count(texts)
+        punct_ratio = np.round(n_punct / np.maximum(n_chars, 1), 6)
+        hits = stop_hits(flat, doc_idx, n_docs, self.stop)
+        stop_ratio = np.round(hits / np.maximum(n_tokens, 1), 6)
         keep = (
             (n_chars >= self.min_chars)
             & (n_chars <= self.max_chars)
@@ -81,10 +103,10 @@ class QualityScore:
         )
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
-                "mean_token_len": mean_tok.round(6),
+                "mean_token_len": np.round(mean_tok, 6),
                 "punct_ratio": punct_ratio,
                 "stop_ratio": stop_ratio,
                 "keep": keep,
@@ -102,26 +124,33 @@ class LangId:
         self.profiles = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
         self.min_score = min_score
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[self.col].fillna("").str.lower().str.findall(self.word_re)
+    def __call__(self, batch: "pa.Table") -> pd.DataFrame:
+        from ..functions.textkernels import stop_hits, tokenize
 
-        def best(ws: list[str]) -> tuple[str, float]:
-            if not ws:
-                return "unknown", 0.0
-            n = len(ws)
-            scored = [
-                (sum(w in prof for w in ws) / n, lang)
-                for lang, prof in self.profiles.items()
-            ]
-            s, lang = max(scored)
-            return (lang, s) if s >= self.min_score else ("unknown", s)
-
-        res = toks.map(best)
+        n_docs = batch.num_rows
+        flat, doc_idx, n_tokens = tokenize(batch[self.col])
+        langs = sorted(self.profiles)
+        scores = np.zeros((n_docs, len(langs)))
+        for j, lang in enumerate(langs):
+            scores[:, j] = stop_hits(flat, doc_idx, n_docs, self.profiles[lang]) / np.maximum(
+                n_tokens, 1
+            )
+        # ties broken like max() over (score, lang): highest score, then the
+        # lexicographically LARGEST language name
+        best_j = np.zeros(n_docs, dtype=np.int64)
+        best_s = scores[:, 0].copy()
+        for j in range(1, len(langs)):
+            better = scores[:, j] >= best_s  # later (larger) lang wins ties
+            best_j[better] = j
+            best_s[better] = scores[better, j]
+        pred = np.array(langs, dtype=object)[best_j]
+        pred[(best_s < self.min_score) | (n_tokens == 0)] = "unknown"
+        best_s[n_tokens == 0] = 0.0
         return pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
-                "lang_pred": res.map(lambda t: t[0]),
-                "lang_score": res.map(lambda t: round(t[1], 6)),
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "lang_pred": pred,
+                "lang_score": np.round(best_s, 6),
             }
         )
 
@@ -159,15 +188,15 @@ class Fingerprint:
 
 
 def token_counts(ds, col: str = "text"):
-    return ds.map_batches(TokenCount(col), batch_format="pandas")
+    return ds.map_batches(TokenCount(col), batch_format="pyarrow")
 
 
 def quality_scores(ds, col: str = "text"):
-    return ds.map_batches(QualityScore(col), batch_format="pandas")
+    return ds.map_batches(QualityScore(col), batch_format="pyarrow")
 
 
 def lang_id(ds, col: str = "text"):
-    return ds.map_batches(LangId(col), batch_format="pandas", concurrency=4)
+    return ds.map_batches(LangId(col), batch_format="pyarrow", concurrency=4)
 
 
 def fingerprints(ds, col: str = "text"):
