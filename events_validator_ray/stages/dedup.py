@@ -69,24 +69,59 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
 # ---------------------------------------------------------------------------
 
 
+_SHINGLE_P = np.uint64(0x100000001B3)
+
+
 def _shingle_hashes(texts: np.ndarray, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """All word-n-gram shingle hashes for a batch, plus doc offsets
-    (len n_docs+1). Tokenization in C (re.findall), hashing vectorized."""
-    all_shingles: list[str] = []
-    offsets = [0]
-    for t in texts:
-        toks = _TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
-        if len(toks) < n:
-            sh = [" ".join(toks)] if toks else []
-        else:
-            sh = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        all_shingles.extend(sh)
-        offsets.append(len(all_shingles))
-    if all_shingles:
-        h = hash64(np.array(all_shingles, dtype=object))
-    else:
-        h = np.empty(0, dtype=np.uint64)
-    return h.astype(np.uint64), np.array(offsets, dtype=np.int64)
+    (len n_docs+1). Fully vectorized: Arrow tokenization, one hash64 pass
+    over tokens, polynomial combine over sliding windows (no per-shingle
+    Python). Shingle identity = combined token-hash tuple — equivalent to
+    hashing the joined string for Jaccard/minhash purposes, ~10x faster.
+    Docs with 1..n-1 tokens contribute one shingle over all their tokens
+    (mirroring the joined-short-doc fallback)."""
+    import pyarrow as pa
+
+    from ..functions.textkernels import tokenize
+
+    flat, doc_idx, n_tokens = tokenize(pa.array(list(texts), type=pa.string()))
+    n_docs = len(n_tokens)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    counts = np.where(n_tokens >= n, n_tokens - n + 1, (n_tokens > 0).astype(np.int64))
+    np.cumsum(counts, out=offsets[1:])
+    total = int(offsets[-1])
+    out = np.zeros(total, dtype=np.uint64)
+    if not len(flat):
+        return out, offsets
+    h = hash64(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+    # full windows: combine n consecutive token hashes, valid only when the
+    # window stays inside one document
+    m = len(h) - n + 1
+    if m > 0:
+        comb = h[:m].copy()
+        for k in range(1, n):
+            comb = comb * _SHINGLE_P ^ h[k : m + k]
+        valid = doc_idx[:m] == doc_idx[n - 1 :]
+        win_docs = doc_idx[:m][valid]
+        win_vals = comb[valid]
+        # windows are in document order; place them at offsets[doc] + rank
+        pos = offsets[win_docs] + (np.arange(len(win_docs)) - np.searchsorted(win_docs, win_docs))
+        out[pos] = win_vals
+
+    # short docs (0 < tokens < n): one shingle combining all their tokens
+    short = np.nonzero((n_tokens > 0) & (n_tokens < n))[0]
+    if short.size:
+        tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(n_tokens, out=tok_starts[1:])
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash mix
+            for d in short:
+                seg = h[tok_starts[d] : tok_starts[d + 1]]
+                acc = seg[0]
+                for v in seg[1:]:
+                    acc = acc * _SHINGLE_P ^ v
+                out[offsets[d]] = acc
+    return out, offsets
 
 
 @dataclass
