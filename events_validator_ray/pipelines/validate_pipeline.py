@@ -28,6 +28,7 @@ import datetime as _dt
 import glob as _glob
 import json
 import os
+import pickle
 import time
 
 from ..spec import Spec
@@ -87,11 +88,15 @@ def run_validation(
     spec_hash = spec.spec_hash()
     summary: dict = {"partitions": [], "skipped": 0, "executed": 0}
 
-    # ---- stage 1: scalar validation, per partition
+    # ---- stage 1: scalar validation + sketch partials, per partition
+    plan = {c: tuple(k) for c, k in (sketch_plan or DEFAULT_SKETCH_PLAN).items()}
+    parts_dir = os.path.join(out_dir, "profile_parts")
+    os.makedirs(parts_dir, exist_ok=True)
     for part_id, part_files in _partitions(files, files_per_partition):
         fp = fingerprint_files(part_files)
         done = manifest.completed(part_id, fp, spec_hash) if resume else None
-        if done:
+        sidecar = os.path.join(parts_dir, f"{part_id}.pkl")
+        if done and os.path.exists(sidecar):
             summary["skipped"] += 1
             summary["partitions"].append(done.partition_id)
             continue
@@ -107,6 +112,12 @@ def run_validation(
         )
         with atomic_output_dir(final_dir) as tmp:
             out.write_parquet(tmp)
+        # mergeable sketch partials for THIS partition (persisted so a resumed
+        # run merges without recomputing — SURVEY.md §7.4 item 4)
+        part_sketches = sketch_dataset(rd.read_parquet(part_files), plan)
+        with open(sidecar + ".tmp", "wb") as f:
+            pickle.dump(part_sketches, f)
+        os.replace(sidecar + ".tmp", sidecar)
         written = rd.read_parquet(final_dir)
         n_err = written.filter(expr="status == 'error'").count()
         n_valid = written.count() - n_err
@@ -122,6 +133,7 @@ def run_validation(
                 n_valid=n_valid,
                 output_path=final_dir,
                 wall_s=round(time.time() - t0, 3),
+                extra={"profile_part": sidecar},
             )
         )
         summary["executed"] += 1
@@ -160,14 +172,21 @@ def run_validation(
         )
         summary["executed"] += 1
 
-    # ---- stage 3: sketch profile (+ drift)
+    # ---- stage 3: profile = merge of the per-partition sketch sidecars
     prof_done = manifest.completed("profile", conv_fp, spec_hash) if resume else None
     prof_path = os.path.join(out_dir, "profile.json")
     if not prof_done:
         t0 = time.time()
-        plan = sketch_plan or DEFAULT_SKETCH_PLAN
-        plan = {c: k for c, k in plan.items()}
-        sketches = sketch_dataset(rd.read_parquet(files), plan)
+        sketches: dict = {}
+        for part_id, _pf in _partitions(files, files_per_partition):
+            sidecar = os.path.join(parts_dir, f"{part_id}.pkl")
+            with open(sidecar, "rb") as f:
+                part_sketches = pickle.load(f)
+            for key, sk in part_sketches.items():
+                if key in sketches:
+                    sketches[key].merge(sk)
+                else:
+                    sketches[key] = sk
         prof = profile_table(sketches)
         payload = {"profile": prof.to_dict(orient="records")}
         payload["histograms"] = {

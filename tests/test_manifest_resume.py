@@ -65,3 +65,29 @@ def test_spec_change_invalidates(ray_session, out_dir):
     changed["text"]["optional"] = True
     s = run_validation(tdir, out_dir, load_spec(changed), files_per_partition=2)
     assert s["executed"] > 0  # new spec hash -> partitions recomputed
+
+
+def test_profile_merged_from_partition_sidecars(ray_session, tmp_path):
+    """The profile equals the merge of per-partition sketch partials, and
+    equals a whole-corpus computation (mergeability across the resume
+    quantum)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sketches import sketch_dataset
+
+    tdir = ensure_transcripts(0.001)
+    out = str(tmp_path / "o")
+    run_validation(tdir, out, transcript_spec(), files_per_partition=1)
+    with open(os.path.join(out, "profile.json")) as f:
+        prof = json.load(f)
+    by_col = {p["column"]: p for p in prof["profile"]}
+    whole = sketch_dataset(
+        rd.read_parquet(tdir), {"conv_id": ("stats", "hll"), "turn_idx": ("tdigest",)}
+    )
+    st = whole[("conv_id", "stats")]
+    assert by_col["conv_id"]["count"] == st.count
+    assert by_col["conv_id"]["nulls"] == st.nulls
+    assert by_col["conv_id"]["approx_distinct"] == round(whole[("conv_id", "hll")].estimate())
+    # sidecars exist, one per partition
+    parts = os.listdir(os.path.join(out, "profile_parts"))
+    assert len([p for p in parts if p.endswith(".pkl")]) >= 1
