@@ -19,15 +19,19 @@ def entry() -> Any:
     vectorized scalar validation -> conversation checks -> sketch profile ->
     partitioned violations parquet + checkpoint manifest; returns the
     violations Dataset."""
+    import os
+
     from events_validator_ray.pipelines.validate_pipeline import (
         read_violations,
         run_validation,
     )
-    from events_validator_ray.sources.transcripts import ensure_transcripts
+    from events_validator_ray.sources.transcripts import DEFAULT_ROOT, ensure_transcripts
     from events_validator_ray.spec import transcript_spec
 
     tdir = ensure_transcripts(0.001)
-    out_dir = "/tmp/graft_entry_out"
+    # out dir versioned with the corpus root so stale partitions from older
+    # generator versions can never mix into the returned dataset
+    out_dir = f"/tmp/graft_entry_out_{os.path.basename(DEFAULT_ROOT)}"
     run_validation(tdir, out_dir, transcript_spec(), files_per_partition=8)
     return read_violations(out_dir)
 

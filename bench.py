@@ -146,6 +146,20 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     queries["sketch_profile"] = round(time.time() - t0, 3)
 
+    from events_validator_ray.stages.dedup import minhash_lsh_dedup
+    from events_validator_ray.stages.similarity import ann_topk
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs):
+        t0 = time.time()
+        minhash_lsh_dedup(rd.read_parquet(docs), threshold=0.8)
+        queries["dedup_minhash"] = round(time.time() - t0, 3)
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.exists(emb):
+        t0 = time.time()
+        ann_topk(rd.read_parquet(emb), [0, 1, 2, 3, 4], k=10)
+        queries["ann_topk"] = round(time.time() - t0, 3)
+
     from events_validator_ray.pipelines.report import failures_by_day
     from events_validator_ray.stages.validate import ValidateBatch
 
