@@ -594,6 +594,26 @@ def q_bucketed_join(sf_dir: str):
     )
 
 
+def _alternating_spec():
+    import json as _json
+
+    from ..spec import TRANSCRIPT_SPEC_JSON
+
+    raw = _json.loads(_json.dumps(TRANSCRIPT_SPEC_JSON))
+    raw["_table"]["order"]["alternate"] = ["user", "assistant"]
+    return load_spec(raw, event_name="transcript")
+
+
+def q_alternation_checks(sf_dir: str):
+    """Role-alternation referential rule (J4): consecutive distinct turns must
+    not repeat a role from the alternate set (turn role = MIN of the turn's
+    non-null roles — deterministic under duplicate turn_idx)."""
+    from ..stages.conversation import conversation_violations
+
+    ds = _read_transcripts(sf_dir)
+    return conversation_violations(ds, _alternating_spec()).select_columns(VCOLS)
+
+
 def q_turn_text_digest(sf_dir: str):
     """Per-turn text digest under the stable (conv_id, turn_idx) ordering —
     the row-level evidence for 'per-turn text equality under stable turn
@@ -707,6 +727,12 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
         ),
         "conversation_checks": conv,
         "conversation_checks_salted": conv,
+        "alternation_checks": conversation_violations_sql(
+            __import__(
+                "events_validator_ray.pipelines.queries", fromlist=["_alternating_spec"]
+            )._alternating_spec(),
+            t,
+        ),
         "failures_by_day": (
             f"WITH viol AS ({scalar_dated}) "
             "SELECT date_utc, field, COUNT(*) AS n_failures "
@@ -765,6 +791,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "valid_turns": q_valid_turns,
         "conversation_checks": q_conversation_checks,
         "conversation_checks_salted": q_conversation_checks_salted,
+        "alternation_checks": q_alternation_checks,
         "failures_by_day": q_failures_by_day,
         "error_rate": q_error_rate,
         "column_stats": q_column_stats,

@@ -304,6 +304,19 @@ def conversation_violations_sql(spec: Spec, table: str) -> str:
        FROM {table} WHERE {ts} IS NOT NULL)
  WHERE {ts} < prevmax"""
         )
+    if order and order.alternate:
+        alts = ", ".join(_lit(r) for r in order.alternate)
+        expected = "alternating " + "|".join(order.alternate)
+        parts.append(
+            f"""SELECT {within} || ':' || CAST({by} AS VARCHAR) AS event_id,
+ 'role' AS field, 'alt' AS error_type, {_lit(expected)} AS expected,
+ turn_role AS actual, {ename} AS event_name, 'error' AS status
+ FROM (SELECT {within}, {by}, turn_role,
+              LAG(turn_role) OVER (PARTITION BY {within} ORDER BY {by}) AS prev
+       FROM (SELECT {within}, {by}, MIN(role) AS turn_role FROM {table}
+             WHERE role IS NOT NULL GROUP BY {within}, {by}))
+ WHERE turn_role = prev AND turn_role IN ({alts})"""
+        )
     if spec.table.first_role:
         fr = _lit(spec.table.first_role)
         parts.append(

@@ -130,6 +130,9 @@ class OrderRule:
     contiguous: bool = True
     ts_monotone: bool = True
     ts_column: str = "ts"
+    #: roles that must not repeat on consecutive DISTINCT turns (role of a
+    #: turn = MIN of its rows' non-null roles, deterministic under duplicates)
+    alternate: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -224,6 +227,7 @@ def _parse_table(raw: dict[str, Any]) -> TableRules:
             contiguous=bool(o.get("contiguous", True)),
             ts_monotone=bool(o.get("ts_monotone", True)),
             ts_column=o.get("ts_column", "ts"),
+            alternate=list(o.get("alternate", [])),
         )
     for r in raw.get("refs", []):
         t.refs.append(
@@ -301,6 +305,7 @@ def spec_to_dict(spec: Spec) -> dict[str, Any]:
             "contiguous": t.order.contiguous,
             "ts_monotone": t.order.ts_monotone,
             "ts_column": t.order.ts_column,
+            "alternate": t.order.alternate,
         }
     if t.refs:
         td["refs"] = [

@@ -344,6 +344,31 @@ class BucketChecker:
                 ename,
             )
 
+        if order and order.alternate and has_role and not self.emit_summaries:
+            # role-alternation (J4): the role of a DISTINCT turn is the MIN of
+            # its rows' non-null roles; violation when consecutive turns share
+            # a role from the alternate set
+            nn = df.dropna(subset=["role"])
+            tr = (
+                nn.groupby(key, sort=True)["role"].min().rename("turn_role").reset_index()
+            )
+            prev = tr.groupby(gcols, sort=False)["turn_role"].shift(1)
+            m = (
+                tr["turn_role"].notna()
+                & prev.notna()
+                & (tr["turn_role"] == prev)
+                & tr["turn_role"].isin(order.alternate)
+            )
+            sel = tr[m]
+            out.add(
+                eid_of(sel),
+                "role",
+                "alt",
+                "alternating " + "|".join(order.alternate),
+                sel["turn_role"],
+                ename,
+            )
+
         first = spec.table.first_role
         summaries = None
         if (first and has_role and not self.emit_summaries) or self.emit_summaries:
@@ -431,9 +456,9 @@ def _project(ds, spec: Spec):
     cols = ["conv_id", "turn_idx"]
     if spec.table.order and spec.table.order.ts_monotone:
         cols.append(spec.table.order.ts_column)
-    if spec.table.first_role:
+    if spec.table.first_role or (spec.table.order and spec.table.order.alternate):
         cols.append("role")
-    return ds.select_columns(cols)
+    return ds.select_columns(sorted(set(cols), key=cols.index))
 
 
 def _with_bucket(ds, num_buckets: int, cols: tuple[str, ...] = ("conv_id",)):
@@ -634,7 +659,14 @@ def conversation_violations_salted(
     Partitioning assumption: equal (conv_id, turn_idx) pairs share a salt
     chunk, so uniqueness and within-chunk checks are exact; only boundary
     contiguity and cross-chunk ts ordering need the (tiny) summary merge.
+    (`order.alternate` is not yet supported on this path — use the unsalted
+    checker for alternation rules.)
     """
+    if spec.table.order and spec.table.order.alternate:
+        raise NotImplementedError(
+            "role-alternation checks are not implemented on the salted path; "
+            "use conversation_violations()"
+        )
     import pandas as pd
     import pyarrow.compute as _pc
     import ray.data as rd
