@@ -81,7 +81,7 @@ def oracle_set(batch: pa.Table, spec) -> set:
     return out
 
 
-@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505])
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505, 606, 707])
 def test_fuzz_scalar_vs_oracle(seed):
     spec, batch = random_spec_and_batch(seed)
     res = ValidateBatch(spec, log_valid=False, include_refs=False)(batch)
