@@ -512,8 +512,10 @@ def conversation_violations_auto(
     holds more than `skew_share_threshold` of (sampled) rows — i.e. when a
     single group could dominate one task."""
     probe = detect_skew(ds, within=spec.table.order.within if spec.table.order else "conv_id")
-    if probe["max_share"] > skew_share_threshold:
+    has_alternate = bool(spec.table.order and spec.table.order.alternate)
+    if probe["max_share"] > skew_share_threshold and not has_alternate:
         return conversation_violations_salted(ds, spec, run_ts, chunk=chunk)
+    # alternation rules aren't supported on the salted path yet — stay unsalted
     return conversation_violations(ds, spec, run_ts, num_buckets=num_buckets)
 
 
