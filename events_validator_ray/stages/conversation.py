@@ -344,7 +344,8 @@ class BucketChecker:
                 ename,
             )
 
-        if order and order.alternate and has_role and not self.emit_summaries:
+        alt_summary = None
+        if order and order.alternate and has_role:
             # role-alternation (J4): the role of a DISTINCT turn is the MIN of
             # its rows' non-null roles; violation when consecutive turns share
             # a role from the alternate set
@@ -368,6 +369,15 @@ class BucketChecker:
                 sel["turn_role"],
                 ename,
             )
+            if self.emit_summaries:
+                g2 = tr.groupby(gcols, sort=False)
+                alt_summary = pd.DataFrame(
+                    {
+                        "alt_first_turn": g2["turn_idx"].first(),
+                        "alt_first_role": g2["turn_role"].first(),
+                        "alt_last_role": g2["turn_role"].last(),
+                    }
+                )
 
         first = spec.table.first_role
         summaries = None
@@ -422,6 +432,8 @@ class BucketChecker:
             )
             if summaries is not None:
                 stats = stats.join(summaries)
+            if alt_summary is not None:
+                stats = stats.join(alt_summary)
             stats = stats.reset_index()
             has_first = "first_ok" in stats.columns
             chunk_col = stats["chunk"].astype("int64") if "chunk" in stats.columns else pd.Series(0, index=stats.index)
@@ -438,6 +450,16 @@ class BucketChecker:
                 if has_first:
                     payload["first_ok"] = bool(d["first_ok"])
                     payload["min_role"] = None if pd.isna(d["min_role"]) else d["min_role"]
+                if "alt_first_role" in d:
+                    payload["alt_first_turn"] = (
+                        None if pd.isna(d["alt_first_turn"]) else int(d["alt_first_turn"])
+                    )
+                    payload["alt_first_role"] = (
+                        None if pd.isna(d["alt_first_role"]) else d["alt_first_role"]
+                    )
+                    payload["alt_last_role"] = (
+                        None if pd.isna(d["alt_last_role"]) else d["alt_last_role"]
+                    )
                 payloads.append(json.dumps(payload))
             out.add(
                 (stats["conv_id"].astype(str) + ":" + chunk_col.astype(str)).to_numpy(dtype=object),
@@ -512,10 +534,8 @@ def conversation_violations_auto(
     holds more than `skew_share_threshold` of (sampled) rows — i.e. when a
     single group could dominate one task."""
     probe = detect_skew(ds, within=spec.table.order.within if spec.table.order else "conv_id")
-    has_alternate = bool(spec.table.order and spec.table.order.alternate)
-    if probe["max_share"] > skew_share_threshold and not has_alternate:
+    if probe["max_share"] > skew_share_threshold:
         return conversation_violations_salted(ds, spec, run_ts, chunk=chunk)
-    # alternation rules aren't supported on the salted path yet — stay unsalted
     return conversation_violations(ds, spec, run_ts, num_buckets=num_buckets)
 
 
@@ -595,6 +615,28 @@ def _phase2_driver(summaries: "pd.DataFrame", spec: Spec, run_ts: _dt.datetime):
                 ename,
             )
 
+    if order and order.alternate and "alt_first_role" in df.columns:
+        expected = "alternating " + "|".join(order.alternate)
+        alt_set = set(order.alternate)
+        for conv, g in df.groupby("conv", sort=False):
+            carry = None
+            for t in g.itertuples(index=False):
+                d = t._asdict()
+                fr = d.get("alt_first_role")
+                if fr is None or (isinstance(fr, float) and pd.isna(fr)):
+                    continue  # chunk had no roled turns; carry persists
+                if carry is not None and fr == carry and fr in alt_set:
+                    _emit(
+                        rows,
+                        f"{conv}:{int(d['alt_first_turn'])}",
+                        "role",
+                        "alt",
+                        expected,
+                        fr,
+                        ename,
+                    )
+                carry = d.get("alt_last_role")
+
     if order and order.ts_monotone:
         cm = df["max_ts"].astype("float64").groupby(df["conv"], sort=False).cummax()
         prefix = cm.groupby(df["conv"], sort=False).shift(1)
@@ -661,14 +703,7 @@ def conversation_violations_salted(
     Partitioning assumption: equal (conv_id, turn_idx) pairs share a salt
     chunk, so uniqueness and within-chunk checks are exact; only boundary
     contiguity and cross-chunk ts ordering need the (tiny) summary merge.
-    (`order.alternate` is not yet supported on this path — use the unsalted
-    checker for alternation rules.)
     """
-    if spec.table.order and spec.table.order.alternate:
-        raise NotImplementedError(
-            "role-alternation checks are not implemented on the salted path; "
-            "use conversation_violations()"
-        )
     import pandas as pd
     import pyarrow.compute as _pc
     import ray.data as rd

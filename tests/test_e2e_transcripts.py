@@ -108,3 +108,26 @@ def test_salted_equals_unsalted(ray_session, tdir):
         .to_pandas()
     )
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_equals_unsalted_with_alternation(ray_session, tdir):
+    """Alternation rules must survive the salted two-phase split (chunk
+    boundary role carry)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from events_validator_ray.spec import TRANSCRIPT_SPEC_JSON, load_spec
+
+    raw = _json.loads(_json.dumps(TRANSCRIPT_SPEC_JSON))
+    raw["_table"]["order"]["alternate"] = ["user", "assistant"]
+    spec = load_spec(raw, event_name="transcript")
+    ds = rd.read_parquet(tdir)
+    plain = norm(conversation_violations(ds, spec).select_columns(VCOLS).to_pandas())
+    salted = norm(
+        conversation_violations_salted(rd.read_parquet(tdir), spec, chunk=4)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    assert (plain.error_type == "alt").sum() > 10
+    pd.testing.assert_frame_equal(plain, salted)
