@@ -140,3 +140,82 @@ def test_fuzz_conversation_checkers(ray_session, seed):
         for r in ConversationChecker(spec)(tbl).to_pylist():
             want[key(r)] += 1
     assert got == want
+
+
+def _random_doc(rng, depth=0):
+    """Random JSON document with nested objects/arrays/scalars."""
+    out = {}
+    for i in range(int(rng.integers(1, 5))):
+        k = f"k{i}"
+        r = rng.random()
+        if r < 0.2 and depth < 2:
+            out[k] = _random_doc(rng, depth + 1)
+        elif r < 0.35 and depth < 2:
+            out[k] = [
+                _random_doc(rng, depth + 1) if rng.random() < 0.5 else int(rng.integers(0, 9))
+                for _ in range(int(rng.integers(0, 3)))
+            ]
+        elif r < 0.5:
+            out[k] = ["x", "", None, 7, True][int(rng.integers(0, 5))]
+        elif r < 0.7:
+            out[k] = float(rng.integers(0, 100))
+        else:
+            out[k] = ["alpha", "beta", ""][int(rng.integers(0, 3))]
+    return out
+
+
+def _random_nested_rule(rng, depth=0):
+    rule = {}
+    r = rng.random()
+    if r < 0.3 and depth < 2:
+        rule["type"] = "object"
+        rule["nestedSchema"] = {
+            f"k{i}": _random_nested_rule(rng, depth + 1) for i in range(int(rng.integers(1, 3)))
+        }
+    elif r < 0.5 and depth < 2:
+        rule["type"] = "array"
+        rule["nestedSchema"] = {
+            f"k{i}": _random_nested_rule(rng, depth + 1) for i in range(int(rng.integers(1, 3)))
+        }
+    else:
+        rule["type"] = ["string", "number", "boolean"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3:
+            rule["value"] = ["x", 7, "true"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3:
+            rule["regex"] = ["^a", "[0-9]"][int(rng.integers(0, 2))]
+        if rng.random() < 0.3:
+            rule["optional"] = True
+    return rule
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_fuzz_json_docs_plumbing(seed):
+    """ValidateJsonDocs (map stage) must emit exactly the oracle's rows for
+    random nested docs — exercises the eid/dispatch/emission plumbing on
+    arbitrary nestedSchema recursion."""
+    import json
+
+    from events_validator_ray.stages.validate import ValidateJsonDocs
+
+    rng = np.random.default_rng(seed)
+    spec_json = {f"k{i}": _random_nested_rule(rng) for i in range(3)}
+    spec_json["event_name"] = {"type": "string", "value": "doc"}
+    spec = load_spec(spec_json, event_name="doc")
+    docs = [dict(_random_doc(rng), event_name="doc") for _ in range(60)]
+    batch = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(len(docs))]),
+            "turn_idx": pa.array(list(range(len(docs))), pa.int32()),
+            "text": pa.array([json.dumps(d) for d in docs]),
+        }
+    )
+    out = ValidateJsonDocs({"doc": spec}, json_col="text", log_valid=False)(batch)
+    got = {
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in out.to_pylist()
+    }
+    want = set()
+    for i, d in enumerate(docs):
+        for field, etype, exp, act in validate_event(spec.fields, d):
+            want.add((f"c{i}:{i}", field, etype, exp, act))
+    assert got == want
