@@ -20,6 +20,9 @@ Check semantics (each SQL-expressible, see __ray_entry__.oracle_sql):
            expected/actual are epoch-microsecond strings (format-stable).
 - ref/first_role: no row at the min turn has the required role
            (actual = lexicographic min of non-null roles at the min turn)
+- alt (order.alternate): consecutive DISTINCT turns must not repeat a role
+           from the set; a turn's role = MIN of its rows' non-null roles
+           (deterministic under duplicates); all-null turns are skipped
 
 Skew: ``salted=True`` runs a two-phase variant — phase 1 groups by
 ``(conv_id, turn_idx // chunk)`` so a single million-turn conversation never

@@ -93,7 +93,7 @@ def test_fuzz_scalar_vs_oracle(seed):
     assert got == want
 
 
-@pytest.mark.parametrize("seed", [31, 32, 33])
+@pytest.mark.parametrize("seed", [31, 32, 33, 34, 35])
 def test_fuzz_conversation_checkers(ray_session, seed):
     from collections import Counter
 
