@@ -88,6 +88,19 @@ def run_validation(
     spec_hash = spec.spec_hash()
     summary: dict = {"partitions": [], "skipped": 0, "executed": 0}
 
+    # sweep half-written temp dirs/files left by a killed attempt — they must
+    # never be readable as output (atomic rename means a partition is either
+    # fully present or absent; this removes the "absent" side's debris)
+    import shutil as _shutil
+
+    for stale in _glob.glob(os.path.join(out_dir, "violations", ".tmp_*")):
+        _shutil.rmtree(stale, ignore_errors=True)
+    for stale in _glob.glob(os.path.join(out_dir, "profile_parts", "*.tmp")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+
     # ---- stage 1: scalar validation + sketch partials, per partition
     plan = {c: tuple(k) for c, k in (sketch_plan or DEFAULT_SKETCH_PLAN).items()}
     parts_dir = os.path.join(out_dir, "profile_parts")
