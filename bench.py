@@ -87,11 +87,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "4"))
     files = sorted(_glob.glob(os.path.join(tdir, "transcripts_*.parquet"))) * repeat
 
-    # fixed block count (identical at every CPU level): coarse blocks keep
-    # per-task work in the hundreds of ms so scheduling overhead doesn't
-    # dominate — tiny tasks flatline scaling. Default targets ~250k rows/task.
+    # fixed block count (identical at every CPU level): ~2 waves of coarse
+    # tasks amortizes stragglers without starving cores (measured optimum;
+    # 1 wave is straggler-bound, tiny tasks are dispatch-bound)
     nblocks = int(os.environ.get("GRAFT_BENCH_BLOCKS", "0")) or max(
-        16, min(256, len(files) * 50_000 // 250_000)
+        2 * num_cpus, min(256, len(files) * 50_000 // 250_000)
     )
 
     def read():
