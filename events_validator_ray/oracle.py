@@ -124,6 +124,13 @@ def _regex_coerce(v: Any) -> str:
     return "" if s is None else s
 
 
+def _array_props(lst: list) -> dict[str, Any]:
+    """JS property view of an array: numeric index keys plus `length`."""
+    props: dict[str, Any] = {str(i): v for i, v in enumerate(lst)}
+    props["length"] = len(lst)
+    return props
+
+
 def check_value(rule: FieldRule, val: Any, field_path: str, out: list[Violation]) -> None:
     # validationHelpers.js:87-111 (exact method only; '*contains' is disabled
     # in the reference, :90-107)
@@ -163,10 +170,17 @@ def check_type(rule: FieldRule, val: Any, field_path: str, out: list[Violation])
         if rule.nested:
             for idx, item in enumerate(val):
                 item_path = f"{field_path}[{idx}]"
-                if not isinstance(item, dict) or item is None:
-                    validate_fields(rule.nested, {"": item}, item_path, out)
-                else:
+                if isinstance(item, dict):
                     validate_fields(rule.nested, item, item_path, out)
+                elif isinstance(item, list):
+                    # JS wraps only when `typeof item !== 'object' || item ===
+                    # null` (validationHelpers.js:41): a nested-array item is
+                    # walked UNWRAPPED, so schema keys resolve against the
+                    # array's own properties — index keys and 'length' exist,
+                    # everything else (incl. '') is missing
+                    validate_fields(rule.nested, _array_props(item), item_path, out)
+                else:
+                    validate_fields(rule.nested, {"": item}, item_path, out)
         return
 
     if expected == "object":

@@ -400,6 +400,54 @@ def q_fingerprints(sf_dir: str):
     )
 
 
+NESTED_CHILD_KINDS = {
+    "items": {
+        "item_id": "string",
+        "item_name": "string",
+        "price_cents": "number",
+        "quantity": "number",
+    },
+    "meta": {"source": "string", "session_id": "string"},
+}
+NESTED_FLAT_KINDS = {"event_id": "number", "currency": "string", "value_cents": "number"}
+
+
+def q_validate_nested(sf_dir: str):
+    """Vectorized `nestedSchema` validation over typed list<struct>/struct
+    columns (the reference's marquee feature, validationHelpers.js:38-63;
+    SURVEY.md §1.4): pc.list_flatten + parent indices, item paths
+    `items[i].key`, dotted struct paths `meta.key`."""
+    import ray.data as rd
+
+    from ..sources.nested import NESTED_SPEC_JSON, ensure_nested_events
+    from ..stages.validate import ValidateBatch
+
+    ndir = ensure_nested_events(sf_from_dir(sf_dir))
+    spec = load_spec(NESTED_SPEC_JSON, event_name="purchase")
+    return (
+        rd.read_parquet(ndir)
+        .map_batches(
+            ValidateBatch(spec, log_valid=False, id_cols=("event_id",)),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        .select_columns(VCOLS)
+    )
+
+
+def nested_oracle(sf: float = 0.01) -> str:
+    from ..pipelines.sqlgen import nested_spec_violations_sql
+    from ..sources.nested import NESTED_SPEC_JSON, ensure_nested_events, nested_glob
+
+    ensure_nested_events(sf)
+    spec = load_spec(NESTED_SPEC_JSON, event_name="purchase")
+    t = f"read_parquet('{nested_glob(sf)}')"
+    return nested_spec_violations_sql(
+        spec, t, NESTED_FLAT_KINDS, key_cols=("event_id",), nested_kinds=NESTED_CHILD_KINDS
+    )
+
+
 def q_validate_json_props(sf_dir: str):
     """JSON-payload (nested-document) mode: the row oracle with full
     `nestedSchema` recursion semantics over the events table's `props` JSON
@@ -809,6 +857,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "validate_json_props": q_validate_json_props,
+        "validate_nested": q_validate_nested,
         "validate_dispatch": q_validate_dispatch,
         "window_tumbling": q_window_tumbling,
         "window_session": q_window_session,
@@ -828,6 +877,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out.update(events_oracles())
     out.update(training_ops_oracles())
     out["validate_json_props"] = json_props_oracle()
+    out["validate_nested"] = nested_oracle(sf)
     out["validate_dispatch"] = dispatch_oracle()
     out["window_tumbling"] = tumbling_oracle()
     out["window_session"] = session_oracle()

@@ -54,14 +54,16 @@ def _branch(
     actual_sql: str,
     event_name: str,
     date_col: str | None = None,
+    field_sql: str | None = None,
 ) -> str:
     date_sel = (
         f", COALESCE(strftime({date_col}, '%Y-%m-%d'), '(null)') AS date_utc"
         if date_col
         else ""
     )
+    fsql = field_sql if field_sql is not None else _lit(field)
     return (
-        f"SELECT {_eid(key_cols)} AS event_id, {_lit(field)} AS field, "
+        f"SELECT {_eid(key_cols)} AS event_id, {fsql} AS field, "
         f"{_lit(etype)} AS error_type, {expected_sql} AS expected, "
         f"{actual_sql} AS actual, {_lit(event_name)} AS event_name, "
         f"'error' AS status{date_sel} FROM {table} WHERE {cond}"
@@ -263,6 +265,141 @@ def valid_rows_condition(spec: Spec, col_kinds: dict[str, str], include_refs: bo
     if not conds:
         return "TRUE"
     return "NOT (" + " OR ".join(conds) + ")"
+
+
+def nested_array_violations_sql(
+    rule: FieldRule,
+    table: str,
+    key_cols: tuple[str, ...],
+    event_name: str,
+    child_kinds: dict[str, str],
+) -> list[str]:
+    """SQL twin of the vectorized list<struct> `nestedSchema` walk
+    (stages/validate.py _make_array_nested_check): UNNEST + generate_subscripts
+    for parent/item indices, item paths `name[i].key`, null items -> required
+    keys missing, null lists -> ('array','object')."""
+    c = rule.name
+    keysel = ", ".join(key_cols)
+    out: list[str] = []
+    null_cond = f"{c} IS NULL" if not rule.optional else "FALSE"
+    if not rule.optional:
+        out.append(_branch(table, key_cols, null_cond, c, "type", "'array'", "'object'", event_name))
+    child_cols = ", ".join(f"__item.{k} AS {_q(k)}" for k in (rule.nested or {}))
+    sub = (
+        f"(SELECT {keysel}, __ord - 1 AS __i, __item{', ' + child_cols if child_cols else ''} "
+        f"FROM (SELECT {keysel}, unnest({c}) AS __item, generate_subscripts({c}, 1) AS __ord "
+        f"FROM {table} WHERE {c} IS NOT NULL))"
+    )
+
+    def path(key: str) -> str:
+        return f"'{c}[' || CAST(__i AS VARCHAR) || '].{key}'"
+
+    for key, r in (rule.nested or {}).items():
+        if not r.optional and key != "":
+            out.append(
+                _branch(
+                    sub,
+                    key_cols,
+                    "__item IS NULL",
+                    key,
+                    "missing",
+                    "'field present'",
+                    "'field missing'",
+                    event_name,
+                    field_sql=path(key),
+                )
+            )
+        kind = child_kinds.get(key)
+        if kind is None:
+            continue
+        for cond, _f, etype, exp, act in _scalar_conditions(r, kind):
+            out.append(
+                _branch(
+                    sub,
+                    key_cols,
+                    f"__item IS NOT NULL AND ({cond})",
+                    key,
+                    etype,
+                    exp,
+                    act,
+                    event_name,
+                    field_sql=path(key),
+                )
+            )
+    return out
+
+
+def nested_object_violations_sql(
+    rule: FieldRule,
+    table: str,
+    key_cols: tuple[str, ...],
+    event_name: str,
+    child_kinds: dict[str, str],
+) -> list[str]:
+    """SQL twin of the vectorized struct `nestedSchema` walk
+    (_make_object_nested_check): dotted paths `name.key`, null struct ->
+    ('object','object')."""
+    c = rule.name
+    keysel = ", ".join(key_cols)
+    out: list[str] = []
+    if not rule.optional:
+        out.append(_branch(table, key_cols, f"{c} IS NULL", c, "type", "'object'", "'object'", event_name))
+    child_cols = ", ".join(f"{c}.{k} AS {_q(k)}" for k in (rule.nested or {}))
+    sub = (
+        f"(SELECT {keysel}, {child_cols} FROM {table} WHERE {c} IS NOT NULL)"
+    )
+    for key, r in (rule.nested or {}).items():
+        kind = child_kinds.get(key)
+        if kind is None:
+            continue
+        for cond, _f, etype, exp, act in _scalar_conditions(r, kind):
+            out.append(
+                _branch(sub, key_cols, cond, f"{c}.{key}", etype, exp, act, event_name)
+            )
+    return out
+
+
+def _q(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def nested_spec_violations_sql(
+    spec: Spec,
+    table: str,
+    col_kinds: dict[str, str],
+    key_cols: tuple[str, ...] = ("event_id",),
+    nested_kinds: dict[str, dict[str, str]] | None = None,
+) -> str:
+    """UNION ALL of flat-rule branches plus nested list<struct>/struct
+    branches — the SQL twin of ValidateBatch over a nested-typed table.
+    `nested_kinds` maps each nested field to its child column kinds."""
+    nested_kinds = nested_kinds or {}
+    branches: list[str] = []
+    for rule in spec.fields.values():
+        if rule.nested and rule.type == "array":
+            branches += nested_array_violations_sql(
+                rule, table, key_cols, spec.event_name, nested_kinds.get(rule.name, {})
+            )
+        elif rule.nested and rule.type == "object":
+            branches += nested_object_violations_sql(
+                rule, table, key_cols, spec.event_name, nested_kinds.get(rule.name, {})
+            )
+        else:
+            kind = col_kinds.get(rule.name)
+            if kind is None:
+                if not rule.optional:
+                    branches.append(
+                        _branch(
+                            table, key_cols, "TRUE", rule.name, "missing",
+                            "'field present'", "'field missing'", spec.event_name,
+                        )
+                    )
+                continue
+            for cond, field, etype, exp, act in _scalar_conditions(rule, kind):
+                branches.append(
+                    _branch(table, key_cols, cond, field, etype, exp, act, spec.event_name)
+                )
+    return "\nUNION ALL\n".join(branches)
 
 
 def conversation_violations_sql(spec: Spec, table: str) -> str:

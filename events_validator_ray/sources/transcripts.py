@@ -30,7 +30,7 @@ import pyarrow.parquet as pq
 
 SEED = 42
 TURNS_PER_SF = 6_000_000  # sf1.0 would be 6M turns; sf0.1 -> 600k
-DEFAULT_ROOT = "/tmp/graft_transcripts_v3"  # bump suffix when generation changes
+DEFAULT_ROOT = "/tmp/graft_transcripts_v4"  # bump suffix when generation changes
 
 _PHRASES = np.array(
     [
@@ -123,6 +123,8 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pa.Table:
     tool[m] = "9Bad-Tool"
     m = gidx % 811 == 43  # out-of-order ts (before conversation start)
     ts_us[m] -= 10_000 * 1_000_000
+    m = gidx % 1303 == 59  # FORWARD ts outlier: a turn far in the future makes
+    ts_us[m] += 9_000 * 1_000_000  # every later turn of the conversation late
     ts_null = gidx % 863 == 53  # null ts (type violation + order null-skip)
     m = (gidx % 907 == 41) & (turn_idx > 0)  # turn-index gap
     turn_idx[m] += 1_000_000

@@ -652,9 +652,13 @@ def _phase2_driver(summaries: "pd.DataFrame", spec: Spec, run_ts: _dt.datetime):
 
 
 class _SuspectRescan:
-    """Phase 3: exact cross-chunk ts violations inside suspect chunks only.
-    Emits rows with ts < prefix_max that were NOT already flagged by the
-    within-chunk pass (ts >= within-chunk prev-max)."""
+    """Phase 3: ALL ts-order violations inside suspect chunks. Phase 1's
+    ts rows for suspect (conv, chunk) groups are dropped (see
+    `conversation_violations_salted`), so this pass owns them entirely:
+    a row violates iff ts < max(within-chunk prev-max, earlier-chunk prefix
+    max), and `expected` is that conversation-GLOBAL prefix max — identical
+    to the unsalted path / SQL oracle even when an earlier chunk holds the
+    running max (forward ts outlier)."""
 
     def __init__(self, spec: Spec, run_ts: _dt.datetime, prefix_max: dict):
         self.spec = spec
@@ -678,8 +682,8 @@ class _SuspectRescan:
         if len(uq) > 1:
             prev_max[1:] = np.maximum.accumulate(max_per)[:-1]
         within_pm = prev_max[inv]
-        viol = ts_valid & (ts_us < pmax) & (ts_us >= within_pm)
         eff = np.maximum(within_pm, pmax)
+        viol = ts_valid & (ts_us < eff)
         for i in np.nonzero(viol)[0]:
             _emit(
                 rows,
@@ -754,9 +758,40 @@ def conversation_violations_salted(
     if viol2_tbl.num_rows:
         out = out.union(rd.from_arrow(viol2_tbl))
     if suspects:
+        from .joins import semi_join_filter
+
         pmax = {(c, ch): pm for c, ch, pm in suspects}
         suspect_convs = sorted({c for c, _, _ in suspects})
-        rescan_src = salted.filter(expr=f"conv_id in {suspect_convs!r}")
+        ts_name = spec.table.order.ts_column if spec.table.order else "ts"
+
+        # phase 3 owns ALL ts-order rows for suspect chunks: drop phase 1's
+        # (their `expected` is only the WITHIN-chunk prefix max — wrong when an
+        # earlier chunk holds the running max). Suspect keys are broadcast via
+        # the object store, never a literal expression.
+        import ray as _ray
+
+        suspect_ref = _ray.put(frozenset(pmax))
+
+        def drop_suspect_ts(df: "pd.DataFrame") -> "pd.DataFrame":
+            keys = suspect_ref
+            if isinstance(keys, _ray.ObjectRef):
+                keys = _ray.get(keys)
+            is_ts = (df["field"] == ts_name) & (df["error_type"] == "order")
+            if not is_ts.any():
+                return df
+            split = df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
+            conv = split.str[0]
+            ch = split.str[1].astype("int64") // chunk
+            in_suspect = pd.Series(
+                [(c, k) in keys for c, k in zip(conv, ch)], index=conv.index
+            )
+            drop = is_ts.copy()
+            drop.loc[is_ts] = in_suspect
+            return df[~drop]
+
+        out = out.map_batches(drop_suspect_ts, batch_format="pandas")
+        # broadcast semi-join (never a giant literal `in`-list expression)
+        rescan_src = semi_join_filter(salted, suspect_convs, on="conv_id")
         viol3 = rescan_src.groupby(["conv_id", "chunk"]).map_groups(
             _SuspectRescan(spec, run_ts, pmax), batch_format="pyarrow"
         )

@@ -3,12 +3,14 @@ ops; first-class alongside the validation engine).
 
 All variants follow the same scale shape: a vectorized ``map_batches``
 signature stage (hash / minhash / simhash / embedding-LSH per batch), a
-``groupby`` on the signature (the only shuffle — hash-partitioned, tiny rows:
-signature + doc id), and candidate verification. Cluster assembly: driver
-union-find over candidate PAIRS by default (bounded by the number of
-near-duplicate documents, not the corpus), with `distributed_components`
-(iterative min-label propagation over groupbys) as the drop-in path when even
-the candidate set outgrows the driver.
+``groupby`` on a HASH of the signature (the only shuffle — hash-partitioned,
+tiny rows: signature + doc id; never a few-valued raw band key), candidate
+verification as a distributed map/join over the pair Dataset, and cluster
+assembly under an ``assembly`` policy: driver union-find below
+``driver_max_pairs`` candidates, `distributed_components` (iterative
+min-label propagation over groupbys) above it. Full corpus labeling
+(`include_singletons=True`) is a streaming broadcast map — corpus ids never
+materialize on the driver.
 
 - exact_dedup: content-hash partition + per-group min id (exact; SQL twin:
   GROUP BY text -> MIN(doc_id))
@@ -197,34 +199,93 @@ class MinHashSignatures:
         )
 
 
-def _bucket_pairs(ds, id_col: str, num_buckets: int = 32):
-    """(band, band_hash) buckets -> candidate (a, b) star pairs against each
-    bucket's min id. Coarse-bucketed: thousands of LSH buckets are processed
-    per task with one vectorized pandas pass (per-bucket UDF dispatch is ~50x
-    slower)."""
-    import pyarrow as pa
+def add_pbucket(t: pa.Table, num_buckets: int) -> pa.Table:
+    """Coarse shuffle bucket from a HASH of (band, band_hash) — never the raw
+    band id (a groupby on a few-valued band key makes whole-corpus-scale
+    groups; this spreads every LSH bucket uniformly over `num_buckets`)."""
+    bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    bd = t["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (bh ^ (bd * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(0x100000001B3)
+    pb = (h % np.uint64(num_buckets)).astype(np.int32)
+    return t.append_column("pbucket", pa.array(pb))
 
-    def add_pbucket(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
-        pb = pc.cast(
-            pc.bit_wise_and(t["band_hash"], np.uint64(num_buckets - 1)), pa.int32()
-        )
-        return t.append_column("pbucket", pb)
+def _bucket_pairs(ds, id_col: str, num_buckets: int = 32, extra_cols: tuple[str, ...] = (), pair_cap: int = 20):
+    """(band, band_hash) buckets -> candidate (a, b) pairs. Coarse-bucketed:
+    thousands of LSH buckets are processed per task with one vectorized pandas
+    pass (per-bucket UDF dispatch is ~50x slower); the coarse key is a hash of
+    (band, band_hash) so no shuffle group exceeds ~1/num_buckets of the
+    signature table regardless of band count.
+
+    Pair policy (Broder/MMDS banding): buckets up to `pair_cap` emit ALL
+    within-bucket pairs (full recall); larger buckets fall back to star pairs
+    against the min id PLUS a consecutive-id chain, so verification can still
+    connect similar members that are both dissimilar to the representative.
+    `extra_cols` are carried through as `<col>_a` / `<col>_b`."""
 
     def pairs_many(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["band", "band_hash", id_col]).sort_values(
-            ["band", "band_hash", id_col], kind="stable"
-        )
-        rep = df.groupby(["band", "band_hash"], sort=False)[id_col].transform("first")
-        m = (df[id_col] != rep).to_numpy()
-        return pd.DataFrame(
-            {"a": rep.to_numpy()[m], "b": df[id_col].to_numpy()[m]}
-        )
+        key = ["band", "band_hash"]
+        df = df.drop_duplicates(key + [id_col]).sort_values(key + [id_col], kind="stable")
+        size = df.groupby(key, sort=False)[id_col].transform("size")
+        out_cols = ["a", "b"] + [f"{c}_a" for c in extra_cols] + [f"{c}_b" for c in extra_cols]
+        parts: list[pd.DataFrame] = []
+
+        small = df[size <= pair_cap]
+        if len(small):
+            m = small.merge(small, on=key, suffixes=("_a", "_b"))
+            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "a": m[f"{id_col}_a"].to_numpy(),
+                        "b": m[f"{id_col}_b"].to_numpy(),
+                        **{f"{c}_a": m[f"{c}_a"].to_numpy() for c in extra_cols},
+                        **{f"{c}_b": m[f"{c}_b"].to_numpy() for c in extra_cols},
+                    }
+                )
+            )
+
+        large = df[size > pair_cap]
+        if len(large):
+            g = large.groupby(key, sort=False)
+            ids = large[id_col].to_numpy()
+            rep_np = g[id_col].transform("first").to_numpy()
+            ex = {c: large[c].to_numpy() for c in extra_cols}
+            ex_rep = {c: g[c].transform("first").to_numpy() for c in extra_cols}
+            star = ids != rep_np
+            star_df = pd.DataFrame(
+                {
+                    "a": rep_np[star],
+                    "b": ids[star],
+                    **{f"{c}_a": ex_rep[c][star] for c in extra_cols},
+                    **{f"{c}_b": ex[c][star] for c in extra_cols},
+                }
+            )
+            # consecutive-id chain (positional shift — keeps exact dtypes)
+            bd = large["band"].to_numpy()
+            bh = large["band_hash"].to_numpy()
+            same_prev = np.r_[False, (bd[1:] == bd[:-1]) & (bh[1:] == bh[:-1])]
+            prev_of = np.r_[0, np.arange(len(ids) - 1)]
+            chain = same_prev & (ids[prev_of] != rep_np)
+            chain_df = pd.DataFrame(
+                {
+                    "a": ids[prev_of][chain],
+                    "b": ids[chain],
+                    **{f"{c}_a": ex[c][prev_of][chain] for c in extra_cols},
+                    **{f"{c}_b": ex[c][chain] for c in extra_cols},
+                }
+            )
+            parts.extend([star_df, chain_df])
+
+        if not parts:
+            return pd.DataFrame({c: [] for c in out_cols})
+        out = pd.concat(parts, ignore_index=True)
+        return out.drop_duplicates(["a", "b"])
 
     pairs_many.__name__ = "pairs_many"
     return (
-        ds.map_batches(add_pbucket, batch_format="pyarrow")
+        ds.map_batches(lambda t: add_pbucket(t, num_buckets), batch_format="pyarrow")
         .groupby("pbucket")
         .map_groups(pairs_many, batch_format="pandas")
     )
@@ -348,6 +409,121 @@ def jaccard_verify_pairs(ds, pairs: list[tuple], col: str, id_col: str, ngram: i
     return out
 
 
+def _shingle_set_dataset(ds, cand_ids, col: str, id_col: str, ngram: int):
+    """(id, shingle-hash list) rows for the candidate docs only — computed
+    distributed; the candidate-id SET is broadcast via ray.put (bounded by the
+    number of docs in candidate pairs, never the corpus)."""
+    import ray
+
+    id_ref = ray.put(frozenset(cand_ids))
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        idset = id_ref
+        if isinstance(idset, ray.ObjectRef):
+            idset = ray.get(idset)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((i in idset for i in ids_np), count=len(ids_np), dtype=bool)
+        if not mask.any():
+            return pa.table(
+                {
+                    id_col: pa.array([], type=batch[id_col].type),
+                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                }
+            )
+        texts = batch[col].to_numpy(zero_copy_only=False)[mask]
+        sh, off = _shingle_hashes(texts, ngram)
+        lists = [sh[off[i] : off[i + 1]].tolist() for i in range(len(off) - 1)]
+        return pa.table(
+            {id_col: pa.array(ids_np[mask]), "sh": pa.array(lists, type=pa.list_(pa.uint64()))}
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(shingle_sets, batch_format="pyarrow")
+
+
+def jaccard_verify_distributed(ds, pairs_ds, col: str, id_col: str, ngram: int, threshold: float):
+    """Distributed pair verification: shingle-set rows for candidate docs are
+    joined onto both pair sides with `bucketed_hash_join` (one shuffle each,
+    all bounded by the candidate count) and scored per batch — no shingle set
+    ever reaches the driver. Returns a Dataset (a, b) of verified pairs."""
+    from ray.data.aggregate import Count
+
+    from .joins import bucketed_hash_join
+
+    ids_ds = (
+        pairs_ds.map_batches(
+            lambda b: pd.DataFrame({id_col: pd.concat([b["a"], b["b"]], ignore_index=True)}),
+            batch_format="pandas",
+        )
+        .groupby(id_col)
+        .aggregate(Count(alias_name="_n"))
+    )
+    cand = [r[id_col] for r in ids_ds.take_all()]  # bounded by candidate pairs
+    sets = _shingle_set_dataset(ds, cand, col, id_col, ngram).materialize()
+    sa = sets.map_batches(lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow")
+    sb = sets.map_batches(lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow")
+    j = bucketed_hash_join(pairs_ds.select_columns(["a", "b"]), sa, on="a")
+    j = bucketed_hash_join(j, sb, on="b")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        keep_a, keep_b = [], []
+        for a, b, xa, xb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
+            set_a = set(xa) if xa is not None else set()
+            set_b = set(xb) if xb is not None else set()
+            union = len(set_a | set_b)
+            if ((len(set_a & set_b) / union) if union else 1.0) >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pd.DataFrame({"a": keep_a, "b": keep_b})
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def _full_labeling(ds, labels: dict, id_col: str):
+    """Full (doc -> cluster) labeling as a streaming map over the corpus: the
+    near-dup label map (bounded by docs in candidate pairs) is broadcast via
+    ray.put; unlabeled docs keep their own id. Replaces the old
+    `ds.unique(id_col)` driver materialization of EVERY corpus id."""
+    import ray
+
+    ref = ray.put(labels)
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        m = ref
+        if isinstance(m, ray.ObjectRef):
+            m = ray.get(m)
+        ids = df[id_col]
+        mapped = ids.map(m)
+        out = mapped.where(mapped.notna(), ids)
+        return pd.DataFrame({id_col: ids, "cluster": out.astype(ids.dtype)})
+
+    return ds.select_columns([id_col]).map_batches(lab, batch_format="pandas")
+
+
+def _finish_labels(ds, labels: dict, id_col: str, include_singletons: bool):
+    if include_singletons:
+        return _full_labeling(ds, labels, id_col)
+    return (
+        pd.DataFrame({id_col: list(labels), "cluster": [labels[k] for k in labels]})
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+
+
+def _labels_from_pairs_ds(verified_pairs_ds, assembly: str, driver_max_pairs: int) -> dict:
+    """Cluster labels from a (materialized) verified-pair Dataset: driver
+    union-find below `driver_max_pairs`, distributed min-label propagation
+    above (or when forced). The returned map is bounded by the number of docs
+    in verified pairs — near-dups, never the corpus."""
+    n = verified_pairs_ds.count()
+    if n == 0:
+        return {}
+    if assembly == "driver" or (assembly == "auto" and n <= driver_max_pairs):
+        pairs = sorted({(r["a"], r["b"]) for r in verified_pairs_ds.take_all()})
+        return _union_find(pairs)
+    labels_ds = distributed_components(verified_pairs_ds)
+    return {r["src"]: r["label"] for r in labels_ds.take_all()}
+
+
 def minhash_lsh_dedup(
     ds,
     col: str = "text",
@@ -357,27 +533,37 @@ def minhash_lsh_dedup(
     ngram: int = 3,
     verify: bool = True,
     include_singletons: bool = False,
+    assembly: str = "auto",
+    driver_max_pairs: int = 100_000,
 ):
-    """Near-dup clustering: returns a pandas DataFrame (doc_id, cluster) for
-    every doc in a near-dup cluster (cluster = min doc id). Docs absent from
-    the output are unique; `include_singletons=True` adds them with
-    cluster=doc_id (full labeling — only for corpora whose id list fits the
-    driver)."""
+    """Near-dup clustering (cluster = min doc id). Returns a small pandas
+    DataFrame of the PAIRED docs by default; `include_singletons=True` returns
+    a streaming Dataset labeling the whole corpus (cluster=doc_id for uniques)
+    with no driver-side corpus materialization.
+
+    `assembly`: 'driver' (take_all + union-find; bounded by candidate pairs),
+    'distributed' (bucketed-join Jaccard verify + min-label-propagation
+    components), or 'auto' (driver below `driver_max_pairs` candidates)."""
     p = params or MinHashParams()
     sig = ds.map_batches(MinHashSignatures(p, col, id_col, ngram), batch_format="pyarrow")
-    raw_pairs = [
-        (r["a"], r["b"]) for r in _bucket_pairs(sig, id_col).take_all()
-    ]
-    raw_pairs = sorted(set(raw_pairs))
-    if verify:
-        raw_pairs = jaccard_verify_pairs(ds, raw_pairs, col, id_col, ngram, threshold)
-    labels = _union_find(raw_pairs)
-    if include_singletons:
-        for i in ds.unique(id_col):
-            labels.setdefault(i, i)
-    return pd.DataFrame(
-        {"doc_id": list(labels), "cluster": [labels[k] for k in labels]}
-    ).sort_values("doc_id").reset_index(drop=True)
+    pairs_ds = _bucket_pairs(sig, id_col).materialize()
+    n_pairs = pairs_ds.count()
+    use_driver = assembly == "driver" or (assembly == "auto" and n_pairs <= driver_max_pairs)
+    if n_pairs == 0:
+        labels: dict = {}
+    elif use_driver:
+        raw_pairs = sorted({(r["a"], r["b"]) for r in pairs_ds.take_all()})
+        if verify:
+            raw_pairs = jaccard_verify_pairs(ds, raw_pairs, col, id_col, ngram, threshold)
+        labels = _union_find(raw_pairs)
+    else:
+        vp = (
+            jaccard_verify_distributed(ds, pairs_ds, col, id_col, ngram, threshold)
+            if verify
+            else pairs_ds
+        ).materialize()
+        labels = _labels_from_pairs_ds(vp, "distributed", driver_max_pairs)
+    return _finish_labels(ds, labels, id_col, include_singletons)
 
 
 # ---------------------------------------------------------------------------
@@ -435,48 +621,47 @@ class SimHashSignatures:
         )
 
 
-def simhash_dedup(ds, col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, include_singletons: bool = False):
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_dedup(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    include_singletons: bool = False,
+    assembly: str = "auto",
+    driver_max_pairs: int = 100_000,
+    num_buckets: int = 32,
+):
     """Near-dup clusters by simhash: banded candidates (any identical 16-bit
-    band) verified by exact Hamming distance <= max_hamming."""
+    band) verified by exact Hamming distance <= max_hamming.
+
+    Candidate generation goes through `_bucket_pairs` — the shuffle key is a
+    HASH of (band, band_hash), never the 4-valued raw band (which would make
+    four corpus-scale groups). Verification is a vectorized map over the pair
+    Dataset; cluster assembly follows the same driver/distributed policy as
+    minhash_lsh_dedup."""
     sig = ds.map_batches(SimHashSignatures(col, id_col), batch_format="pyarrow")
-
-    def pairs_many(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["band", "band_hash", id_col]).sort_values(
-            ["band", "band_hash", id_col], kind="stable"
-        )
-        g = df.groupby(["band", "band_hash"], sort=False)
-        rep = g[id_col].transform("first")
-        rep_hash = g["simhash"].transform("first")
-        m = (df[id_col] != rep).to_numpy()
-        return pd.DataFrame(
-            {
-                "a": rep.to_numpy()[m],
-                "b": df[id_col].to_numpy()[m],
-                "ha": rep_hash.to_numpy()[m],
-                "hb": df["simhash"].to_numpy()[m],
-            }
-        )
-
-    pairs_many.__name__ = "pairs_many"
-    cand = (
-        sig.groupby("band")
-        .map_groups(pairs_many, batch_format="pandas")
-        .take_all()
+    pairs = _bucket_pairs(
+        sig, id_col, num_buckets=num_buckets, extra_cols=("simhash",)
     )
-    seen = {}
-    for r in cand:
-        seen[(r["a"], r["b"])] = (np.uint64(r["ha"]), np.uint64(r["hb"]))
-    verified = []
-    for (a, b), (ha, hb) in seen.items():
-        if bin(int(ha ^ hb)).count("1") <= max_hamming:
-            verified.append((a, b))
-    labels = _union_find(verified)
-    if include_singletons:
-        for i in ds.unique(id_col):
-            labels.setdefault(i, i)
-    return pd.DataFrame(
-        {"doc_id": list(labels), "cluster": [labels[k] for k in labels]}
-    ).sort_values("doc_id").reset_index(drop=True)
+
+    def hamming_ok(df: pd.DataFrame) -> pd.DataFrame:
+        ha = df["simhash_a"].to_numpy().astype(np.uint64)
+        hb = df["simhash_b"].to_numpy().astype(np.uint64)
+        m = _popcount64(ha ^ hb) <= max_hamming
+        return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m]})
+
+    verified = pairs.map_batches(hamming_ok, batch_format="pandas").materialize()
+    labels = _labels_from_pairs_ds(verified, assembly, driver_max_pairs)
+    return _finish_labels(ds, labels, id_col, include_singletons)
 
 
 def ngram_jaccard_pairs(ds, pairs: list[tuple], col: str = "text", id_col: str = "doc_id", ngram: int = 3) -> pd.DataFrame:
@@ -537,9 +722,20 @@ class HyperplaneLSH:
         )
 
 
-def embedding_dedup(ds, threshold: float = 0.95, col: str = "embedding", id_col: str = "vec_id", n_bits: int = 12, dim: int | None = None, include_singletons: bool = False):
+def embedding_dedup(
+    ds,
+    threshold: float = 0.95,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 12,
+    dim: int | None = None,
+    include_singletons: bool = False,
+    assembly: str = "auto",
+    driver_max_pairs: int = 100_000,
+):
     """Embedding-cosine near-dup clusters: hyperplane-LSH buckets ->
-    within-bucket exact cosine >= threshold -> union-find."""
+    within-bucket exact cosine >= threshold (all-pairs only within a bucket;
+    size `n_bits` to the corpus) -> driver or distributed components."""
     if dim is None:
         first = ds.take(1)[0][col]
         dim = len(first)
@@ -556,12 +752,6 @@ def embedding_dedup(ds, threshold: float = 0.95, col: str = "embedding", id_col:
         hit = sims[iu] >= threshold
         return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
 
-    cand = sig.groupby("bucket").map_groups(pairs, batch_format="pandas").take_all()
-    verified = sorted({(r["a"], r["b"]) for r in cand})
-    labels = _union_find(verified)
-    if include_singletons:
-        for i in ds.unique(id_col):
-            labels.setdefault(i, i)
-    return pd.DataFrame(
-        {"vec_id": list(labels), "cluster": [labels[k] for k in labels]}
-    ).sort_values("vec_id").reset_index(drop=True)
+    verified = sig.groupby("bucket").map_groups(pairs, batch_format="pandas").materialize()
+    labels = _labels_from_pairs_ds(verified, assembly, driver_max_pairs)
+    return _finish_labels(ds, labels, id_col, include_singletons)

@@ -75,15 +75,25 @@ DEFAULT_RUN_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
 
 @dataclass
 class Branch:
-    """One homogeneous slice of violations: constant field/error_type/expected,
-    per-row actual (constant or an array aligned with `idx`)."""
+    """One homogeneous slice of violations: constant error_type/expected,
+    per-row actual (constant or an array aligned with `idx`). `field` is a
+    constant for flat columns; nested (list<struct>) violations carry a
+    per-row path array (`a[i].id`, validationHelpers.js:39-46) plus
+    `field_sort`, the constant base path used for deterministic ordering."""
 
     idx: np.ndarray
-    field: str
+    field: Any  # str | pa.Array aligned with idx
     error_type: str
     expected: str | None
     actual: Any  # str | None | pa.Array aligned with idx
     rule_pos: int  # position in RULE_ORDER (for deterministic output ordering)
+    field_sort: str | None = None
+
+    @property
+    def sort_field(self) -> str:
+        if isinstance(self.field, str):
+            return self.field
+        return self.field_sort or ""
 
 
 class _BatchCtx:
@@ -142,6 +152,215 @@ def register_check(kind: str, compiler: Callable[["FieldRule", Any, pa.Schema], 
     CUSTOM_CHECKS[kind] = compiler
 
 
+# ---------------------------------------------------------------------------
+# nestedSchema over typed Arrow list<struct<…>> / struct columns (SURVEY §1.4)
+# ---------------------------------------------------------------------------
+
+
+def _is_list_type(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+
+
+def _item_indices(parent_idx: np.ndarray) -> np.ndarray:
+    """Within-list position of each flattened element (`parent_idx` is the
+    non-decreasing output of pc.list_parent_indices)."""
+    n = len(parent_idx)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.r_[True, parent_idx[1:] != parent_idx[:-1]]
+    run_starts = np.flatnonzero(change)
+    run_lens = np.diff(np.r_[run_starts, n])
+    return np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+
+
+def _concat_paths(prefix: Any, field: Any, k: int):
+    """prefix + field, each a constant str or a length-k string array."""
+    if isinstance(prefix, str) and isinstance(field, str):
+        return prefix + field  # stays a constant -> Branch keeps the fast path
+
+    def as_arr(x):
+        if isinstance(x, pa.ChunkedArray):
+            return x.combine_chunks()
+        if isinstance(x, pa.Array):
+            return x
+        return const_str_array(x, k)
+
+    return pc.binary_join_element_wise(as_arr(prefix), as_arr(field), "")
+
+
+def _compile_rules(rules: dict[str, "FieldRule"], schema: pa.Schema) -> list[CheckFn]:
+    checks: list[CheckFn] = []
+    for r in rules.values():
+        checks.extend(_compile_field(r, schema))
+    return checks
+
+
+def _run_checks(checks: list[CheckFn], tbl: pa.Table) -> list[Branch]:
+    ctx = _BatchCtx(tbl)
+    out: list[Branch] = []
+    for fn in checks:
+        out.extend(fn(ctx))
+    return out
+
+
+def _struct_child_table(arr) -> pa.Table:
+    """One flat column per struct field (zero-copy child views)."""
+    t = arr.type
+    cols = {}
+    for i in range(t.num_fields):
+        c = pc.struct_field(arr, i)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols[t.field(i).name] = c
+    return pa.table(cols)
+
+
+def _make_object_nested_check(rule: "FieldRule", schema: pa.Schema, pos: dict) -> CheckFn:
+    """`nestedSchema` recursion over a typed STRUCT column: child columns via
+    pc.struct_field, compiled branch evaluators recursed with the dotted path
+    prefix (validationHelpers.js:61-63). Arrow structs cannot represent an
+    ABSENT key per row (a field is always present, possibly null), so
+    present-with-null semantics apply; ValidateJsonDocs remains the oracle for
+    the absent-vs-null distinction on opaque JSON."""
+    name = rule.name
+    col_type = schema.field(name).type
+    child_schema = pa.schema([col_type.field(i) for i in range(col_type.num_fields)])
+    child_checks = _compile_rules(rule.nested, child_schema)
+    p = pos["type"]
+
+    def object_check(ctx: _BatchCtx) -> list[Branch]:
+        out: list[Branch] = []
+        nulls = ctx.null(name)
+        skip = ctx.skip(name, rule.optional)
+        nidx = np.nonzero(nulls & ~skip)[0]
+        if nidx.size:
+            # typeof null === 'object' -> ('object','object'), vHelpers.js:53-59
+            out.append(Branch(nidx, name, "type", "object", "object", p))
+        valid = np.nonzero(~nulls)[0]
+        if not valid.size:
+            return out
+        arr = ctx.col(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        sub = arr.take(pa.array(valid, type=pa.int64()))
+        for b in _run_checks(child_checks, _struct_child_table(sub)):
+            k = b.idx.size
+            out.append(
+                Branch(
+                    valid[b.idx],
+                    _concat_paths(f"{name}.", b.field, k),
+                    b.error_type,
+                    b.expected,
+                    b.actual,
+                    b.rule_pos,
+                    field_sort=f"{name}.{b.sort_field}",
+                )
+            )
+        return out
+
+    return object_check
+
+
+def _make_array_nested_check(rule: "FieldRule", schema: pa.Schema, pos: dict) -> CheckFn:
+    """`nestedSchema` recursion over a typed LIST column: `pc.list_flatten` +
+    parent indices, item paths `name[i].key` (validationHelpers.js:38-48).
+    Struct items walk their fields; scalar items are wrapped `{'': item}` like
+    the reference (non-object items, :41-44) — compiling the nested rules
+    against the single-column child schema makes keys != '' fall out as
+    per-item 'missing'. Null items walk `{'': null}`: required keys missing."""
+    name = rule.name
+    col_type = schema.field(name).type
+    item_type = col_type.value_type
+    p = pos["type"]
+    if pa.types.is_struct(item_type):
+        child_schema = pa.schema([item_type.field(i) for i in range(item_type.num_fields)])
+        wrapped = False
+    elif _is_list_type(item_type) or pa.types.is_map(item_type):
+        # JS walks nested-array items UNWRAPPED via property lookup (index
+        # keys / 'length'); not expressible columnar — keep the fail-fast
+        raise NotImplementedError(
+            f"field {name!r}: nestedSchema over {item_type} items needs JS "
+            "property-lookup emulation; route through ValidateJsonDocs"
+        )
+    else:
+        child_schema = pa.schema([pa.field("", item_type)])
+        wrapped = True
+    child_checks = _compile_rules(rule.nested, child_schema)
+    required_keys = [k for k, r in rule.nested.items() if k != "" and not r.optional]
+
+    def array_check(ctx: _BatchCtx) -> list[Branch]:
+        out: list[Branch] = []
+        nulls = ctx.null(name)
+        skip = ctx.skip(name, rule.optional)
+        nidx = np.nonzero(nulls & ~skip)[0]
+        if nidx.size:
+            out.append(Branch(nidx, name, "type", "array", "object", p))
+        arr = ctx.col(name)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        parent_idx = (
+            pc.list_parent_indices(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if not parent_idx.size:
+            return out
+        item_idx = _item_indices(parent_idx)
+        flat = pc.list_flatten(arr)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+
+        def prefix_for(sel: np.ndarray) -> pa.Array:
+            idx_str = pc.cast(pa.array(item_idx[sel], type=pa.int64()), pa.string())
+            k = sel.size
+            return pc.binary_join_element_wise(
+                const_str_array(f"{name}[", k), idx_str, const_str_array("].", k), ""
+            )
+
+        def remap(b: Branch, sel: np.ndarray) -> Branch:
+            csel = sel[b.idx]
+            k = b.idx.size
+            return Branch(
+                parent_idx[csel],
+                _concat_paths(prefix_for(csel), b.field, k),
+                b.error_type,
+                b.expected,
+                b.actual,
+                b.rule_pos,
+                field_sort=f"{name}[].{b.sort_field}",
+            )
+
+        if wrapped:
+            sel = np.arange(len(parent_idx), dtype=np.int64)
+            child_tbl = pa.table({"": flat})
+            out.extend(remap(b, sel) for b in _run_checks(child_checks, child_tbl))
+            return out
+
+        item_null = null_mask_np(flat)
+        ni = np.nonzero(item_null)[0]
+        if ni.size:
+            pre = prefix_for(ni)
+            for key in required_keys:
+                out.append(
+                    Branch(
+                        parent_idx[ni],
+                        _concat_paths(pre, key, ni.size),
+                        "missing",
+                        "field present",
+                        "field missing",
+                        -1,
+                        field_sort=f"{name}[].{key}",
+                    )
+                )
+        vi = np.nonzero(~item_null)[0]
+        if vi.size:
+            sub = flat.take(pa.array(vi, type=pa.int64()))
+            out.extend(
+                remap(b, vi) for b in _run_checks(child_checks, _struct_child_table(sub))
+            )
+        return out
+
+    return array_check
+
+
 def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
     """Compile one field rule into vectorized branch evaluators."""
     name = rule.name
@@ -170,15 +389,15 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
     js_type = arrow_js_typeof(col_type)
     pos = {k: i for i, k in enumerate(RULE_ORDER)}
 
-    if rule.nested and rule.type in ("array", "object"):
-        # nestedSchema recursion over typed list/struct columns is served by
-        # the JSON-document path (ValidateJsonDocs) — fail at compile time
-        # rather than silently skipping item checks (SURVEY.md §7.4 item 1)
-        raise NotImplementedError(
-            f"field {name!r}: nestedSchema validation on a flat column is not "
-            "vectorized; route document-typed payloads through ValidateJsonDocs "
-            "(or explode the list with flat_map first)"
-        )
+    # nestedSchema recursion over typed list<struct>/struct columns: fully
+    # vectorized (pc.list_flatten + parent indices / pc.struct_field). When
+    # the column isn't the matching container kind, the plain type_check
+    # below reports the type mismatch exactly like the reference.
+    nested_fn: CheckFn | None = None
+    if rule.nested and rule.type == "object" and pa.types.is_struct(col_type):
+        nested_fn = _make_object_nested_check(rule, schema, {k: i for i, k in enumerate(RULE_ORDER)})
+    elif rule.nested and rule.type == "array" and _is_list_type(col_type):
+        nested_fn = _make_array_nested_check(rule, schema, {k: i for i, k in enumerate(RULE_ORDER)})
 
     if rule.has_value:
         expected_str = rule.value_str()
@@ -222,7 +441,9 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
 
         checks.append(enum_check)
 
-    if rule.type is not None:
+    if nested_fn is not None:
+        checks.append(nested_fn)
+    elif rule.type is not None:
         expected_type = rule.type
 
         def type_check(ctx: _BatchCtx, name=name, expected_type=expected_type, js_type=js_type) -> list[Branch]:
@@ -379,7 +600,7 @@ def _branches_to_table(
     # deterministic branch order: by field, then rule position (the vectorized
     # pass loses the reference's walk order; SURVEY.md §7.4 item 3)
     branches = [b for b in branches if b.idx.size]
-    branches.sort(key=lambda b: (b.field, b.rule_pos, b.error_type))
+    branches.sort(key=lambda b: (b.sort_field, b.rule_pos, b.error_type))
 
     idx_parts: list[np.ndarray] = []
     field_parts: list[pa.Array] = []
@@ -392,7 +613,13 @@ def _branches_to_table(
         k = b.idx.size
         idx_parts.append(b.idx)
         err_row_mask[b.idx] = True
-        field_parts.append(const_str_array(b.field, k))
+        if isinstance(b.field, (pa.Array, pa.ChunkedArray)):
+            farr = b.field
+            if isinstance(farr, pa.ChunkedArray):
+                farr = farr.combine_chunks()
+            field_parts.append(farr)
+        else:
+            field_parts.append(const_str_array(b.field, k))
         etype_parts.append(const_str_array(b.error_type, k))
         exp_parts.append(const_str_array(b.expected, k))
         if isinstance(b.actual, (pa.Array, pa.ChunkedArray)):
@@ -556,7 +783,7 @@ class ValidateBatch:
                 continue  # nested recursion logs inner fields, not the parent
             fail = np.zeros(batch.num_rows, dtype=bool)
             for b in branches:
-                if b.field == rule.name and b.error_type == "type":
+                if isinstance(b.field, str) and b.field == rule.name and b.error_type == "type":
                     fail[b.idx] = True
             mask = ~fail & ~ctx.skip(rule.name, rule.optional)
             if rule.optional:

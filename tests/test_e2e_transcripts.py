@@ -131,3 +131,50 @@ def test_salted_equals_unsalted_with_alternation(ray_session, tdir):
     )
     assert (plain.error_type == "alt").sum() > 10
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_forward_outlier_expected_matches_global_prefix_max(ray_session):
+    """ADVICE repro: when an EARLIER chunk holds the running ts max (forward
+    outlier), within-chunk disorder in a later chunk must report `expected` =
+    the conversation-global prefix max, not the within-chunk one. Phase 3
+    owns all ts rows for suspect chunks."""
+    import datetime as dt
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC, epoch us
+    n = 14
+    ts = base + np.arange(n, dtype=np.int64) * 100_000_000
+    ts[5] = base + 1_000_000_000_000  # forward outlier at turn 5 (chunk 0)
+    # within-chunk disorder in chunk 1 (turns 10-13): turn 12 < turn 11
+    ts[12] = ts[11] - 50_000_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv_00000000"] * n),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(
+                ["user" if i % 2 == 0 else "assistant" for i in range(n)]
+            ),
+            "text": pa.array([f"turn {i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    spec = transcript_spec()
+    plain = norm(
+        conversation_violations(rd.from_arrow(tbl), spec)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    salted = norm(
+        conversation_violations_salted(rd.from_arrow(tbl), spec, chunk=10)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    ts_rows = plain[(plain.field == "ts") & (plain.error_type == "order")]
+    # turns 6..13 all undercut the outlier; every expected is the GLOBAL max
+    assert len(ts_rows) == 8
+    assert set(ts_rows["expected"]) == {str(base + 1_000_000_000_000)}
+    pd.testing.assert_frame_equal(plain, salted)

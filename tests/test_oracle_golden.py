@@ -88,6 +88,33 @@ CASES = [
         {"a": ["s"]},
         [("a[0].", "type", "number", "string")],
     ),
+    # 25: nested-array item walked UNWRAPPED (typeof array === 'object' and
+    # not null, validationHelpers.js:41): index keys and 'length' resolve
+    (
+        {
+            "a": {
+                "type": "array",
+                "nestedSchema": {"0": {"type": "string"}, "length": {"type": "number"}},
+            }
+        },
+        {"a": [["x", "y"]]},
+        [],
+    ),
+    # 26: nested-array item: non-index keys (incl. '') are missing properties
+    (
+        {"a": {"type": "array", "nestedSchema": {"id": {"type": "string"}, "": {"type": "number"}}}},
+        {"a": [["x"]]},
+        [
+            ("a[0].id", "missing", "field present", "field missing"),
+            ("a[0].", "missing", "field present", "field missing"),
+        ],
+    ),
+    # 27: null item IS wrapped ({'': null}): required keys missing
+    (
+        {"a": {"type": "array", "nestedSchema": {"id": {"type": "string"}}}},
+        {"a": [None]},
+        [("a[0].id", "missing", "field present", "field missing")],
+    ),
 ]
 
 

@@ -168,12 +168,34 @@ def test_large_random_batch_matches_oracle():
     assert got == oracle_rows(batch, spec)
 
 
-def test_nested_rule_on_flat_column_fails_fast():
+def test_nested_rule_on_list_struct_column_is_vectorized():
+    """Round 1 failed fast here; the nested walk is now a vectorized path
+    (tests/test_nested.py has the full differential)."""
     spec = load_spec(
         {"items": {"type": "array", "nestedSchema": {"id": {"type": "string"}}}}
     )
     batch = pa.table(
-        {"conv_id": ["c"], "turn_idx": [0], "items": pa.array([[{"id": "x"}]])}
+        {"conv_id": ["c"], "turn_idx": [0], "items": pa.array([[{"id": "x"}, {"id": 3}]])}
+    )
+    res = ValidateBatch(spec, log_valid=False)(batch)
+    rows = res.to_pylist()
+    assert [(r["field"], r["error_type"], r["expected"], r["actual"]) for r in rows] == [
+        ("items[1].id", "type", "string", "number")
+    ]
+
+
+def test_nested_rule_on_list_of_list_items_fails_fast():
+    """JS walks nested-array items via property lookup — not columnar; the
+    compile keeps the fail-fast for that shape only."""
+    spec = load_spec(
+        {"items": {"type": "array", "nestedSchema": {"id": {"type": "string"}}}}
+    )
+    batch = pa.table(
+        {
+            "conv_id": ["c"],
+            "turn_idx": [0],
+            "items": pa.array([[["x"]]], type=pa.list_(pa.list_(pa.string()))),
+        }
     )
     with pytest.raises(NotImplementedError, match="ValidateJsonDocs"):
         ValidateBatch(spec)(batch)
