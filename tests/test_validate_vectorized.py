@@ -175,12 +175,12 @@ def test_nested_rule_on_list_struct_column_is_vectorized():
         {"items": {"type": "array", "nestedSchema": {"id": {"type": "string"}}}}
     )
     batch = pa.table(
-        {"conv_id": ["c"], "turn_idx": [0], "items": pa.array([[{"id": "x"}, {"id": 3}]])}
+        {"conv_id": ["c"], "turn_idx": [0], "items": pa.array([[{"id": "x"}, {"id": None}]])}
     )
     res = ValidateBatch(spec, log_valid=False)(batch)
     rows = res.to_pylist()
     assert [(r["field"], r["error_type"], r["expected"], r["actual"]) for r in rows] == [
-        ("items[1].id", "type", "string", "number")
+        ("items[1].id", "type", "string", "object")
     ]
 
 
