@@ -115,25 +115,31 @@ def run_validation(
             continue
         t0 = time.time()
         final_dir = os.path.join(out_dir, "violations", part_id)
-        ds = rd.read_parquet(part_files)
-        n_rows = ds.count()
-        out = ds.map_batches(
+        # ONE disk read per partition: materialize the partition's blocks in
+        # the object store (partition-bounded — `files_per_partition` sets the
+        # quantum; the store spills if needed) and feed validation, sketch
+        # partials and counts from there instead of re-reading the files (3x
+        # read amplification before).
+        src = rd.read_parquet(part_files).materialize()
+        n_rows = src.count()
+        # mergeable sketch partials for THIS partition (persisted so a resumed
+        # run merges without recomputing — SURVEY.md §7.4 item 4)
+        part_sketches = sketch_dataset(src, plan)
+        out = src.map_batches(
             ValidateBatch(spec, run_ts=run_ts, log_valid=log_valid),
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
-        )
+        ).materialize()
+        del src  # release the input blocks before writing the log table
         with atomic_output_dir(final_dir) as tmp:
             out.write_parquet(tmp)
-        # mergeable sketch partials for THIS partition (persisted so a resumed
-        # run merges without recomputing — SURVEY.md §7.4 item 4)
-        part_sketches = sketch_dataset(rd.read_parquet(part_files), plan)
         with open(sidecar + ".tmp", "wb") as f:
             pickle.dump(part_sketches, f)
         os.replace(sidecar + ".tmp", sidecar)
-        written = rd.read_parquet(final_dir)
-        n_err = written.filter(expr="status == 'error'").count()
-        n_valid = written.count() - n_err
+        # counts from the in-flight (materialized) log — never re-read the sink
+        n_err = out.filter(expr="status == 'error'").count()
+        n_valid = out.count() - n_err
         manifest.append(
             PartitionRecord(
                 partition_id=part_id,
@@ -168,9 +174,10 @@ def run_validation(
             conv = conversation_violations_salted(ds, spec, run_ts, chunk=salt_chunk)
         else:
             conv = conversation_violations(ds, spec, run_ts)
+        conv = conv.materialize()  # small (violations only); count without re-reading
         with atomic_output_dir(final_dir) as tmp:
             conv.write_parquet(tmp)
-        n_err = rd.read_parquet(final_dir).count()
+        n_err = conv.count()
         manifest.append(
             PartitionRecord(
                 partition_id="conversation",

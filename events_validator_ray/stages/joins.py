@@ -104,8 +104,12 @@ def bucketed_hash_join(
                 if c not in b.columns:
                     b[c] = pd.NA
             b = b[all_cols]
+            # hash the key's STRING form: blocks may carry the same key as
+            # int64 in one block and object (from NA-padded concat) in
+            # another, and hash64 is dtype-sensitive — the canonical form
+            # keeps both sides of the join in the same bucket
             b["__bucket"] = (
-                hash64(b[on].to_numpy()) % np.uint64(num_buckets)
+                hash64(b[on].astype(str).to_numpy()) % np.uint64(num_buckets)
             ).astype(np.int64)
             b["__side"] = side
             return b
