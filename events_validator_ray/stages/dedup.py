@@ -95,24 +95,32 @@ def _shingle_hashes(texts: np.ndarray, n: int = 3) -> tuple[np.ndarray, np.ndarr
     out = np.zeros(total, dtype=np.uint64)
     if not len(flat):
         return out, offsets
-    h = hash64(flat.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    # hash only the DISTINCT tokens (dictionary-encode first): token vocab is
+    # tiny vs the token stream, and string hashing dominates otherwise
+    denc = flat.dictionary_encode()
+    uniq_hash = hash64(denc.dictionary.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    h = uniq_hash[denc.indices.to_numpy(zero_copy_only=False)]
 
     # full windows: combine n consecutive token hashes, valid only when the
     # window stays inside one document
+    short = np.nonzero((n_tokens > 0) & (n_tokens < n))[0]
     m = len(h) - n + 1
     if m > 0:
-        comb = h[:m].copy()
-        for k in range(1, n):
-            comb = comb * _SHINGLE_P ^ h[k : m + k]
+        with np.errstate(over="ignore"):
+            comb = h[:m].copy()
+            for k in range(1, n):
+                comb = comb * _SHINGLE_P ^ h[k : m + k]
         valid = doc_idx[:m] == doc_idx[n - 1 :]
-        win_docs = doc_idx[:m][valid]
-        win_vals = comb[valid]
-        # windows are in document order; place them at offsets[doc] + rank
-        pos = offsets[win_docs] + (np.arange(len(win_docs)) - np.searchsorted(win_docs, win_docs))
-        out[pos] = win_vals
+        # valid windows are already in (doc, rank) order; their output slots
+        # are every position except the short docs' single-shingle slots
+        if short.size:
+            full_slot = np.ones(total, dtype=bool)
+            full_slot[offsets[short]] = False
+            out[full_slot] = comb[valid]
+        else:
+            out[:] = comb[valid]
 
     # short docs (0 < tokens < n): one shingle combining all their tokens
-    short = np.nonzero((n_tokens > 0) & (n_tokens < n))[0]
     if short.size:
         tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
         np.cumsum(n_tokens, out=tok_starts[1:])

@@ -33,7 +33,10 @@ def hash64(values: np.ndarray) -> np.ndarray:
     """Stable vectorized 64-bit hash of an object/str/numeric array."""
     arr = np.asarray(values)
     if arr.dtype == object:
-        arr = arr.astype("U")
+        # hash_array handles str elements directly and falls back to
+        # astype(str) internally for mixed objects — identical values to the
+        # explicit "U" round-trip, without the two array copies
+        return pd.util.hash_array(arr)
     if arr.dtype.kind == "U":
         return pd.util.hash_array(arr.astype(object))
     return pd.util.hash_array(arr)

@@ -156,35 +156,78 @@ class LangId:
 
 
 class Fingerprint:
-    """Winnowing-style document fingerprint: rolling Karp-Rabin hashes over
-    token k-grams, minimum per window (Schleimer et al., SIGMOD'03) — compact
-    reusable signature for containment/near-dup triage."""
+    """Winnowing-style document fingerprint: rolling hashes over token
+    k-grams, minimum per window (Schleimer et al., SIGMOD'03) — compact
+    reusable signature for containment/near-dup triage. Vectorized end to
+    end: gram identity is the polynomial combine of token hashes (the same
+    shingle identity as dedup._shingle_hashes — one hash pass over TOKENS,
+    no per-gram string building), then one batch-wide sliding-window min
+    with doc-boundary masking. No per-row Python in the hot path."""
 
     def __init__(self, col: str = "text", k: int = 5, window: int = 8):
         self.col = col
         self.k = k
         self.window = window
-        self.word_re = re.compile(TOKEN_PATTERN)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for t in batch[self.col].fillna(""):
-            toks = self.word_re.findall(t.lower())
-            if len(toks) < self.k:
-                grams = [" ".join(toks)] if toks else []
-            else:
-                grams = [" ".join(toks[i : i + self.k]) for i in range(len(toks) - self.k + 1)]
-            if not grams:
-                fps.append([])
-                continue
-            h = hash64(np.array(grams, dtype=object)).astype(np.uint64)
-            if h.size <= self.window:
-                sel = np.unique(h.min(keepdims=True))
-            else:
-                w = np.lib.stride_tricks.sliding_window_view(h, self.window)
-                sel = np.unique(w.min(axis=1))
-            fps.append(sel.tolist())
-        return pd.DataFrame({"doc_id": batch["doc_id"], "fingerprint": fps})
+    def __call__(self, batch: "pa.Table") -> pd.DataFrame:
+        import pyarrow as pa
+
+        from .dedup import _shingle_hashes
+
+        w = self.window
+        texts = batch[self.col].to_numpy(zero_copy_only=False)
+        h, off = _shingle_hashes(texts, self.k)
+        n_docs = batch.num_rows
+        counts = np.diff(off)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+        sel_docs: list[np.ndarray] = []
+        sel_vals: list[np.ndarray] = []
+        # docs with <= w grams: fingerprint = [min of all grams]. reduceat
+        # over consecutive NONEMPTY starts gives each doc's segment min
+        nonempty = np.nonzero(counts > 0)[0]
+        if nonempty.size:
+            mins = np.minimum.reduceat(h, off[nonempty])
+            small_sel = counts[nonempty] <= w
+            if small_sel.any():
+                sel_docs.append(nonempty[small_sel])
+                sel_vals.append(mins[small_sel])
+        # longer docs: global sliding-window min, windows crossing a doc
+        # boundary masked out
+        if (counts > w).any() and len(h) >= w:
+            wmin = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+            d_w = doc_of[: len(wmin)]
+            keep = (d_w == doc_of[w - 1 :]) & (counts[d_w] > w)
+            # drop consecutive repeats before the lexsort (the window min
+            # rarely changes as the window slides — ~w-fold reduction)
+            changed = np.r_[True, (wmin[1:] != wmin[:-1]) | (d_w[1:] != d_w[:-1])]
+            keep &= changed
+            sel_docs.append(d_w[keep])
+            sel_vals.append(wmin[keep])
+
+        if sel_docs:
+            d_all = np.concatenate(sel_docs)
+            v_all = np.concatenate(sel_vals)
+            order = np.lexsort((v_all, d_all))
+            d_s, v_s = d_all[order], v_all[order]
+            uniq = np.r_[True, (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])]
+            d_s, v_s = d_s[uniq], v_s[uniq]
+        else:
+            d_s = np.empty(0, dtype=np.int64)
+            v_s = np.empty(0, dtype=np.uint64)
+        per_doc = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(per_doc, d_s, 1)
+        fp_off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(per_doc, out=fp_off[1:])
+        lists = pa.ListArray.from_arrays(
+            pa.array(fp_off, type=pa.int64()), pa.array(v_s, type=pa.uint64())
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "fingerprint": lists.to_pylist(),
+            }
+        )
 
 
 def token_counts(ds, col: str = "text"):
@@ -200,4 +243,4 @@ def lang_id(ds, col: str = "text"):
 
 
 def fingerprints(ds, col: str = "text"):
-    return ds.map_batches(Fingerprint(col), batch_format="pandas")
+    return ds.map_batches(Fingerprint(col), batch_format="pyarrow")

@@ -125,3 +125,56 @@ def test_multimodal_plumbing(ray_session):
         .take_all()
     )
     assert len(frames) == 16 * 3
+
+
+def test_fingerprint_vectorized_equals_rowwise_reference():
+    """The batch-vectorized winnowing (global sliding min + boundary masks +
+    dictionary-encoded token hashing) must equal a straightforward per-row
+    implementation of the same gram identity (polynomial token-hash combine),
+    including empty/null/short docs."""
+    import re
+
+    import pyarrow as pa
+
+    from events_validator_ray.stages.sketches import hash64
+    from events_validator_ray.stages.text import TOKEN_PATTERN, Fingerprint
+
+    P = np.uint64(0x100000001B3)
+    word_re = re.compile(TOKEN_PATTERN)
+
+    def ref_one(t, k=5, window=8):
+        toks = word_re.findall((t or "").lower())
+        if not toks:
+            return []
+        th = hash64(np.array(toks, dtype=object)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            if len(toks) < k:
+                acc = th[0]
+                for v in th[1:]:
+                    acc = acc * P ^ v
+                grams = np.array([acc], dtype=np.uint64)
+            else:
+                grams = np.zeros(len(toks) - k + 1, dtype=np.uint64)
+                for i in range(len(grams)):
+                    acc = th[i]
+                    for v in th[i + 1 : i + k]:
+                        acc = acc * P ^ v
+                    grams[i] = acc
+        if grams.size <= window:
+            return np.unique(grams.min(keepdims=True)).tolist()
+        wv = np.lib.stride_tricks.sliding_window_view(grams, window)
+        return np.unique(wv.min(axis=1)).tolist()
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"tok{i}" for i in range(120)])
+    texts = []
+    for i in range(800):
+        n = int(rng.integers(0, 40))
+        texts.append(" ".join(rng.choice(vocab, size=n)) if n else ("" if i % 3 else None))
+    texts[7] = "  "
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts))), "text": pa.array(texts, type=pa.string())}
+    )
+    got = Fingerprint()(tbl)["fingerprint"].tolist()
+    want = [ref_one(t) for t in texts]
+    assert got == want
