@@ -67,6 +67,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     rd.DataContext.get_current().enable_progress_bars = False
 
+    from events_validator_ray.logutil import suppress_empty_shuffle_partition_warning
+
+    suppress_empty_shuffle_partition_warning()
+
     from events_validator_ray.sources.transcripts import ensure_transcripts, sf_from_dir
     from events_validator_ray.spec import transcript_spec
     from events_validator_ray.stages.conversation import (
@@ -172,6 +176,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     failures_by_day(log, dim="field").count()
     queries["report_failures_by_day"] = round(time.time() - t0, 3)
+
+    # nested-document validation (list<struct> items + struct meta) over the
+    # deterministic nested corpus
+    from events_validator_ray.sources.nested import NESTED_SPEC_JSON, ensure_nested_events
+    from events_validator_ray.spec import load_spec
+
+    ndir = ensure_nested_events(sf)
+    nspec = load_spec(NESTED_SPEC_JSON, event_name="purchase")
+    t0 = time.time()
+    rd.read_parquet(ndir).map_batches(
+        ValidateBatch(nspec, log_valid=False, id_cols=("event_id",)),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).count()
+    queries["validate_nested"] = round(time.time() - t0, 3)
 
     result = {
         "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",

@@ -372,15 +372,54 @@ def q_text_stats(sf_dir: str):
 
 
 def q_quality_scores(sf_dir: str):
+    """Quality features with ratio columns micro-scaled to exact integers
+    (floor(x*1e6+0.5) on raw IEEE doubles — the SQL twin reproduces the
+    identical double ops, so the hash compare is exact)."""
+    import numpy as np
+    import pandas as pd
+
     from ..stages.text import quality_scores
 
-    return quality_scores(_read_table(sf_dir, "documents"))
+    def to_micro(df: pd.DataFrame) -> pd.DataFrame:
+        def micro(x):
+            return np.floor(x.to_numpy() * 1_000_000 + 0.5).astype("int64")
+
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_chars": df["n_chars"],
+                "n_tokens": df["n_tokens"],
+                "mean_token_len_micro": micro(df["mean_token_len"]),
+                "punct_ratio_micro": micro(df["punct_ratio"]),
+                "stop_ratio_micro": micro(df["stop_ratio"]),
+                "keep": df["keep"].astype("int64"),
+            }
+        )
+
+    return quality_scores(_read_table(sf_dir, "documents")).map_batches(
+        to_micro, batch_format="pandas"
+    )
 
 
 def q_lang_id(sf_dir: str):
+    """Language ID with the score micro-scaled to an exact integer."""
+    import numpy as np
+    import pandas as pd
+
     from ..stages.text import lang_id
 
-    return lang_id(_read_table(sf_dir, "documents"))
+    def to_micro(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "lang_pred": df["lang_pred"],
+                "lang_score_micro": np.floor(
+                    df["lang_score"].to_numpy() * 1_000_000 + 0.5
+                ).astype("int64"),
+            }
+        )
+
+    return lang_id(_read_table(sf_dir, "documents")).map_batches(to_micro, batch_format="pandas")
 
 
 def q_fingerprints(sf_dir: str):
@@ -713,9 +752,52 @@ def q_multimodal_decode(sf_dir: str):
 
 
 def training_ops_oracles() -> dict[str, str]:
-    stop_list = ", ".join(f"'{w}'" for w in sorted(__import__("events_validator_ray.stages.text", fromlist=["LANG_STOPWORDS"]).LANG_STOPWORDS["en"]))
+    from ..stages.text import LANG_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(LANG_STOPWORDS["en"]))
     ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+    quality_sql = (
+        "WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents), "
+        "s AS (SELECT doc_id, length(txt) AS n_chars, "
+        "regexp_extract_all(lower(txt), '[a-z0-9]+') AS toks, "
+        "length(txt) - length(regexp_replace(txt, '[^\\w\\s]', '', 'g')) AS n_punct FROM t), "
+        "r AS (SELECT doc_id, n_chars, len(toks) AS n_tokens, "
+        "CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE) / GREATEST(len(toks), 1) AS mean_tok, "
+        "CAST(n_punct AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio, "
+        f"CAST(len(list_filter(toks, x -> x IN ({stop_list}))) AS DOUBLE) / GREATEST(len(toks), 1) AS stop_ratio "
+        "FROM s) "
+        "SELECT doc_id, n_chars, n_tokens, "
+        "CAST(floor(mean_tok * 1000000 + 0.5) AS BIGINT) AS mean_token_len_micro, "
+        "CAST(floor(punct_ratio * 1000000 + 0.5) AS BIGINT) AS punct_ratio_micro, "
+        "CAST(floor(stop_ratio * 1000000 + 0.5) AS BIGINT) AS stop_ratio_micro, "
+        "CAST(n_chars >= 50 AND n_chars <= 100000 AND stop_ratio >= 0.05 AS BIGINT) AS keep "
+        "FROM r"
+    )
+
+    lang_lists = {
+        lang: ", ".join(f"'{w}'" for w in sorted(words))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    score_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x IN ({lang_lists[lang]}))) AS DOUBLE) / GREATEST(len(toks), 1) AS s_{lang}"
+        for lang in sorted(lang_lists)
+    )
+    lang_sql = (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks FROM documents), "
+        f"s AS (SELECT doc_id, len(toks) AS n, {score_cols} FROM t), "
+        "b AS (SELECT doc_id, n, GREATEST(s_de, s_en, s_es, s_fr) AS best, s_de, s_en, s_es, s_fr FROM s) "
+        "SELECT doc_id, "
+        "CASE WHEN n = 0 OR best < 0.03 THEN 'unknown' "
+        "WHEN s_fr = best THEN 'fr' WHEN s_es = best THEN 'es' "
+        "WHEN s_en = best THEN 'en' ELSE 'de' END AS lang_pred, "
+        "CAST(floor((CASE WHEN n = 0 THEN 0 ELSE best END) * 1000000 + 0.5) AS BIGINT) AS lang_score_micro "
+        "FROM b"
+    )
+
     return {
+        "quality_scores": quality_sql,
+        "lang_id": lang_sql,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})), "
@@ -799,6 +881,11 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "FROM tot LEFT JOIN err ON tot.date_utc = err.date_utc"
         ),
         "column_stats": "\nUNION ALL\n".join(stats_branches),
+        "worst_offenders": (
+            f"WITH viol AS ({scalar}) SELECT field, error_type, COUNT(*) AS n "
+            "FROM viol GROUP BY field, error_type "
+            "ORDER BY n DESC, field, error_type LIMIT 20"
+        ),
     }
 
 

@@ -110,6 +110,8 @@ def worst_offenders(ds, k: int = 20):
         ds.filter(expr="status == 'error'")
         .groupby(["field", "error_type"])
         .aggregate(Count(alias_name="n"))
-        .sort("n", descending=True)
+        # deterministic top-k: ties broken on (field, error_type) so the
+        # LIMIT boundary is engine-independent (shares the DuckDB oracle)
+        .sort(["n", "field", "error_type"], descending=[True, False, False])
         .limit(k)
     )

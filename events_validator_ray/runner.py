@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
 
     rd.DataContext.get_current().enable_progress_bars = False
 
+    from .logutil import suppress_empty_shuffle_partition_warning
+
+    suppress_empty_shuffle_partition_warning()
+
     from .spec import load_spec_file, transcript_spec
 
     spec = load_spec_file(args.spec) if args.spec else transcript_spec()
@@ -79,9 +83,14 @@ def main(argv: list[str] | None = None) -> int:
 
     ds = rd.read_parquet(files)
     if args.sample:
+        from .state.manifest import atomic_output_dir
+
         ds = ds.random_sample(args.sample, seed=42)
         tmp_in = args.out + "/_sampled_input"
-        ds.write_parquet(tmp_in)
+        # atomic replace (tmp + rename, prior dir removed): re-running the
+        # same command must not APPEND a second copy of the sample
+        with atomic_output_dir(tmp_in) as tmp:
+            ds.write_parquet(tmp)
         input_path = tmp_in
     else:
         input_path = args.input

@@ -63,6 +63,60 @@ def canonicalize_param(param: dict[str, Any]) -> dict[str, Any]:
     return rule
 
 
+def save_spec(spec: Spec, spec_dir: str) -> str:
+    """Write one `${event_name}.json` schema document (the upload analog of
+    streamlit_ev/app/helpers/gcp.py:62-90). Atomic tmp + os.replace; the
+    document round-trips through load_spec with an identical spec_hash."""
+    from ..spec import spec_to_dict
+
+    os.makedirs(spec_dir, exist_ok=True)
+    path = os.path.join(spec_dir, f"{spec.event_name}.json")
+    payload = spec_to_dict(spec)
+    if spec.version is not None:
+        payload = {"version": spec.version, **payload}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=False)
+    os.replace(tmp, path)
+    return path
+
+
+def save_spec_dir(specs: dict[str, Spec], spec_dir: str) -> list[str]:
+    """Write every spec of a plan back to a directory (bucket-upload analog)."""
+    return [save_spec(spec, spec_dir) for spec in specs.values()]
+
+
+def update_repo_usage(repo: dict[str, Any], spec: Spec) -> dict[str, Any]:
+    """Record a schema's field usage in the master param repository — the
+    analog of the reference's repo usage update (streamlit_ev/app/helpers.py:
+    372-397): every field of `spec` gets `event_name` appended to its
+    `usedInSchemas` list (created if the param is new); params no longer used
+    by this schema have it removed. Returns the updated repo (copy)."""
+    out = {k: dict(v) for k, v in repo.items()}
+    fields = set(spec.fields)
+    for name in fields:
+        meta = out.setdefault(name, {})
+        used = list(meta.get("usedInSchemas", []))
+        if spec.event_name not in used:
+            used.append(spec.event_name)
+        meta["usedInSchemas"] = sorted(used)
+    for name, meta in out.items():
+        if name not in fields and spec.event_name in meta.get("usedInSchemas", []):
+            meta["usedInSchemas"] = sorted(
+                u for u in meta["usedInSchemas"] if u != spec.event_name
+            )
+    return out
+
+
+def save_repo(repo: dict[str, Any], path: str) -> str:
+    """Atomic write of the param repository (`repo.json` upload analog)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(repo, f, indent=2, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
 def find_impacted_specs(repo: dict[str, Any], param_name: str) -> list[str]:
     """Inverted index param -> usedInSchemas[] (updater.py:85-93)."""
     meta = repo.get(param_name) or {}

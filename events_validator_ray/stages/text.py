@@ -93,9 +93,11 @@ class QualityScore:
         mean_tok = per_doc_sum(tok_lens, doc_idx, n_docs) / np.maximum(n_tokens, 1)
         mean_tok[n_tokens == 0] = 0.0
         n_punct = punct_count(texts)
-        punct_ratio = np.round(n_punct / np.maximum(n_chars, 1), 6)
+        # RAW IEEE ratios (no rounding): the SQL oracle twin reproduces the
+        # identical double ops, so micro-scaled compares are exact
+        punct_ratio = n_punct / np.maximum(n_chars, 1)
         hits = stop_hits(flat, doc_idx, n_docs, self.stop)
-        stop_ratio = np.round(hits / np.maximum(n_tokens, 1), 6)
+        stop_ratio = hits / np.maximum(n_tokens, 1)
         keep = (
             (n_chars >= self.min_chars)
             & (n_chars <= self.max_chars)
@@ -106,7 +108,7 @@ class QualityScore:
                 "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
-                "mean_token_len": np.round(mean_tok, 6),
+                "mean_token_len": mean_tok,
                 "punct_ratio": punct_ratio,
                 "stop_ratio": stop_ratio,
                 "keep": keep,
@@ -150,7 +152,7 @@ class LangId:
             {
                 "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
                 "lang_pred": pred,
-                "lang_score": np.round(best_s, 6),
+                "lang_score": best_s,
             }
         )
 

@@ -69,8 +69,11 @@ VIOLATION_SCHEMA = pa.schema(
 )
 
 #: default run timestamp — stamped at the driver, not per row, for determinism
-#: (the reference stamps per log call, loggingHelpers.js:15 — non-reproducible)
-DEFAULT_RUN_TS = _dt.datetime(2026, 1, 1, 0, 0, 0)
+#: (the reference stamps per log call, loggingHelpers.js:15 — non-reproducible).
+#: Timezone-AWARE so `.timestamp()` is machine-independent: a naive datetime
+#: would resolve in the host's local TZ and shift the log `timestamp` (and
+#: date_utc for rows without event-time stamping) across machines.
+DEFAULT_RUN_TS = _dt.datetime(2026, 1, 1, 0, 0, 0, tzinfo=_dt.timezone.utc)
 
 
 @dataclass

@@ -17,5 +17,9 @@ def ray_session():
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from events_validator_ray.logutil import suppress_empty_shuffle_partition_warning
+
+    suppress_empty_shuffle_partition_warning()
     yield
     ray.shutdown()

@@ -178,3 +178,42 @@ def test_salted_forward_outlier_expected_matches_global_prefix_max(ray_session):
     assert len(ts_rows) == 8
     assert set(ts_rows["expected"]) == {str(base + 1_000_000_000_000)}
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_many_suspect_conversations(ray_session):
+    """>100 suspect conversations: the rescan source is a broadcast semi-join
+    (never a literal in-list expression) and the salted rows still equal the
+    unsalted path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    n_conv, n_turns = 120, 12
+    base = 1_704_067_200_000_000
+    conv = np.repeat([f"conv_{i:08d}" for i in range(n_conv)], n_turns)
+    turn = np.tile(np.arange(n_turns, dtype=np.int32), n_conv)
+    ts = base + turn.astype(np.int64) * 100_000_000
+    ts = ts + np.repeat(np.arange(n_conv, dtype=np.int64), n_turns) * 10_000_000_000
+    # forward outlier at turn 2 of EVERY conversation -> chunk 1 suspect
+    ts[turn == 2] += 500_000_000_000
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(conv),
+            "turn_idx": pa.array(turn),
+            "role": pa.array(np.where(turn % 2 == 0, "user", "assistant")),
+            "text": pa.array([f"t{i}" for i in range(len(conv))]),
+            "tool": pa.array([None] * len(conv), type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    spec = transcript_spec()
+    plain = norm(
+        conversation_violations(rd.from_arrow(tbl), spec).select_columns(VCOLS).to_pandas()
+    )
+    salted = norm(
+        conversation_violations_salted(rd.from_arrow(tbl), spec, chunk=5)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    assert len(plain) >= n_conv  # every conversation violates after its outlier
+    pd.testing.assert_frame_equal(plain, salted)

@@ -32,3 +32,43 @@ def test_read_transcripts_pruned(ray_session):
     ds = read_transcripts(tdir, columns=["conv_id", "turn_idx"])
     assert set(ds.schema().names) == {"conv_id", "turn_idx"}
     assert ds.count() > 1000
+
+
+def test_spec_writer_roundtrip(tmp_path):
+    """S8: save_spec_dir -> reload -> identical spec_hash (the schema upload
+    analog of gcp.py:62-90); update_repo_usage maintains usedInSchemas."""
+    from events_validator_ray.sources.specs import (
+        load_spec_dir,
+        save_repo,
+        save_spec_dir,
+        update_repo_usage,
+    )
+    from events_validator_ray.spec import load_spec
+
+    specs = load_spec_dir("specs")
+    assert specs  # fixture dir has documents
+    out_dir = str(tmp_path / "specs_out")
+    save_spec_dir(specs, out_dir)
+    reloaded = load_spec_dir(out_dir)
+    assert set(reloaded) == set(specs)
+    for name in specs:
+        assert reloaded[name].spec_hash() == specs[name].spec_hash()
+
+    # mutate -> write -> reload still faithful
+    import json
+
+    mutated = load_spec(
+        {"a": {"type": "string", "regex": "^x"}, "b": {"type": "number", "optional": True}},
+        event_name="mutant",
+    )
+    save_spec_dir({"mutant": mutated}, out_dir)
+    again = load_spec_dir(out_dir)
+    assert again["mutant"].spec_hash() == mutated.spec_hash()
+
+    repo = {"a": {"usedInSchemas": ["other"]}, "c": {"usedInSchemas": ["mutant"]}}
+    repo2 = update_repo_usage(repo, mutated)
+    assert repo2["a"]["usedInSchemas"] == ["mutant", "other"]
+    assert repo2["b"]["usedInSchemas"] == ["mutant"]
+    assert repo2["c"]["usedInSchemas"] == []  # no longer used by this schema
+    p = save_repo(repo2, str(tmp_path / "repo.json"))
+    assert json.load(open(p)) == repo2
