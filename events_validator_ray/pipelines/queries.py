@@ -212,6 +212,52 @@ def q_quantiles_turn_idx(sf_dir: str):
     )
 
 
+def q_distinct_conv_exact(sf_dir: str):
+    """EXACT distributed distinct count (the HLL query's ground-truth twin):
+    per-batch dedup partial -> groupby(conv_id) -> count. Shuffles one row
+    per distinct value per block, never the corpus."""
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _read_transcripts(sf_dir).select_columns(["conv_id"])
+
+    def batch_distinct(t: pa.Table) -> pa.Table:
+        return t.group_by("conv_id").aggregate([])
+
+    n = ds.map_batches(batch_distinct, batch_format="pyarrow").groupby("conv_id").count().count()
+    return pd.DataFrame([{"col": "conv_id", "n_distinct": int(n)}])
+
+
+def q_quantiles_exact(sf_dir: str):
+    """EXACT distributed quantiles over turn_idx (the t-digest query's
+    ground-truth twin): value-count groupby (cardinality-bounded), driver
+    cumsum + quantile_disc rank rule (lower interpolation)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    vc = (
+        _read_transcripts(sf_dir)
+        .select_columns(["turn_idx"])
+        .groupby("turn_idx")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("turn_idx")
+    )
+    counts = vc["n"].to_numpy()
+    vals = vc["turn_idx"].to_numpy()
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    rows = []
+    for q in (0.5, 0.9, 0.99):
+        # DuckDB quantile_disc: element at rank ceil(q * n) (1-based)
+        rank = max(1, int(np.ceil(q * total)))
+        idx = int(np.searchsorted(cum, rank))
+        rows.append({"q_permille": int(round(q * 1000)), "value": int(vals[idx])})
+    return pd.DataFrame(rows)
+
+
 def q_drift_roles(sf_dir: str):
     """PSI drift of the role histogram vs a fixed reference profile
     (rows-only check; scoring functions unit-tested)."""
@@ -681,6 +727,56 @@ def q_bucketed_join(sf_dir: str):
     )
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (SURVEY custom-operator slot): each purchase event picks up
+    the LAST prior view of the same user — one tagged-union shuffle
+    co-locating by hash(user_id), per-bucket vectorized merge_asof. Right
+    side pre-deduped to one row per (user, ts) so ties are deterministic."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max
+
+    from ..stages.joins import asof_join
+
+    def with_tsu(t: pa.Table) -> pa.Table:
+        return t.append_column("tsu", pc.cast(t["ts"], pa.int64()))
+
+    ds = _read_events(sf_dir).map_batches(with_tsu, batch_format="pyarrow")
+    left = ds.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "tsu"]
+    )
+    right = (
+        ds.filter(expr="event_type == 'view'")
+        .select_columns(["user_id", "tsu", "event_id"])
+        .groupby(["user_id", "tsu"])
+        .aggregate(Max("event_id", alias_name="view_event_id"))
+    )
+    joined = asof_join(left, right, on="tsu", by="user_id")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "view_event_id": df["view_event_id"].fillna(-1).astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def asof_oracle() -> str:
+    return (
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events "
+        "WHERE event_type = 'purchase'), "
+        "r AS (SELECT user_id, epoch_us(ts) AS tsu, MAX(event_id) AS view_event_id "
+        "FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_us(ts)) "
+        "SELECT l.event_id AS event_id, COALESCE(r.view_event_id, -1) AS view_event_id "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu"
+    )
+
+
 def _alternating_spec():
     import json as _json
 
@@ -881,6 +977,14 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "FROM tot LEFT JOIN err ON tot.date_utc = err.date_utc"
         ),
         "column_stats": "\nUNION ALL\n".join(stats_branches),
+        "distinct_conv_exact": (
+            f"SELECT 'conv_id' AS col, COUNT(DISTINCT conv_id) AS n_distinct FROM {t}"
+        ),
+        "quantiles_exact": "\nUNION ALL\n".join(
+            f"SELECT {int(q * 1000)} AS q_permille, "
+            f"CAST(quantile_disc(turn_idx, {q}) AS BIGINT) AS value FROM {t}"
+            for q in (0.5, 0.9, 0.99)
+        ),
         "worst_offenders": (
             f"WITH viol AS ({scalar}) SELECT field, error_type, COUNT(*) AS n "
             "FROM viol GROUP BY field, error_type "
@@ -931,7 +1035,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "error_rate": q_error_rate,
         "column_stats": q_column_stats,
         "hll_distinct_conv": q_hll_distinct_conv,
+        "distinct_conv_exact": q_distinct_conv_exact,
         "quantiles_turn_idx": q_quantiles_turn_idx,
+        "quantiles_exact": q_quantiles_exact,
         "drift_roles": q_drift_roles,
         "validate_events": q_validate_events,
         "events_failures_by_day": q_events_failures_by_day,
@@ -950,6 +1056,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "window_session": q_window_session,
         "broadcast_join": q_broadcast_join,
         "bucketed_join": q_bucketed_join,
+        "asof_join": q_asof_join,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -966,6 +1073,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["validate_json_props"] = json_props_oracle()
     out["validate_nested"] = nested_oracle(sf)
     out["validate_dispatch"] = dispatch_oracle()
+    out["asof_join"] = asof_oracle()
     out["window_tumbling"] = tumbling_oracle()
     out["window_session"] = session_oracle()
     out["broadcast_join"] = (

@@ -77,6 +77,71 @@ def semi_join_filter(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(flt, batch_format="pandas")
 
 
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    num_buckets: int = 32,
+    suffix: str = "_r",
+):
+    """As-of join (backward): for each left row, attach the LAST right row of
+    the same `by` key with right.on <= left.on — the operator Ray Data lacks,
+    expressed as ONE tagged-union shuffle co-locating both sides by
+    hash(`by`), then a per-bucket vectorized pandas merge_asof.
+
+    Partitioning assumption: all rows of one `by` key land in one bucket (hash
+    co-location) — the same invariant as bucketed_hash_join; salt hot keys
+    upstream if a single key outgrows a task. Matches DuckDB
+    `ASOF JOIN ... ON l.by = r.by AND l.on >= r.on` when the right side is
+    unique per (by, on); pre-aggregate it if not (ties are engine-specific)."""
+    from .sketches import hash64
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    rmap = {c: (c if c in (on, by) else (c + suffix if c in left_cols else c)) for c in right_cols}
+    out_right = [rmap[c] for c in right_cols if c not in (on, by)]
+    all_cols = left_cols + out_right
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            if side == "r":
+                b = b.rename(columns=rmap)
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.NA
+            b = b[all_cols]
+            b["__bucket"] = (
+                hash64(b[by].astype(str).to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            b["__side"] = side
+            return b
+
+        fn.__name__ = f"tag_{side}"
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols].sort_values(on, kind="stable")
+        r = g.loc[g["__side"] == "r", [by, on] + out_right].sort_values(on, kind="stable")
+        if l.empty:
+            return pd.DataFrame(columns=all_cols)
+        if r.empty:
+            out = l.copy()
+            for c in out_right:
+                out[c] = pd.NA
+            return out[all_cols]
+        merged = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return merged[all_cols]
+
+    join_bucket.__name__ = "asof_bucket"
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def bucketed_hash_join(
     left,
     right,

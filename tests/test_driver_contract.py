@@ -79,3 +79,56 @@ def test_entry_smoke(ray_session):
     assert ds.count() > 0
     names = set(ds.schema().names)
     assert {"event_id", "error_type", "status"} <= names
+
+
+def test_asof_join_matches_pandas_reference(ray_session):
+    """asof_join (bucketed merge_asof) vs a driver-side global merge_asof."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(400),
+            "k": rng.integers(0, 12, 400),
+            "t": rng.integers(0, 1000, 400).astype("int64"),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 14, 300),
+                "t": rng.integers(0, 1000, 300).astype("int64"),
+                "val": np.arange(300),
+            }
+        )
+        .groupby(["k", "t"], as_index=False)["val"]
+        .max()
+    )
+    got = (
+        asof_join(
+            rd.from_pandas(left).repartition(5),
+            rd.from_pandas(right).repartition(3),
+            on="t",
+            by="k",
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("t", kind="stable"),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(left)
+    lw = want.set_index("lid")["val"]
+    lg = got.set_index("lid")["val"]
+    lg.index = lg.index.astype("int64")  # union NA-padding makes lid object
+    pd.testing.assert_series_equal(lg.astype("float64"), lw.astype("float64"))
