@@ -27,17 +27,19 @@ Check semantics (each SQL-expressible, see __ray_entry__.oracle_sql):
 Skew: ``salted=True`` runs a two-phase variant — phase 1 groups by
 ``(conv_id, turn_idx // chunk)`` so a single million-turn conversation never
 lands in one task (within-chunk checks are exact because equal turn values
-share a chunk); phase 2 merges tiny per-chunk summaries per conversation for
-the cross-boundary gaps / first-turn checks, and flags "suspect" chunks whose
-min ts undercuts an earlier chunk's max; only those chunks are re-grouped in a
-third, tiny pass for exact cross-chunk ts violations. (Two-phase salting per
+share a chunk); phase 2 merges the per-chunk
+summaries per conversation DISTRIBUTED (hash-bucketed vectorized boundary
+carry — the summary table is conv x chunk and must never be collected) for
+the cross-boundary gaps / first-turn / alternation checks, and flags
+"suspect" chunks whose min ts undercuts an earlier chunk's prefix max; phase
+3 re-groups only those chunks and owns ALL their ts-order rows, with
+`expected` = the conversation-global prefix max. (Two-phase salting per
 DS2/ICDE'21, see PAPERS.md.)
 """
 
 from __future__ import annotations
 
 import datetime as _dt
-import json
 
 import numpy as np
 import pyarrow as pa
@@ -47,6 +49,37 @@ from ..spec import Spec
 from .validate import DEFAULT_RUN_TS, VIOLATION_SCHEMA
 
 _NEG_INF = np.iinfo(np.int64).min
+
+#: packed per-chunk summary layout (phase 1 -> phase 2): SEP-joined values in
+#: SUMMARY_FIELDS order, "" = null. Packed/unpacked with VECTORIZED string
+#: kernels — replaces the per-row json.dumps/json.loads round trip.
+SUMMARY_SEP = "\x1f"
+SUMMARY_FIELDS = [
+    "min_turn",
+    "max_turn",
+    "max_ts",
+    "min_ts",
+    "chunk",
+    "first_ok",
+    "min_role",
+    "alt_first_turn",
+    "alt_first_role",
+    "alt_last_role",
+]
+
+
+def parse_summary_payload(s: str) -> dict:
+    """Decode one packed summary payload (tests/debugging)."""
+    d = dict(zip(SUMMARY_FIELDS, s.split(SUMMARY_SEP)))
+    out: dict = {}
+    for k in ("min_turn", "max_turn", "max_ts", "min_ts", "chunk", "alt_first_turn"):
+        v = d.get(k, "")
+        out[k] = None if v == "" else int(v)
+    fo = d.get("first_ok", "")
+    out["first_ok"] = None if fo == "" else fo == "1"
+    for k in ("min_role", "alt_first_role", "alt_last_role"):
+        out[k] = d.get(k) or None
+    return out
 
 
 def _empty_out() -> dict[str, list]:
@@ -438,32 +471,49 @@ class BucketChecker:
             if alt_summary is not None:
                 stats = stats.join(alt_summary)
             stats = stats.reset_index()
-            has_first = "first_ok" in stats.columns
-            chunk_col = stats["chunk"].astype("int64") if "chunk" in stats.columns else pd.Series(0, index=stats.index)
-            payloads = []
-            for t in stats.itertuples(index=False):
-                d = t._asdict()
-                payload = {
-                    "min_turn": int(d["min_turn"]),
-                    "max_turn": int(d["max_turn"]),
-                    "max_ts": None if pd.isna(d["max_ts"]) else int(d["max_ts"]),
-                    "min_ts": None if pd.isna(d["min_ts"]) else int(d["min_ts"]),
-                    "chunk": int(d.get("chunk", 0)),
-                }
-                if has_first:
-                    payload["first_ok"] = bool(d["first_ok"])
-                    payload["min_role"] = None if pd.isna(d["min_role"]) else d["min_role"]
-                if "alt_first_role" in d:
-                    payload["alt_first_turn"] = (
-                        None if pd.isna(d["alt_first_turn"]) else int(d["alt_first_turn"])
-                    )
-                    payload["alt_first_role"] = (
-                        None if pd.isna(d["alt_first_role"]) else d["alt_first_role"]
-                    )
-                    payload["alt_last_role"] = (
-                        None if pd.isna(d["alt_last_role"]) else d["alt_last_role"]
-                    )
-                payloads.append(json.dumps(payload))
+            n_stats = len(stats)
+            chunk_col = (
+                stats["chunk"].astype("int64")
+                if "chunk" in stats.columns
+                else pd.Series(0, index=stats.index)
+            )
+
+            def s_int(col, default=""):
+                if col not in stats.columns:
+                    return np.full(n_stats, default, dtype=object)
+                v = pd.to_numeric(stats[col], errors="coerce").to_numpy(dtype="float64")
+                mask = np.isnan(v)
+                vals = np.where(mask, 0, v).astype(np.int64).astype(str).astype(object)
+                vals[mask] = ""
+                return vals
+
+            def s_str(col):
+                if col not in stats.columns:
+                    return np.full(n_stats, "", dtype=object)
+                return stats[col].fillna("").astype(str).to_numpy(dtype=object)
+
+            def s_bool(col):
+                if col not in stats.columns:
+                    return np.full(n_stats, "", dtype=object)
+                return np.where(stats[col].astype(bool), "1", "0").astype(object)
+
+            cols = [
+                s_int("min_turn"),
+                s_int("max_turn"),
+                s_int("max_ts"),
+                s_int("min_ts"),
+                chunk_col.astype(str).to_numpy(dtype=object),
+                s_bool("first_ok"),
+                s_str("min_role"),
+                s_int("alt_first_turn"),
+                s_str("alt_first_role"),
+                s_str("alt_last_role"),
+            ]
+            payloads = (
+                pd.Series(cols[0])
+                .str.cat([pd.Series(c) for c in cols[1:]], sep=SUMMARY_SEP)
+                .to_numpy(dtype=object)
+            )
             out.add(
                 (stats["conv_id"].astype(str) + ":" + chunk_col.astype(str)).to_numpy(dtype=object),
                 None,
@@ -472,7 +522,7 @@ class BucketChecker:
                 None,
                 stats["conv_id"].to_numpy(dtype=object),
                 status="summary",
-                payload=np.asarray(payloads, dtype=object),
+                payload=payloads,
             )
         return out.to_table(self.run_ts)
 
@@ -567,98 +617,141 @@ def conversation_violations(
 # ---------------------------------------------------------------------------
 
 
-def _phase2_driver(summaries: "pd.DataFrame", spec: Spec, run_ts: _dt.datetime):
-    """Phase 2, vectorized (pandas) over the tiny per-chunk summaries:
-    cross-chunk contiguity / min-turn-zero / first-role violations, plus the
-    suspect-chunk list for the ts re-scan.
-
-    Runs on the driver: summaries are one row per (conv, chunk) — orders of
-    magnitude smaller than the data. At extreme conversation counts the same
-    vectorized logic runs distributed (sort by (conv, chunk) + map_batches
-    with boundary carry); the sandbox path keeps it driver-side.
-    """
+def _unpack_summaries(df: "pd.DataFrame") -> "pd.DataFrame":
+    """Packed summary rows (event_name=conv, event_data=payload) -> one
+    structured frame (vectorized split; no per-row JSON)."""
     import pandas as pd
 
-    rows = _empty_out()
-    ename = spec.event_name
-    suspects: list[tuple[str, int, int]] = []  # (conv, chunk, prefix_max)
-    if summaries.empty:
-        return _finish(rows, run_ts), suspects
-    df = summaries.sort_values(["conv", "chunk"]).reset_index(drop=True)
-    g = df.groupby("conv", sort=False)
-    first_of_conv = g.cumcount() == 0
-    order = spec.table.order
+    parts = df["event_data"].str.split(SUMMARY_SEP, expand=True)
+    parts.columns = SUMMARY_FIELDS[: parts.shape[1]]
+    out = pd.DataFrame({"conv": df["event_name"].to_numpy()})
+    for c in ("min_turn", "max_turn", "max_ts", "min_ts", "chunk", "alt_first_turn"):
+        out[c] = pd.to_numeric(parts[c].replace("", np.nan)) if c in parts else np.nan
+    out["first_ok"] = parts["first_ok"] if "first_ok" in parts else ""
+    for c in ("min_role", "alt_first_role", "alt_last_role"):
+        out[c] = parts[c].replace("", np.nan) if c in parts else np.nan
+    return out
 
-    if order and order.contiguous:
-        m = first_of_conv & (df["min_turn"] != 0)
-        for conv, mt in zip(df.loc[m, "conv"], df.loc[m, "min_turn"]):
-            _emit(rows, f"{conv}:{mt}", "turn_idx", "order", "0", str(mt), ename)
-        prev_max = g["max_turn"].shift(1)
-        m = (~first_of_conv) & (df["min_turn"] - prev_max > 1)
-        for conv, mt, pm in zip(
-            df.loc[m, "conv"], df.loc[m, "min_turn"], prev_max[m]
-        ):
-            _emit(
-                rows, f"{conv}:{mt}", "turn_idx", "order", str(int(pm) + 1), str(mt), ename
+
+class _Phase2Bucket:
+    """DISTRIBUTED phase 2: one task processes a hash bucket of whole
+    conversations' per-chunk summaries with vectorized pandas kernels
+    (shift / cummax / ffill boundary carry) — cross-chunk contiguity,
+    min-turn-zero, first-role and alternation-carry violations, plus
+    `status='suspect'` marker rows (event_id=f"{conv}:{chunk}",
+    expected=str(prefix_max)) driving the phase-3 ts re-scan. Replaces the
+    old driver-side merge: at 10^12 turns the summary table (one row per
+    conv × chunk) is itself corpus-scale and must never be collected."""
+
+    def __init__(self, spec: Spec, run_ts: _dt.datetime):
+        self.spec = spec
+        self.run_ts = run_ts
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: "pd.DataFrame") -> pa.Table:
+        import pandas as pd
+
+        spec = self.spec
+        ename = spec.event_name
+        order = spec.table.order
+        out = _VecRows()
+        df = df.sort_values(["conv", "chunk"]).reset_index(drop=True)
+        g = df.groupby("conv", sort=False)
+        first = (g.cumcount() == 0).to_numpy()
+        conv = df["conv"].astype(str)
+
+        def eid(mask: np.ndarray, turns: "pd.Series") -> np.ndarray:
+            return (
+                conv[mask] + ":" + turns[mask].astype("int64").astype(str)
+            ).to_numpy(dtype=object)
+
+        if order and order.contiguous:
+            m = first & (df["min_turn"] != 0).to_numpy()
+            out.add(
+                eid(m, df["min_turn"]),
+                "turn_idx",
+                "order",
+                "0",
+                df.loc[m, "min_turn"].astype("int64").astype(str),
+                ename,
             )
-
-    first = spec.table.first_role
-    if first and "first_ok" in df.columns:
-        m = first_of_conv & (~df["first_ok"].astype(bool))
-        for conv, mt, mr in zip(
-            df.loc[m, "conv"], df.loc[m, "min_turn"], df.loc[m, "min_role"]
-        ):
-            _emit(
-                rows,
-                f"{conv}:{mt}",
-                "role",
-                "ref",
-                f"first_role={first}",
-                None if pd.isna(mr) else mr,
+            prev_max = g["max_turn"].shift(1)
+            m = (~first) & ((df["min_turn"] - prev_max) > 1).to_numpy()
+            out.add(
+                eid(m, df["min_turn"]),
+                "turn_idx",
+                "order",
+                (prev_max[m] + 1).astype("int64").astype(str),
+                df.loc[m, "min_turn"].astype("int64").astype(str),
                 ename,
             )
 
-    if order and order.alternate and "alt_first_role" in df.columns:
-        expected = "alternating " + "|".join(order.alternate)
-        alt_set = set(order.alternate)
-        for conv, g in df.groupby("conv", sort=False):
-            carry = None
-            for t in g.itertuples(index=False):
-                d = t._asdict()
-                fr = d.get("alt_first_role")
-                if fr is None or (isinstance(fr, float) and pd.isna(fr)):
-                    continue  # chunk had no roled turns; carry persists
-                if carry is not None and fr == carry and fr in alt_set:
-                    _emit(
-                        rows,
-                        f"{conv}:{int(d['alt_first_turn'])}",
-                        "role",
-                        "alt",
-                        expected,
-                        fr,
-                        ename,
-                    )
-                carry = d.get("alt_last_role")
+        fr = spec.table.first_role
+        if fr is not None:
+            m = first & (df["first_ok"] == "0").to_numpy()
+            out.add(
+                eid(m, df["min_turn"]),
+                "role",
+                "ref",
+                f"first_role={fr}",
+                df.loc[m, "min_role"],
+                ename,
+            )
 
-    if order and order.ts_monotone:
-        cm = df["max_ts"].astype("float64").groupby(df["conv"], sort=False).cummax()
-        prefix = cm.groupby(df["conv"], sort=False).shift(1)
-        min_ts = df["min_ts"].astype("float64")
-        m = prefix.notna() & min_ts.notna() & (min_ts < prefix)
-        for conv, ch, pm in zip(df.loc[m, "conv"], df.loc[m, "chunk"], prefix[m]):
-            suspects.append((conv, int(ch), int(pm)))
+        if order and order.alternate:
+            expected = "alternating " + "|".join(order.alternate)
+            alt_set = sorted(order.alternate)
+            fr_col = df["alt_first_role"]
+            # carry = last non-null alt_last_role of EARLIER chunks (roleless
+            # chunks don't reset it): shift then ffill within the conversation
+            prev_last = g["alt_last_role"].shift(1)
+            carry = prev_last.groupby(df["conv"], sort=False).ffill()
+            m = (
+                fr_col.notna()
+                & carry.notna()
+                & (fr_col == carry)
+                & fr_col.isin(alt_set)
+            ).to_numpy()
+            out.add(
+                eid(m, df["alt_first_turn"]),
+                "role",
+                "alt",
+                expected,
+                df.loc[m, "alt_first_role"],
+                ename,
+            )
 
-    return _finish(rows, run_ts), suspects
+        if order and order.ts_monotone:
+            cm = df["max_ts"].astype("float64").groupby(df["conv"], sort=False).cummax()
+            prefix = cm.groupby(df["conv"], sort=False).shift(1)
+            min_ts = df["min_ts"].astype("float64")
+            m = (prefix.notna() & min_ts.notna() & (min_ts < prefix)).to_numpy()
+            out.add(
+                (conv[m] + ":" + df.loc[m, "chunk"].astype("int64").astype(str)).to_numpy(
+                    dtype=object
+                ),
+                None,
+                "suspect",
+                prefix[m].astype("int64").astype(str),
+                None,
+                conv[m].to_numpy(dtype=object),
+                status="suspect",
+            )
+        return out.to_table(self.run_ts)
 
 
-class _SuspectRescan:
-    """Phase 3: ALL ts-order violations inside suspect chunks. Phase 1's
-    ts rows for suspect (conv, chunk) groups are dropped (see
-    `conversation_violations_salted`), so this pass owns them entirely:
-    a row violates iff ts < max(within-chunk prev-max, earlier-chunk prefix
-    max), and `expected` is that conversation-GLOBAL prefix max — identical
-    to the unsalted path / SQL oracle even when an earlier chunk holds the
-    running max (forward ts outlier)."""
+class _SuspectRescanBuckets:
+    """Phase 3: ALL ts-order violations inside suspect chunks. Phase 1's ts
+    rows for suspect (conv, chunk) groups are dropped (see
+    `conversation_violations_salted`), so this pass owns them entirely: a row
+    violates iff ts < max(within-chunk prev-max, earlier-chunk prefix max),
+    and `expected` is that conversation-GLOBAL prefix max — identical to the
+    unsalted path / SQL oracle even when an earlier chunk holds the running
+    max (forward ts outlier).
+
+    Vectorized over MANY suspect (conv, chunk) groups per hash-bucket task
+    (mirrors BucketChecker's ts kernels) — never one Ray task per suspect
+    chunk. `prefix_max` rides in the pickled callable, bounded by suspects."""
 
     def __init__(self, spec: Spec, run_ts: _dt.datetime, prefix_max: dict):
         self.spec = spec
@@ -666,35 +759,55 @@ class _SuspectRescan:
         self.prefix_max = prefix_max  # (conv, chunk) -> prefix max ts_us
         self.__name__ = type(self).__name__
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        conv = g["conv_id"][0].as_py()
-        chunk_id = int(g["chunk"][0].as_py())
-        pmax = self.prefix_max.get((conv, chunk_id))
-        rows = _empty_out()
-        if pmax is None:
-            return _finish(rows, self.run_ts)
-        turns, ts_us, ts_valid, _ = _group_arrays(g)
-        uq, inv = np.unique(turns, return_inverse=True)
-        max_per = np.full(len(uq), _NEG_INF, dtype=np.int64)
-        np.maximum.at(max_per, inv, ts_us)
-        prev_max = np.empty(len(uq), dtype=np.int64)
-        prev_max[0] = _NEG_INF
-        if len(uq) > 1:
-            prev_max[1:] = np.maximum.accumulate(max_per)[:-1]
-        within_pm = prev_max[inv]
-        eff = np.maximum(within_pm, pmax)
-        viol = ts_valid & (ts_us < eff)
-        for i in np.nonzero(viol)[0]:
-            _emit(
-                rows,
-                f"{conv}:{turns[i]}",
-                "ts",
-                "order",
-                str(eff[i]),
-                str(ts_us[i]),
-                self.spec.event_name,
-            )
-        return _finish(rows, self.run_ts)
+    def __call__(self, df) -> pa.Table:
+        import pandas as pd
+
+        order = self.spec.table.order
+        ts_name = order.ts_column if order else "ts"
+        out = _VecRows()
+        df = df.sort_values(["conv_id", "chunk", "turn_idx"], kind="stable").reset_index(
+            drop=True
+        )
+        s = pd.to_datetime(df[ts_name])
+        vals = s.astype("int64")
+        if str(s.dtype).startswith("datetime64[ns"):
+            vals = vals // 1000  # epoch MICROseconds everywhere
+        ts = vals.where(s.notna()).astype("float64")
+        key = ["conv_id", "chunk", "turn_idx"]
+        agg = (
+            pd.DataFrame({**{c: df[c] for c in key}, "_ts": ts})
+            .groupby(key, sort=True)
+            .agg(max_ts=("_ts", "max"))
+            .reset_index()
+        )
+        filled = agg["max_ts"].fillna(float("-inf"))
+        gkeys = [agg["conv_id"], agg["chunk"]]
+        cummax = filled.groupby(gkeys, sort=False).cummax()
+        agg["prevmax"] = cummax.groupby(gkeys, sort=False).shift(1)
+        joined = df.merge(agg[key + ["prevmax"]], on=key, how="left", sort=False)
+        pm_df = pd.DataFrame(
+            [(c, ch, p) for (c, ch), p in self.prefix_max.items()],
+            columns=["conv_id", "chunk", "_pmax"],
+        )
+        joined = joined.merge(pm_df, on=["conv_id", "chunk"], how="left", sort=False)
+        eff = np.maximum(
+            joined["prevmax"].fillna(float("-inf")).to_numpy(dtype="float64"),
+            joined["_pmax"].fillna(float("-inf")).to_numpy(dtype="float64"),
+        )
+        tnp = ts.to_numpy(dtype="float64")
+        m = ~np.isnan(tnp) & (tnp < eff)
+        sel = joined[m]
+        out.add(
+            (sel["conv_id"].astype(str) + ":" + sel["turn_idx"].astype(str)).to_numpy(
+                dtype=object
+            ),
+            ts_name,
+            "order",
+            pd.Series(eff[m]).astype("int64").astype(str).to_numpy(dtype=object),
+            ts[m].astype("int64").astype(str),
+            self.spec.event_name,
+        )
+        return out.to_table(self.run_ts)
 
 
 def conversation_violations_salted(
@@ -713,7 +826,6 @@ def conversation_violations_salted(
     """
     import pandas as pd
     import pyarrow.compute as _pc
-    import ray.data as rd
 
     projected = _project(ds, spec)
 
@@ -745,23 +857,45 @@ def conversation_violations_salted(
         .materialize()
     )
     viol1 = phase1.filter(expr="status == 'error'")
-    sum_rows = (
+    # phase 2 runs DISTRIBUTED: unpack the packed summaries, hash-bucket whole
+    # conversations, merge chunk boundaries per bucket. Only its OUTPUT
+    # (cross-chunk violations + suspect markers — bounded by actual issues,
+    # never the summary table) is collected.
+    structured = (
         phase1.filter(expr="status == 'summary'")
         .select_columns(["event_name", "event_data"])
-        .take_all()
+        .map_batches(_unpack_summaries, batch_format="pandas")
+        .materialize()  # object-store (distributed), never the driver
     )
-    summaries = pd.DataFrame(
-        [json.loads(r["event_data"]) | {"conv": r["event_name"]} for r in sum_rows]
-    )
-    viol2_tbl, suspects = _phase2_driver(summaries, spec, run_ts)
+    if structured.count() <= 5_000_000:
+        # small summary table: one coalesced task beats a second shuffle
+        p2 = (
+            structured.repartition(1)
+            .map_batches(_Phase2Bucket(spec, run_ts), batch_format="pandas", batch_size=None)
+            .materialize()
+        )
+    else:
+        # corpus-scale summaries (10^12 turns): hash-bucket whole
+        # conversations and merge boundaries per bucket
+        p2 = (
+            _with_bucket(structured, 64, cols=("conv",))
+            .groupby("bucket")
+            .map_groups(_Phase2Bucket(spec, run_ts), batch_format="pandas")
+            .materialize()
+        )
     out = viol1
-    if viol2_tbl.num_rows:
-        out = out.union(rd.from_arrow(viol2_tbl))
+    suspects: list[tuple[str, int, int]] = []
+    if p2.count() > 0:
+        out = out.union(p2.filter(expr="status == 'error'"))
+        for r in (
+            p2.filter(expr="status == 'suspect'")
+            .select_columns(["event_id", "expected"])
+            .take_all()
+        ):
+            c, ch = r["event_id"].rsplit(":", 1)
+            suspects.append((c, int(ch), int(r["expected"])))
     if suspects:
-        from .joins import semi_join_filter
-
         pmax = {(c, ch): pm for c, ch, pm in suspects}
-        suspect_convs = sorted({c for c, _, _ in suspects})
         ts_name = spec.table.order.ts_column if spec.table.order else "ts"
 
         # phase 3 owns ALL ts-order rows for suspect chunks: drop phase 1's
@@ -790,10 +924,23 @@ def conversation_violations_salted(
             return df[~drop]
 
         out = out.map_batches(drop_suspect_ts, batch_format="pandas")
-        # broadcast semi-join (never a giant literal `in`-list expression)
-        rescan_src = semi_join_filter(salted, suspect_convs, on="conv_id")
-        viol3 = rescan_src.groupby(["conv_id", "chunk"]).map_groups(
-            _SuspectRescan(spec, run_ts, pmax), batch_format="pyarrow"
+        # broadcast semi-join on the COMPOSITE (conv, chunk) key (never a
+        # literal `in`-list expression), then a hash-bucketed vectorized
+        # rescan — many suspect chunks per task, not one task per chunk
+        key_ref = _ray.put(frozenset(f"{c}:{ch}" for (c, ch) in pmax))
+
+        def keep_suspect(df: "pd.DataFrame") -> "pd.DataFrame":
+            keys = key_ref
+            if isinstance(keys, _ray.ObjectRef):
+                keys = _ray.get(keys)
+            m = (df["conv_id"].astype(str) + ":" + df["chunk"].astype(str)).isin(keys)
+            return df[m]
+
+        rescan_src = salted.map_batches(keep_suspect, batch_format="pandas")
+        viol3 = (
+            _with_bucket(rescan_src, 64, cols=("conv_id", "chunk"))
+            .groupby("bucket")
+            .map_groups(_SuspectRescanBuckets(spec, run_ts, pmax), batch_format="pandas")
         )
         out = out.union(viol3)
     return out

@@ -74,8 +74,6 @@ def test_skew_detection_and_auto(ray_session):
 def test_salted_bounds_group_size(ray_session):
     """Structural skew guarantee: with salt chunk K, no phase-1 group spans
     more than K distinct turn values (verified from the summary rows)."""
-    import json
-
     import ray.data as rd
 
     from events_validator_ray.spec import transcript_spec
@@ -83,6 +81,7 @@ def test_salted_bounds_group_size(ray_session):
         BucketChecker,
         _project,
         _with_bucket,
+        parse_summary_payload,
     )
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -111,7 +110,7 @@ def test_salted_bounds_group_size(ray_session):
         )
     )
     sums = [
-        json.loads(r["event_data"])
+        parse_summary_payload(r["event_data"])
         for r in phase1.filter(expr="status == 'summary'").take_all()
     ]
     assert sums
