@@ -171,6 +171,69 @@ class SampleFrames:
         )
 
 
+class ExtractAudio:
+    """Actor-pool stage for audio: payload -> (media_id, sample_rate,
+    n_samples, features[dim]) — loudness/spectral-style summary vector. Real
+    path would use soundfile/librosa (imported once per actor); neither ships
+    in this container, so the stub derives deterministic metadata + features
+    from the payload bytes. With allow_fake=False and no library the stage
+    raises at construction, never mid-stream."""
+
+    def __init__(self, feature_dim: int = 32, allow_fake: bool = True):
+        self.feature_dim = feature_dim
+        try:
+            import soundfile  # noqa: F401
+
+            self._codec = soundfile
+        except ImportError:
+            self._codec = None
+            if not allow_fake:
+                raise NotImplementedError(
+                    "audio decoding requires soundfile/librosa; allow_fake=True for stub"
+                )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rates, counts, feats = [], [], []
+        for p in payloads:
+            p = p or b""
+            if self._codec is not None:  # pragma: no cover - lib absent here
+                import io
+
+                data, rate = self._codec.read(io.BytesIO(p))
+                rates.append(int(rate))
+                counts.append(int(len(data)))
+                feats.append(
+                    np.resize(np.abs(np.asarray(data, dtype=np.float32)), self.feature_dim)
+                )
+            else:
+                rates.append(16_000)
+                counts.append(len(p) * 8)
+                feats.append(_digest_floats(b"audio" + p, self.feature_dim))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(rates, pa.int32()),
+                "n_samples": pa.array(counts, pa.int64()),
+                "features": pa.array(
+                    [f.tolist() for f in feats], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+
+def extract_audio(ds, feature_dim: int = 32, concurrency: int = 2, batch_size: int = 32):
+    return ds.filter(expr="kind == 'audio'").map_batches(
+        ExtractAudio,
+        fn_constructor_kwargs={"feature_dim": feature_dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 def synthetic_media(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media corpus matching MEDIA_SCHEMA (for tests)."""
     rng = np.random.default_rng(seed)

@@ -219,3 +219,103 @@ def test_fuzz_json_docs_plumbing(seed):
         for field, etype, exp, act in validate_event(spec.fields, d):
             want.add((f"c{i}:{i}", field, etype, exp, act))
     assert got == want
+
+
+def random_typed_nested_spec_and_batch(seed: int):
+    """Random nestedSchema specs over TYPED list<struct>/struct/list<scalar>
+    columns (the vectorized nested walk's input domain)."""
+    rng = np.random.default_rng(seed)
+    n = 250
+    cols: dict[str, pa.Array] = {"event_id": pa.array(np.arange(n, dtype=np.int64))}
+    spec_json: dict[str, dict] = {"event_id": {"type": "number"}}
+
+    def child_rule(kind):
+        rule: dict = {}
+        # sometimes a deliberately mismatched expected type
+        rule["type"] = (
+            kind if rng.random() < 0.7 else ["string", "number", "boolean"][int(rng.integers(0, 3))]
+        )
+        if kind == "string" and rng.random() < 0.4:
+            rule["regex"] = ["^a", "[0-9]$", "x"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3:
+            rule["value"] = ["alpha", 3, "true"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3:
+            rule["length"] = int(rng.integers(0, 4))
+        if rng.random() < 0.3:
+            rule["optional"] = True
+        return rule
+
+    def scalar_children(total):
+        s_pool = np.array(["alpha", "beta", "", "  ", "ax9"], dtype=object)
+        svals = s_pool[rng.integers(0, len(s_pool), total)]
+        svals[rng.random(total) < 0.15] = None
+        mvals = rng.integers(-3, 9, total).astype(object)
+        mvals[rng.random(total) < 0.15] = None
+        return (
+            pa.array(svals, pa.string()),
+            pa.array(mvals, pa.int64()),
+        )
+
+    # list<struct<s: string, m: int64>> with occasional null lists/items
+    n_items = rng.integers(0, 4, n)
+    null_list = rng.random(n) < 0.1
+    n_items[null_list] = 0
+    total = int(n_items.sum())
+    s_arr, m_arr = scalar_children(total)
+    item_null = rng.random(total) < 0.12
+    child = pa.StructArray.from_arrays(
+        [s_arr, m_arr], names=["s", "m"], mask=pa.array(item_null)
+    )
+    offsets = np.concatenate([[0], np.cumsum(n_items)]).astype(np.int32)
+    cols["items"] = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), child, mask=pa.array(null_list)
+    )
+    spec_json["items"] = {
+        "type": "array",
+        "nestedSchema": {
+            "s": child_rule("string"),
+            "m": child_rule("number"),
+            # key absent from the struct type -> per-item missing
+            "ghost": {"type": "string", "optional": bool(rng.random() < 0.5)},
+        },
+    }
+
+    # struct<s: string, m: int64>
+    s2, m2 = scalar_children(n)
+    null_struct = rng.random(n) < 0.1
+    cols["meta"] = pa.StructArray.from_arrays(
+        [s2, m2], names=["s", "m"], mask=pa.array(null_struct)
+    )
+    spec_json["meta"] = {
+        "type": "object",
+        "nestedSchema": {"s": child_rule("string"), "m": child_rule("number")},
+        **({"optional": True} if rng.random() < 0.3 else {}),
+    }
+
+    # list<string> with the wrapped {'': item} wildcard rule
+    n_tags = rng.integers(0, 3, n)
+    tag_total = int(n_tags.sum())
+    t_arr, _ = scalar_children(tag_total)
+    toff = np.concatenate([[0], np.cumsum(n_tags)]).astype(np.int32)
+    cols["tags"] = pa.ListArray.from_arrays(pa.array(toff, type=pa.int32()), t_arr)
+    spec_json["tags"] = {
+        "type": "array",
+        "nestedSchema": {"": child_rule("string"), "k": child_rule("number")},
+    }
+
+    return load_spec(spec_json, event_name="t"), pa.table(cols)
+
+
+@pytest.mark.parametrize("seed", [1201, 1202, 1203, 1204, 1205, 1206])
+def test_fuzz_typed_nested_vs_oracle(seed):
+    spec, batch = random_typed_nested_spec_and_batch(seed)
+    res = ValidateBatch(spec, log_valid=False, include_refs=False, id_cols=("event_id",))(batch)
+    got = {
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in res.to_pylist()
+    }
+    want = set()
+    for row in batch.to_pylist():
+        for field, etype, exp, act in validate_event(spec.fields, row):
+            want.add((str(row["event_id"]), field, etype, exp, act))
+    assert got == want

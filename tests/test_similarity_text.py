@@ -126,6 +126,16 @@ def test_multimodal_plumbing(ray_session):
     )
     assert len(frames) == 16 * 3
 
+    from events_validator_ray.stages.multimodal import extract_audio
+
+    audio = extract_audio(rd.from_arrow(synthetic_media(48)), feature_dim=16).take_all()
+    assert len(audio) == 16  # every 3rd is audio
+    assert all(len(r["features"]) == 16 and r["sample_rate"] == 16_000 for r in audio)
+    audio2 = extract_audio(rd.from_arrow(synthetic_media(48)), feature_dim=16).take_all()
+    assert {r["media_id"]: tuple(r["features"]) for r in audio} == {
+        r["media_id"]: tuple(r["features"]) for r in audio2
+    }
+
 
 def test_fingerprint_vectorized_equals_rowwise_reference():
     """The batch-vectorized winnowing (global sliding min + boundary masks +
