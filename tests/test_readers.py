@@ -72,3 +72,37 @@ def test_spec_writer_roundtrip(tmp_path):
     assert repo2["c"]["usedInSchemas"] == []  # no longer used by this schema
     p = save_repo(repo2, str(tmp_path / "repo.json"))
     assert json.load(open(p)) == repo2
+
+
+def test_schema_markdown_export(tmp_path):
+    """S10 analog: the doc exporter renders the reference PDF's structure
+    (header + parameter table + per-container nested-key tables) as Markdown."""
+    from events_validator_ray.functions.export import (
+        export_schema_markdown,
+        export_spec_dir_markdown,
+    )
+    from events_validator_ray.spec import load_spec
+
+    spec = load_spec(
+        {
+            "version": "1.2",
+            "event_name": {"type": "string", "value": "purchase"},
+            "currency": {"type": "string", "description": "ISO code | pipe"},
+            "items": {
+                "type": "array",
+                "nestedSchema": {
+                    "item_id": {"type": "string", "description": "sku"},
+                    "qty": {"type": "number", "optional": True},
+                },
+            },
+        },
+        event_name="purchase",
+    )
+    md = export_schema_markdown(spec)
+    assert "# Schema: purchase" in md
+    assert "version: 1.2" in md
+    assert "| **currency** | string | Yes |  | ISO code \\| pipe |" in md
+    assert "## items: nested keys" in md
+    assert "| **qty** | number | No |" in md
+    paths = export_spec_dir_markdown({"purchase": spec}, str(tmp_path / "docs"))
+    assert paths and open(paths[0]).read() == md
