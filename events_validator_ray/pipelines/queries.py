@@ -777,6 +777,85 @@ def asof_oracle() -> str:
     )
 
 
+def q_range_join(sf_dir: str):
+    """Range (point-in-interval) join: every event assigned to its session
+    window (same user, tsu within [session_start, session_end]) — the
+    sessionizer's intervals joined back to the point stream through ONE
+    tagged-union shuffle."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.joins import range_join
+    from ..stages.windows import session_window_agg
+
+    def with_tsu(t: pa.Table) -> pa.Table:
+        return t.append_column("tsu", pc.cast(t["ts"], pa.int64()))
+
+    ds = _read_events(sf_dir).map_batches(with_tsu, batch_format="pyarrow")
+    sessions = session_window_agg(_read_events(sf_dir), key="user_id", ts_col="ts", gap_s=1800)
+    left = ds.select_columns(["event_id", "user_id", "tsu"])
+    joined = range_join(
+        left, sessions, on="user_id", point="tsu", lo="session_start", hi="session_end"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "session_start": df["session_start"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def range_join_oracle(gap_s: int = 1800) -> str:
+    return (
+        f"WITH s AS ({session_oracle(gap_s)}), "
+        "e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events) "
+        "SELECT e.event_id AS event_id, s.session_start AS session_start "
+        "FROM e JOIN s ON e.user_id = s.user_id "
+        "AND e.tsu BETWEEN s.session_start AND s.session_end"
+    )
+
+
+def q_near_dup_pairs(sf_dir: str):
+    """EXACT all-pairs cosine similar-pairs over the embeddings table (the
+    ground-truth baseline for embedding_dedup's LSH path; the synthetic
+    embeddings are near-orthogonal, so the threshold sits where pairs exist).
+    The block filter runs at a slack margin so the exact cutoff happens on
+    the integer micro score — boundary-robust across engines."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.similarity import exact_cosine_pairs
+
+    pairs = exact_cosine_pairs(_read_table(sf_dir, "embeddings"), threshold=0.3)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        micro = np.floor(df["score"].to_numpy() * 1_000_000 + 0.5).astype("int64")
+        keep = micro >= 400_000
+        return pd.DataFrame(
+            {
+                "a": df["a"].to_numpy()[keep],
+                "b": df["b"].to_numpy()[keep],
+                "score_micro": micro[keep],
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+def near_dup_pairs_oracle() -> str:
+    return (
+        "WITH p AS (SELECT e1.vec_id AS a, e2.vec_id AS b, "
+        "CAST(floor(list_cosine_similarity(e1.embedding, e2.embedding) * 1000000 + 0.5) AS BIGINT) AS score_micro "
+        "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id) "
+        "SELECT a, b, score_micro FROM p WHERE score_micro >= 400000"
+    )
+
+
 def _alternating_spec():
     import json as _json
 
@@ -1057,6 +1136,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "bucketed_join": q_bucketed_join,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "near_dup_pairs": q_near_dup_pairs,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1074,6 +1155,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["validate_nested"] = nested_oracle(sf)
     out["validate_dispatch"] = dispatch_oracle()
     out["asof_join"] = asof_oracle()
+    out["range_join"] = range_join_oracle()
+    out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["window_tumbling"] = tumbling_oracle()
     out["window_session"] = session_oracle()
     out["broadcast_join"] = (

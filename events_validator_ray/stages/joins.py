@@ -142,6 +142,64 @@ def asof_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
 
 
+def range_join(
+    left,
+    right,
+    on: str,
+    point: str,
+    lo: str,
+    hi: str,
+    num_buckets: int = 32,
+):
+    """Range (point-in-interval) join: each left row matches right rows of the
+    same `on` key whose [lo, hi] interval contains left.`point` (inclusive) —
+    e.g. event -> session assignment. One tagged-union shuffle co-locating by
+    hash(`on`); per bucket a pandas equi-merge on the key followed by the
+    interval filter.
+
+    Partitioning assumption: all rows of one key share a bucket; the per-key
+    interval count bounds the transient merge fan-out (sessions per user, not
+    the corpus)."""
+    from .sketches import hash64
+
+    left_cols = list(left.schema().names)
+    right_cols = list(right.schema().names)
+    out_right = [c for c in right_cols if c != on]
+    all_cols = left_cols + out_right
+
+    def tag(side: str):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.NA
+            b = b[all_cols]
+            b["__bucket"] = (
+                hash64(b[on].astype(str).to_numpy()) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            b["__side"] = side
+            return b
+
+        fn.__name__ = f"tag_{side}"
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["__side"] == "l", left_cols]
+        r = g.loc[g["__side"] == "r", [on] + out_right]
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=all_cols)
+        m = l.merge(r, on=on, how="inner")
+        keep = (m[point] >= m[lo]) & (m[point] <= m[hi])
+        return m[keep][all_cols]
+
+    join_bucket.__name__ = "range_bucket"
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def bucketed_hash_join(
     left,
     right,

@@ -200,3 +200,62 @@ def ann_topk_ivf(
     out["rank"] = out.groupby("query_id").cumcount() + 1
     out["score"] = out["score"].round(6)
     return out[["query_id", "vec_id", "rank", "score"]].reset_index(drop=True)
+
+
+class _CosinePairsBlock:
+    """map_batches stage: each batch's vectors vs the broadcast corpus matrix;
+    emits (a, b, score) for a < b with cosine >= threshold."""
+
+    def __init__(self, corpus_ref, threshold: float, col: str, id_col: str):
+        self.corpus_ref = corpus_ref  # ObjectRef to (ids, normalized matrix)
+        self.threshold = threshold
+        self.col = col
+        self.id_col = id_col
+        self._c = None
+
+    def _corpus(self):
+        if self._c is None:
+            obj = self.corpus_ref
+            import ray
+
+            if isinstance(obj, ray.ObjectRef):
+                obj = ray.get(obj)
+            self._c = obj
+        return self._c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_ids, M = self._corpus()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        E = _normalize(
+            np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        sims = E @ M.T  # (batch, corpus)
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a = ids[bi]
+        b = all_ids[cj]
+        keep = a < b  # each unordered pair once, never self-pairs
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "score": pa.array(sims[bi, cj][keep]),
+            }
+        )
+
+
+def exact_cosine_pairs(ds, threshold: float, col: str = "embedding", id_col: str = "vec_id"):
+    """EXACT all-pairs cosine near-dup pairs (a < b, sim >= threshold): the
+    brute-force ground-truth baseline for embedding_dedup's LSH path. The
+    corpus matrix is broadcast ONCE via ray.put and each map_batches block
+    multiplies against it — linear scans, zero shuffle; use only when the
+    embedding table fits the object store (the LSH variant is the scale
+    path). Returns a Dataset (a, b, score)."""
+    import ray
+
+    rows = ds.select_columns([id_col, col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    M = _normalize(np.stack([np.asarray(r[col], dtype=np.float64) for r in rows]))
+    ref = ray.put((ids, M))
+    return ds.map_batches(
+        _CosinePairsBlock(ref, threshold, col, id_col), batch_format="pyarrow"
+    )
