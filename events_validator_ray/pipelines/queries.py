@@ -852,6 +852,43 @@ def near_dup_pairs_oracle() -> str:
     )
 
 
+def q_curate_docs(sf_dir: str):
+    """End-to-end curation pipeline (quality -> exact dedup -> near-dup) over
+    the documents table; the SQL-expressible stage counts are the compared
+    output (near-dup count is approximate by design and unit-tested)."""
+    import os
+
+    import pandas as pd
+
+    from ..sources.transcripts import sf_from_dir
+    from .curate import curate_documents
+
+    out = f"/tmp/graft_curate_out_sf{sf_from_dir(sf_dir):g}"
+    s = curate_documents(os.path.join(sf_dir, "documents.parquet"), out)
+    return pd.DataFrame(
+        [
+            {
+                "n_input": int(s["n_input"]),
+                "n_after_quality": int(s["n_after_quality"]),
+                "n_after_exact": int(s["n_after_exact"]),
+            }
+        ]
+    )
+
+
+def curate_oracle() -> str:
+    from .queries import training_ops_oracles  # self-import safe at call time
+
+    quality_sql = training_ops_oracles()["quality_scores"]
+    return (
+        f"WITH q AS ({quality_sql}) "
+        "SELECT (SELECT COUNT(*) FROM documents) AS n_input, "
+        "(SELECT COUNT(*) FROM q WHERE keep = 1) AS n_after_quality, "
+        "(SELECT COUNT(DISTINCT d.text) FROM documents d "
+        "JOIN q ON d.doc_id = q.doc_id WHERE q.keep = 1) AS n_after_exact"
+    )
+
+
 def _alternating_spec():
     import json as _json
 
@@ -1133,6 +1170,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "curate_docs": q_curate_docs,
         "near_dup_pairs": q_near_dup_pairs,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -1152,6 +1190,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["validate_dispatch"] = dispatch_oracle()
     out["asof_join"] = asof_oracle()
     out["range_join"] = range_join_oracle()
+    out["curate_docs"] = curate_oracle()
     out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["window_tumbling"] = tumbling_oracle()
     out["window_session"] = session_oracle()
