@@ -4,17 +4,21 @@ clean partitioned parquet + stats manifest.
 
 Stage shapes (all Ray-Data-native, documented partitioning assumptions):
 
-1. quality  — `map_batches(QualityScore)` keep-flag (vectorized ratios);
-              dropped docs counted per batch, never collected.
-2. exact    — content-hash groupby -> min-id keepers (16 B/row shuffle);
-              keeper ids broadcast back as a semi-join filter. The keeper
-              set is bounded by DISTINCT surviving docs; at corpora where
-              even that outgrows the object store, swap the broadcast for
-              `joins.bucketed_hash_join` on doc_id (same output).
+1. quality  — INLINE `map_batches` filter (QualityScore keep-flag computed
+              per batch on the full rows — no id set, no join, nothing on
+              the driver).
+2. exact    — ONE coarse-bucketed content-hash shuffle
+              (`hash % num_buckets` groups, vectorized first-per-hash inside
+              each task — never one group per distinct text); the deduped
+              stream is materialized in the OBJECT STORE (distributed,
+              spillable) because three consumers follow (count, minhash,
+              sink) and re-executing the shuffle per consumer would triple
+              it.
 3. near-dup — MinHash-LSH clusters (`assembly='auto'`: driver union-find
               below the pair bound, distributed label propagation above);
               only cluster REPRESENTATIVES (min doc id) survive. The
-              non-representative id set is bounded by near-duplicate docs.
+              dropped-id set is bounded by NEAR-DUPLICATE docs (real skew),
+              so its broadcast is safe.
 4. sink     — partitioned parquet (atomic tmp+rename) + one manifest record
               with per-stage counts, resumable via input fingerprint.
 """
@@ -45,7 +49,7 @@ def curate_documents(
     import ray
     import ray.data as rd
 
-    from ..stages.dedup import exact_dedup, minhash_lsh_dedup
+    from ..stages.dedup import minhash_lsh_dedup
     from ..stages.text import QualityScore
 
     if os.path.isdir(input_path):
@@ -64,37 +68,45 @@ def curate_documents(
     ds = rd.read_parquet(files)
     n_input = ds.count()
 
-    # ---- stage 1: quality keep-flag, joined back by id (broadcast set)
+    # ---- stage 1: inline quality filter (per-batch keep mask; map-only)
+    import pyarrow as pa
+
     q = QualityScore(col, min_chars=min_chars, max_chars=max_chars, min_stop_ratio=min_stop_ratio)
-    kept_ids = (
-        ds.map_batches(q, batch_format="pyarrow")
-        .filter(expr="keep == True")
-        .select_columns([id_col])
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        keep = q(batch)["keep"].to_numpy()
+        return batch.filter(pa.array(keep))
+
+    survivors = ds.map_batches(quality_filter, batch_format="pyarrow")
+    n_quality = survivors.count()  # one map-only pass
+
+    # ---- stage 2: exact dedup — one coarse-bucketed content-hash shuffle
+    from ..stages.dedup import add_content_hash
+
+    num_buckets = 64
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = add_content_hash(batch, col)
+        h = t["content_hash"].to_numpy(zero_copy_only=False).astype("uint64")
+        return t.append_column(
+            "pbucket", pa.array((h % np.uint64(num_buckets)).astype("int32"))
+        )
+
+    def first_per_hash(g):
+        g = g.sort_values(["content_hash", id_col], kind="stable")
+        return g[~g["content_hash"].duplicated()].drop(columns=["content_hash", "pbucket"])
+
+    first_per_hash.__name__ = "first_per_hash"
+    deduped = (
+        survivors.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(first_per_hash, batch_format="pandas")
+        .materialize()  # three consumers follow; object-store, spillable
     )
-    keep_set = frozenset(r[id_col] for r in kept_ids.take_all())  # bounded by survivors
-    n_quality = len(keep_set)
-    keep_ref = ray.put(keep_set)
-
-    def keep_quality(df):
-        keys = keep_ref
-        if isinstance(keys, ray.ObjectRef):
-            keys = ray.get(keys)
-        return df[df[id_col].isin(keys)]
-
-    survivors = ds.map_batches(keep_quality, batch_format="pandas")
-
-    # ---- stage 2: exact dedup keepers
-    exact_ids = frozenset(r[id_col] for r in exact_dedup(survivors, col, id_col).take_all())
-    n_exact = len(exact_ids)
-    exact_ref = ray.put(exact_ids)
-
-    def keep_exact(df):
-        keys = exact_ref
-        if isinstance(keys, ray.ObjectRef):
-            keys = ray.get(keys)
-        return df[df[id_col].isin(keys)]
-
-    survivors = survivors.map_batches(keep_exact, batch_format="pandas")
+    n_exact = deduped.count()
+    survivors = deduped
 
     # ---- stage 3: near-dup clusters -> drop non-representatives
     clusters = minhash_lsh_dedup(
