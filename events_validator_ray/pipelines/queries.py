@@ -475,13 +475,17 @@ def q_fingerprints(sf_dir: str):
 
     from ..stages.text import fingerprints
 
-    df = fingerprints(_read_table(sf_dir, "documents")).to_pandas()
-    return pd.DataFrame(
-        {
-            "doc_id": df["doc_id"],
-            "n_fp": df["fingerprint"].map(len).astype("int64"),
-            "fp_min": df["fingerprint"].map(lambda l: int(min(l)) if len(l) else 0),
-        }
+    def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_fp": df["fingerprint"].map(len).astype("int64"),
+                "fp_min": df["fingerprint"].map(lambda l: int(min(l)) if len(l) else 0),
+            }
+        )
+
+    return fingerprints(_read_table(sf_dir, "documents")).map_batches(
+        reduce, batch_format="pandas"
     )
 
 

@@ -564,14 +564,26 @@ def detect_skew(
     the largest group's share of all rows (the 'detect skew from a conv_id
     heavy-hitter sketch' step, SURVEY.md §4.2). Drives the auto choice
     between the plain and salted conversation paths."""
+    from ray.data.aggregate import Count
+
+    # seeded sample -> both consumers below recompute the identical cheap
+    # map-only lineage (no object-store copy of a 10^10-row sample)
     sample = ds.select_columns([within]).random_sample(sample_frac, seed=seed)
-    vc = sample.to_pandas()[within].value_counts()
-    total = int(vc.sum())
-    top = [(str(k), int(v)) for k, v in vc.head(top_k).items()]
+    total = sample.count()
+    # distributed value-counts; only the top-k rows reach the driver (a 2%
+    # sample of 10^12 turns is still 10^10 rows — never collect it)
+    top_rows = (
+        sample.groupby(within)
+        .aggregate(Count(alias_name="n"))
+        .sort("n", descending=True)
+        .limit(top_k)
+        .take_all()
+    )
+    top = [(str(r[within]), int(r["n"])) for r in top_rows]
     return {
         "sampled_rows": total,
         "top": top,
-        "max_share": (top[0][1] / total) if total else 0.0,
+        "max_share": (top[0][1] / total) if (total and top) else 0.0,
     }
 
 
