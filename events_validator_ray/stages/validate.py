@@ -953,49 +953,66 @@ class ValidateDispatchBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
+        # ONE dictionary-encode + stable sort partitions the batch into
+        # contiguous per-dispatch-value slices (O(N log N) + one take),
+        # instead of one full-batch string-mask pass PER SPEC — the win at
+        # GA4-like spec counts (36 schemas)
         disp = js_string_cast(batch[self.dispatch_col])
-        parts: list[pa.Table] = []
-        matched = np.zeros(batch.num_rows, dtype=bool)
-        from ..functions.kernels import bool_np as _bool_np
+        if isinstance(disp, pa.ChunkedArray):
+            disp = disp.combine_chunks()
+        denc = disp.dictionary_encode()
+        idx = (
+            _pc.fill_null(denc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        vals = denc.dictionary.to_pylist()
+        order = np.argsort(idx, kind="stable")
+        sorted_batch = batch.take(pa.array(order, type=pa.int64()))
+        sidx = idx[order]
+        run_starts = np.flatnonzero(np.r_[True, sidx[1:] != sidx[:-1]])
+        run_ends = np.r_[run_starts[1:], len(sidx)]
 
-        for name, validator in self._validators.items():
-            mask = _bool_np(_pc.equal(disp, name))
-            if not mask.any():
-                continue
-            matched |= mask
-            parts.append(validator(batch.filter(pa.array(mask))))
-        rest = ~matched
-        if rest.any():
-            sub = batch.filter(pa.array(rest))
-            if self._default_validator is not None:
+        parts: list[pa.Table] = []
+        rest_slices: list[pa.Table] = []
+        for s, e in zip(run_starts, run_ends):
+            v = sidx[s]
+            name = vals[v] if v >= 0 else None
+            sub = sorted_batch.slice(s, e - s)
+            validator = self._validators.get(name) if name is not None else None
+            if validator is not None:
+                parts.append(validator(sub))
+            elif self._default_validator is not None:
                 parts.append(self._default_validator(sub))
             else:
-                eid = make_event_id(sub, self.id_cols)
-                n = sub.num_rows
-                ts_us = int(self.run_ts.timestamp() * 1_000_000)
-                parts.append(
-                    pa.table(
-                        {
-                            "event_id": eid,
-                            "field": pa.nulls(n, type=pa.string()),
-                            "error_type": const_str_array("schema_not_found", n),
-                            "expected": const_str_array("schema", n),
-                            "actual": const_str_array("not found", n),
-                            "timestamp": pa.array(
-                                np.full(n, ts_us, dtype=np.int64), type=pa.timestamp("us")
-                            ),
-                            "source_event": pa.nulls(n, type=pa.string()),
-                            "status": const_str_array("error", n),
-                            "event_name": js_string_cast(sub[self.dispatch_col]).combine_chunks()
-                            if isinstance(js_string_cast(sub[self.dispatch_col]), pa.ChunkedArray)
-                            else js_string_cast(sub[self.dispatch_col]),
-                            "event_data": pa.nulls(n, type=pa.string()),
-                            "value": pa.nulls(n, type=pa.string()),
-                            "type": pa.nulls(n, type=pa.string()),
-                        },
-                        schema=VIOLATION_SCHEMA,
-                    )
+                rest_slices.append(sub)
+        if rest_slices:
+            sub = pa.concat_tables(rest_slices)
+            eid = make_event_id(sub, self.id_cols)
+            n = sub.num_rows
+            ts_us = int(self.run_ts.timestamp() * 1_000_000)
+            ename = js_string_cast(sub[self.dispatch_col])
+            if isinstance(ename, pa.ChunkedArray):
+                ename = ename.combine_chunks()
+            parts.append(
+                pa.table(
+                    {
+                        "event_id": eid,
+                        "field": pa.nulls(n, type=pa.string()),
+                        "error_type": const_str_array("schema_not_found", n),
+                        "expected": const_str_array("schema", n),
+                        "actual": const_str_array("not found", n),
+                        "timestamp": pa.array(
+                            np.full(n, ts_us, dtype=np.int64), type=pa.timestamp("us")
+                        ),
+                        "source_event": pa.nulls(n, type=pa.string()),
+                        "status": const_str_array("error", n),
+                        "event_name": ename,
+                        "event_data": pa.nulls(n, type=pa.string()),
+                        "value": pa.nulls(n, type=pa.string()),
+                        "type": pa.nulls(n, type=pa.string()),
+                    },
+                    schema=VIOLATION_SCHEMA,
                 )
+            )
         if not parts:
             return VIOLATION_SCHEMA.empty_table()
         return pa.concat_tables(parts)
