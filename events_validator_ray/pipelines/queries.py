@@ -637,6 +637,29 @@ def q_window_tumbling(sf_dir: str):
     )
 
 
+def q_window_sliding(sf_dir: str):
+    """Sliding/hopping event-time windows (1 day window, 12 h slide) per user:
+    vectorized per-batch window replication -> one groupby; each event lands
+    in exactly window/slide = 2 windows."""
+    from ..stages.windows import sliding_window_agg
+
+    return sliding_window_agg(
+        _read_events(sf_dir), key="user_id", ts_col="ts", window_s=86400, slide_s=43200
+    )
+
+
+def sliding_oracle(window_s: int = 86400, slide_s: int = 43200) -> str:
+    w, s = window_s * 1_000_000, slide_s * 1_000_000
+    return (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events), "
+        "x AS (SELECT user_id, unnest(range("
+        f"GREATEST(((tsu - {w}) // {s} + 1) * {s}, 0), "
+        f"(tsu // {s}) * {s} + {s}, {s})) AS ws_us FROM e) "
+        "SELECT user_id, ws_us // 1000000 AS window_start, COUNT(*) AS n "
+        "FROM x GROUP BY user_id, ws_us"
+    )
+
+
 def q_window_session(sf_dir: str):
     """Gap-based session windows (30 min) per user — the sessionizer is a
     hash-bucketed vectorized pass; oracle is the LAG/cumsum window-function
@@ -1169,6 +1192,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "validate_nested": q_validate_nested,
         "validate_dispatch": q_validate_dispatch,
         "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
         "window_session": q_window_session,
         "broadcast_join": q_broadcast_join,
         "bucketed_join": q_bucketed_join,
@@ -1197,6 +1221,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["curate_docs"] = curate_oracle()
     out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["window_tumbling"] = tumbling_oracle()
+    out["window_sliding"] = sliding_oracle()
     out["window_session"] = session_oracle()
     out["broadcast_join"] = (
         "SELECT n.n_name AS n_name, COUNT(*) AS n_orders, "

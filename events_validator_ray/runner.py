@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--lint-only", action="store_true", help="check spec vs observed schema and exit")
     p.add_argument(
+        "--curate",
+        action="store_true",
+        help="run the training-data curation pipeline (quality -> exact dedup -> "
+        "near-dup -> clean parquet) instead of validation; expects a documents "
+        "table (doc_id, text)",
+    )
+    p.add_argument(
         "--reference-profile",
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
@@ -58,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
     from .logutil import suppress_empty_shuffle_partition_warning
 
     suppress_empty_shuffle_partition_warning()
+
+    if args.curate:
+        from .pipelines.curate import curate_documents
+
+        summary = curate_documents(args.input, args.out, resume=not args.no_resume)
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return 0
 
     from .spec import load_spec_file, transcript_spec
 

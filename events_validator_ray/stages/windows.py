@@ -53,6 +53,49 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    ds,
+    key: str,
+    ts_col: str,
+    window_s: int,
+    slide_s: int,
+):
+    """Per (key, sliding/hopping window) count: each event belongs to every
+    window [w, w+window) with w a multiple of `slide_s` covering its
+    timestamp — vectorized per-batch replication (np.repeat over the
+    per-event window count, window_s/slide_s copies), then one
+    `groupby(key, window_start)`; the shuffle grows by the overlap factor,
+    never the driver."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    w_us = window_s * 1_000_000
+    s_us = slide_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t[key].to_numpy(zero_copy_only=False)
+        # windows with w_start in (epoch - window, epoch], aligned to slide
+        first = ((epoch - w_us) // s_us + 1) * s_us
+        first = np.maximum(first, 0)
+        last = (epoch // s_us) * s_us
+        counts = np.maximum(0, (last - first) // s_us + 1).astype(np.int64)
+        rep_keys = np.repeat(keys, counts)
+        starts = np.repeat(first, counts)
+        # offset within each event's window run: 0..counts-1
+        run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(run_starts, counts)
+        wstart = (starts + offs * s_us) // 1_000_000  # epoch seconds
+        return pa.table({key: pa.array(rep_keys), "window_start": pa.array(wstart)})
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 class _SessionizeBucket:
     """Vectorized multi-key sessionizer (one call = one hash bucket of keys)."""
 
