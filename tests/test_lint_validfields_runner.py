@@ -149,3 +149,50 @@ def test_validate_batch_actor_mode(ray_session):
         ValidateBatch(transcript_spec(), log_valid=False), batch_format="pyarrow"
     )
     assert n_actor == out2.count() > 100
+
+
+def test_runner_curate_cli(tmp_path):
+    """`--curate` runs the training-data curation pipeline end to end from
+    the CLI (own Ray session) and prints the per-stage counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    words = [f"word{i}" for i in range(80)]
+    docs = [
+        " ".join(rng.choice(words, size=40).tolist()) + f" the of and to a in mark{i}"
+        for i in range(30)
+    ]
+    docs.append(docs[0])   # exact dup
+    docs.append("short")   # quality drop
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()), "text": pa.array(docs)}),
+        str(d / "p.parquet"),
+    )
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "events_validator_ray.runner",
+            "--input",
+            str(d),
+            "--out",
+            str(out),
+            "--curate",
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["n_input"] == 32
+    assert summary["n_after_quality"] == 31  # 'short' dropped
+    assert summary["n_after_exact"] == 30  # exact dup dropped
+    assert (out / "manifest.jsonl").exists()
