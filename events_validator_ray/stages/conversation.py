@@ -918,22 +918,29 @@ def conversation_violations_salted(
 
         suspect_ref = _ray.put(frozenset(pmax))
 
-        def drop_suspect_ts(df: "pd.DataFrame") -> "pd.DataFrame":
+        def drop_suspect_ts(df: "pd.DataFrame") -> pa.Table:
             keys = suspect_ref
             if isinstance(keys, _ray.ObjectRef):
                 keys = _ray.get(keys)
             is_ts = (df["field"] == ts_name) & (df["error_type"] == "order")
-            if not is_ts.any():
-                return df
-            split = df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
-            conv = split.str[0]
-            ch = split.str[1].astype("int64") // chunk
-            in_suspect = pd.Series(
-                [(c, k) in keys for c, k in zip(conv, ch)], index=conv.index
-            )
-            drop = is_ts.copy()
-            drop.loc[is_ts] = in_suspect
-            return df[~drop]
+            if is_ts.any():
+                split = df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
+                conv = split.str[0]
+                ch = split.str[1].astype("int64") // chunk
+                in_suspect = pd.Series(
+                    [(c, k) in keys for c, k in zip(conv, ch)], index=conv.index
+                )
+                drop = is_ts.copy()
+                drop.loc[is_ts] = in_suspect
+                df = df[~drop]
+            # emit ARROW in the canonical schema so the downstream union mixes
+            # no pandas-vs-arrow block representations
+            tbl = pa.Table.from_pandas(df, preserve_index=False)
+            arrays = {
+                name: tbl[name].cast(VIOLATION_SCHEMA.field(name).type)
+                for name in VIOLATION_SCHEMA.names
+            }
+            return pa.table(arrays, schema=VIOLATION_SCHEMA)
 
         out = out.map_batches(drop_suspect_ts, batch_format="pandas")
         # broadcast semi-join on the COMPOSITE (conv, chunk) key (never a
