@@ -188,7 +188,19 @@ def ann_topk_ivf(
             probed.setdefault(int(b), []).append(qi)
     wanted_buckets = sorted(probed)
 
-    filtered = assigned.filter(expr=f"ivf_bucket in {wanted_buckets!r}")
+    # broadcast semi-join on the probed bucket set (bounded by centroids ×
+    # nprobe; never a literal in-list expression)
+    bref = ray.put(frozenset(wanted_buckets))
+
+    def keep_probed(t: pa.Table) -> pa.Table:
+        buckets = bref
+        if isinstance(buckets, ray.ObjectRef):
+            buckets = ray.get(buckets)
+        b = t["ivf_bucket"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter((x in buckets for x in b), count=len(b), dtype=bool)
+        return t.filter(pa.array(mask))
+
+    filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
     qref = ray.put((q_ids, Q))
     partials = filtered.map_batches(
         BruteForceTopK(qref, k, col, id_col), batch_format="pyarrow"
