@@ -132,6 +132,11 @@ def _scalar_conditions(rule: FieldRule, col_kind: str) -> list[tuple[str, str, s
             out.append(
                 (cond, c, "length", _lit(str(L)), f"CAST(coalesce(length({c}), 0) AS VARCHAR)")
             )
+        elif col_kind == "timestamp":
+            # JS Date objects are always truthy: non-null -> .length undefined
+            out.append((f"{alive} AND {c} IS NOT NULL", c, "length", _lit(str(L)), "CAST(NULL AS VARCHAR)"))
+            if L != 0:
+                out.append((f"{alive} AND {c} IS NULL", c, "length", _lit(str(L)), "'0'"))
         else:
             # numbers: truthy -> .length undefined (always violates, actual NULL)
             out.append((f"{alive} AND {c} IS NOT NULL AND {c} <> 0", c, "length", _lit(str(L)), "CAST(NULL AS VARCHAR)"))

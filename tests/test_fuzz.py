@@ -319,3 +319,87 @@ def test_fuzz_typed_nested_vs_oracle(seed):
         for field, etype, exp, act in validate_event(spec.fields, row):
             want.add((str(row["event_id"]), field, etype, exp, act))
     assert got == want
+
+
+def random_sql_safe_spec_and_batch(seed: int):
+    """Random specs over string/int/timestamp columns restricted to the
+    SQL-twin-safe domain (no float-valued rules, no regex on timestamps —
+    the documented cross-engine hazards)."""
+    rng = np.random.default_rng(seed)
+    n = 300
+    cols: dict[str, pa.Array] = {
+        "conv_id": pa.array([f"c{i % 40}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+    }
+    kinds: dict[str, str] = {}
+    spec_json: dict[str, dict] = {}
+    for ci in range(int(rng.integers(2, 6))):
+        name = f"f{ci}"
+        kind = ["string", "number", "timestamp"][int(rng.integers(0, 3))]
+        if kind == "string":
+            pool = np.array(["alpha", "beta", "", "  ", "x1", "zz9"], dtype=object)
+            vals = pool[rng.integers(0, len(pool), n)]
+            vals[rng.random(n) < 0.12] = None
+            cols[name] = pa.array(vals, pa.string())
+        elif kind == "number":
+            vals = rng.integers(-5, 10, n).astype(object)
+            vals[rng.random(n) < 0.12] = None
+            cols[name] = pa.array(vals, pa.int64())
+        else:
+            base = dt.datetime(2024, 1, 1)
+            vals = [
+                None if rng.random() < 0.12 else base + dt.timedelta(seconds=int(s))
+                for s in rng.integers(0, 1000, n)
+            ]
+            cols[name] = pa.array(vals, pa.timestamp("us"))
+        kinds[name] = kind
+
+        rule: dict = {}
+        if rng.random() < 0.8:
+            rule["type"] = ["string", "number", "timestamp"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3 and kind != "timestamp":
+            rule["value"] = ["alpha", "1", 3][int(rng.integers(0, 3))]
+        if rng.random() < 0.3 and kind == "string":
+            rule["enum"] = ["alpha", "beta", "x1"]
+        if rng.random() < 0.3 and kind != "timestamp":
+            rule["regex"] = ["^a", "a", "[0-9]$", "^zz"][int(rng.integers(0, 4))]
+        if rng.random() < 0.3:
+            rule["length"] = int(rng.integers(0, 6))
+        if rng.random() < 0.3:
+            rule["optional"] = True
+        if not rule:
+            rule["type"] = kind
+        spec_json[name] = rule
+    return load_spec(spec_json), pa.table(cols), kinds
+
+
+@pytest.mark.parametrize("seed", [901, 902, 903, 904, 905, 906])
+def test_fuzz_sqlgen_twin_matches_engine(seed):
+    """The generated DuckDB oracle SQL must reproduce the vectorized engine on
+    RANDOM specs — hardens the twin generator itself, not just the fixed
+    transcript/events specs the driver exercises."""
+    import duckdb
+
+    from events_validator_ray.pipelines.sqlgen import scalar_violations_sql
+
+    spec, batch, kinds = random_sql_safe_spec_and_batch(seed)
+    res = ValidateBatch(spec, log_valid=False, include_refs=False)(batch)
+    got = {
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in res.to_pylist()
+    }
+    con = duckdb.connect()
+    con.register("t", batch)
+    sql = scalar_violations_sql(spec, "t", kinds)
+    want = set()
+    if sql:
+        for r in con.sql(sql).df().to_dict("records"):
+            want.add(
+                (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+            )
+        # normalize NaN -> None from pandas
+        want = {
+            tuple(None if (isinstance(x, float) and pd.isna(x)) else x for x in row)
+            for row in want
+        }
+    assert got == want
