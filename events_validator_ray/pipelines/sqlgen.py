@@ -289,7 +289,9 @@ def nested_array_violations_sql(
     null_cond = f"{c} IS NULL" if not rule.optional else "FALSE"
     if not rule.optional:
         out.append(_branch(table, key_cols, null_cond, c, "type", "'array'", "'object'", event_name))
-    child_cols = ", ".join(f"__item.{k} AS {_q(k)}" for k in (rule.nested or {}))
+    child_cols = ", ".join(
+        f"__item.{k} AS {_q(k)}" for k in (rule.nested or {}) if k in child_kinds
+    )
     sub = (
         f"(SELECT {keysel}, __ord - 1 AS __i, __item{', ' + child_cols if child_cols else ''} "
         f"FROM (SELECT {keysel}, unnest({c}) AS __item, generate_subscripts({c}, 1) AS __ord "
@@ -300,12 +302,16 @@ def nested_array_violations_sql(
         return f"'{c}[' || CAST(__i AS VARCHAR) || '].{key}'"
 
     for key, r in (rule.nested or {}).items():
+        kind = child_kinds.get(key)
         if not r.optional and key != "":
+            # null items walk {'': null} -> required keys missing; keys ABSENT
+            # from the struct type (kind None) are missing for EVERY item
+            cond = "TRUE" if kind is None else "__item IS NULL"
             out.append(
                 _branch(
                     sub,
                     key_cols,
-                    "__item IS NULL",
+                    cond,
                     key,
                     "missing",
                     "'field present'",
@@ -314,7 +320,6 @@ def nested_array_violations_sql(
                     field_sql=path(key),
                 )
             )
-        kind = child_kinds.get(key)
         if kind is None:
             continue
         for cond, _f, etype, exp, act in _scalar_conditions(r, kind):
@@ -349,13 +354,25 @@ def nested_object_violations_sql(
     out: list[str] = []
     if not rule.optional:
         out.append(_branch(table, key_cols, f"{c} IS NULL", c, "type", "'object'", "'object'", event_name))
-    child_cols = ", ".join(f"{c}.{k} AS {_q(k)}" for k in (rule.nested or {}))
+    child_cols = ", ".join(
+        f"{c}.{k} AS {_q(k)}" for k in (rule.nested or {}) if k in child_kinds
+    )
     sub = (
-        f"(SELECT {keysel}, {child_cols} FROM {table} WHERE {c} IS NOT NULL)"
+        f"(SELECT {keysel}{', ' + child_cols if child_cols else ''} "
+        f"FROM {table} WHERE {c} IS NOT NULL)"
     )
     for key, r in (rule.nested or {}).items():
         kind = child_kinds.get(key)
         if kind is None:
+            if not r.optional:
+                # key absent from the struct type: missing for every non-null
+                # struct (the walk only runs on present structs)
+                out.append(
+                    _branch(
+                        sub, key_cols, "TRUE", f"{c}.{key}", "missing",
+                        "'field present'", "'field missing'", event_name,
+                    )
+                )
             continue
         for cond, _f, etype, exp, act in _scalar_conditions(r, kind):
             out.append(

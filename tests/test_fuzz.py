@@ -403,3 +403,128 @@ def test_fuzz_sqlgen_twin_matches_engine(seed):
             for row in want
         }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [911, 912, 913, 914])
+def test_fuzz_valid_rows_condition_matches_engine(seed):
+    """The logPassed SQL twin (valid_rows_condition) must agree with the
+    engine's status='valid' rows on random specs."""
+    import duckdb
+
+    from events_validator_ray.pipelines.sqlgen import valid_rows_condition
+
+    spec, batch, kinds = random_sql_safe_spec_and_batch(seed)
+    res = ValidateBatch(spec, log_valid=True, include_refs=False)(batch)
+    got = {r["event_id"] for r in res.to_pylist() if r["status"] == "valid"}
+    con = duckdb.connect()
+    con.register("t", batch)
+    cond = valid_rows_condition(spec, kinds, include_refs=False)
+    want = {
+        r["eid"]
+        for r in con.sql(
+            f"SELECT conv_id || ':' || CAST(turn_idx AS VARCHAR) AS eid FROM t WHERE {cond}"
+        ).df().to_dict("records")
+    }
+    assert got == want
+
+
+def random_sql_safe_nested_spec_and_batch(seed: int):
+    """Random nested specs over typed list<struct>/struct columns restricted
+    to the nested-SQL-twin domain (struct children only; int/string kinds)."""
+    rng = np.random.default_rng(seed)
+    n = 200
+
+    def child_rule(kind):
+        rule: dict = {}
+        rule["type"] = (
+            kind if rng.random() < 0.7 else ["string", "number", "boolean"][int(rng.integers(0, 3))]
+        )
+        if kind == "string" and rng.random() < 0.4:
+            rule["regex"] = ["^a", "[0-9]$", "x"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3:
+            rule["value"] = ["alpha", 3, "true"][int(rng.integers(0, 3))]
+        if rng.random() < 0.3:
+            rule["length"] = int(rng.integers(0, 4))
+        if rng.random() < 0.3:
+            rule["optional"] = True
+        return rule
+
+    def scalar_children(total):
+        s_pool = np.array(["alpha", "beta", "", "  ", "ax9"], dtype=object)
+        svals = s_pool[rng.integers(0, len(s_pool), total)]
+        svals[rng.random(total) < 0.15] = None
+        mvals = rng.integers(-3, 9, total).astype(object)
+        mvals[rng.random(total) < 0.15] = None
+        return pa.array(svals, pa.string()), pa.array(mvals, pa.int64())
+
+    cols = {"event_id": pa.array(np.arange(n, dtype=np.int64))}
+    spec_json: dict[str, dict] = {"event_id": {"type": "number"}}
+
+    n_items = rng.integers(0, 4, n)
+    null_list = rng.random(n) < 0.1
+    n_items[null_list] = 0
+    total = int(n_items.sum())
+    s_arr, m_arr = scalar_children(total)
+    item_null = rng.random(total) < 0.12
+    child = pa.StructArray.from_arrays([s_arr, m_arr], names=["s", "m"], mask=pa.array(item_null))
+    offsets = np.concatenate([[0], np.cumsum(n_items)]).astype(np.int32)
+    cols["items"] = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), child, mask=pa.array(null_list)
+    )
+    spec_json["items"] = {
+        "type": "array",
+        "nestedSchema": {
+            "s": child_rule("string"),
+            "m": child_rule("number"),
+            "ghost": {"type": "string", "optional": bool(rng.random() < 0.5)},
+        },
+    }
+
+    s2, m2 = scalar_children(n)
+    null_struct = rng.random(n) < 0.1
+    cols["meta"] = pa.StructArray.from_arrays(
+        [s2, m2], names=["s", "m"], mask=pa.array(null_struct)
+    )
+    spec_json["meta"] = {
+        "type": "object",
+        "nestedSchema": {
+            "s": child_rule("string"),
+            "m": child_rule("number"),
+            "ghost": {"type": "number", "optional": bool(rng.random() < 0.5)},
+        },
+    }
+    child_kinds = {
+        "items": {"s": "string", "m": "number"},
+        "meta": {"s": "string", "m": "number"},
+    }
+    return load_spec(spec_json, event_name="t"), pa.table(cols), child_kinds
+
+
+@pytest.mark.parametrize("seed", [921, 922, 923, 924, 925])
+def test_fuzz_nested_sqlgen_twin_matches_engine(seed):
+    """The nested UNNEST SQL twin must reproduce the vectorized nested walk on
+    RANDOM specs — including keys absent from the struct type (per-item /
+    per-struct missing)."""
+    import duckdb
+
+    from events_validator_ray.pipelines.sqlgen import nested_spec_violations_sql
+
+    spec, batch, child_kinds = random_sql_safe_nested_spec_and_batch(seed)
+    res = ValidateBatch(spec, log_valid=False, include_refs=False, id_cols=("event_id",))(batch)
+    got = {
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in res.to_pylist()
+    }
+    con = duckdb.connect()
+    con.register("t", batch)
+    sql = nested_spec_violations_sql(
+        spec, "t", {"event_id": "number"}, key_cols=("event_id",), nested_kinds=child_kinds
+    )
+    want = set()
+    for r in con.sql(sql).df().to_dict("records"):
+        want.add((r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"]))
+    want = {
+        tuple(None if (isinstance(x, float) and pd.isna(x)) else x for x in row)
+        for row in want
+    }
+    assert got == want
