@@ -60,7 +60,26 @@ def curate_documents(
         raise FileNotFoundError(f"no parquet files under {input_path}")
     manifest = Manifest(out_dir)
     fp = fingerprint_files(files)
-    done = manifest.completed("curate", fp, "curate-v1") if resume else None
+    # parameter-aware resume hash: a re-run with different thresholds must
+    # NOT skip (bump "v" whenever pipeline semantics change)
+    import hashlib
+    import json as _json
+
+    params_hash = hashlib.sha256(
+        _json.dumps(
+            {
+                "col": col,
+                "id_col": id_col,
+                "min_chars": min_chars,
+                "max_chars": max_chars,
+                "min_stop_ratio": min_stop_ratio,
+                "near_dup_threshold": near_dup_threshold,
+                "v": 1,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:16]
+    done = manifest.completed("curate", fp, params_hash) if resume else None
     if done:
         return {"skipped": True, **done.extra, "output_path": done.output_path}
 
@@ -145,7 +164,7 @@ def curate_documents(
             partition_id="curate",
             input_files=files,
             fingerprint=fp,
-            spec_hash="curate-v1",
+            spec_hash=params_hash,
             status="done",
             n_rows=n_input,
             n_valid=n_out,

@@ -54,7 +54,22 @@ def test_curate_end_to_end(ray_session, tmp_path, corpus_dir):
     kept = set(r["doc_id"] for r in rd.read_parquet(summary["output_path"]).take_all())
     assert kept == set(range(60))
 
-    # resume: identical fingerprint -> skipped wholesale with the same counts
-    again = curate_documents(input_dir, out)
+    # resume: identical fingerprint AND parameters -> skipped wholesale
+    again = curate_documents(input_dir, out, near_dup_threshold=0.7)
     assert again["skipped"] is True
     assert again["n_output"] == 60
+
+
+def test_curate_resume_is_parameter_aware(ray_session, tmp_path, corpus_dir):
+    """Changing a threshold must NOT hit the resume skip."""
+    from events_validator_ray.pipelines.curate import curate_documents
+
+    input_dir, _ = corpus_dir
+    out = str(tmp_path / "out2")
+    first = curate_documents(input_dir, out, near_dup_threshold=0.7)
+    assert first["skipped"] is False
+    stricter = curate_documents(input_dir, out, near_dup_threshold=0.99)
+    assert stricter["skipped"] is False
+    assert stricter["n_near_dup_dropped"] == 0  # 0.99 keeps the near dup
+    again = curate_documents(input_dir, out, near_dup_threshold=0.99)
+    assert again["skipped"] is True
