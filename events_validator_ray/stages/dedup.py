@@ -19,14 +19,14 @@ materialize on the driver.
   Leskovec MMDS ch.3)
 - simhash_dedup: 64-bit simhash -> banded bucket candidates -> Hamming
   verification (Charikar'02)
-- embedding_dedup: unit-normalized vectors -> random-hyperplane LSH buckets ->
-  cosine verification
+- embedding_dedup: unit-normalized vectors -> BANDED random-hyperplane LSH ->
+  capped candidate pairs (same `_bucket_pairs` policy) -> pairwise cosine
+  verification over the pair Dataset
 - ngram_jaccard_pairs: the exact verification kernel exposed standalone
 """
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -35,7 +35,6 @@ import pyarrow as pa
 
 from .sketches import hash64
 
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
@@ -287,7 +286,16 @@ def _bucket_pairs(ds, id_col: str, num_buckets: int = 32, extra_cols: tuple[str,
             parts.extend([star_df, chain_df])
 
         if not parts:
-            return pd.DataFrame({c: [] for c in out_cols})
+            # typed empty frame (id dtype for a/b, source dtypes for extras) so
+            # empty groups don't flip the block schema mid-stream
+            empty = {
+                "a": pd.Series([], dtype=df[id_col].dtype),
+                "b": pd.Series([], dtype=df[id_col].dtype),
+            }
+            for c in extra_cols:
+                empty[f"{c}_a"] = pd.Series([], dtype=df[c].dtype)
+                empty[f"{c}_b"] = pd.Series([], dtype=df[c].dtype)
+            return pd.DataFrame(empty)[out_cols]
         out = pd.concat(parts, ignore_index=True)
         return out.drop_duplicates(["a", "b"])
 
@@ -322,20 +330,27 @@ def _union_find(pairs: list[tuple], all_ids: set | None = None) -> dict:
     return {x: find(x) for x in nodes}
 
 
-def distributed_components(pairs_ds, max_rounds: int = 10):
+def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels: int = 200_000):
     """Connected components over a candidate-pair Dataset (columns a, b) via
     iterative min-label propagation — the 10^12-doc replacement for driver
-    union-find: the heavy per-round work (edge-label min per node) is a
-    distributed groupby; the label table itself is bounded by the number of
-    nodes IN candidate pairs (near-dups, not the corpus) and is broadcast per
-    round via the object store — swap the broadcast attach for
-    joins.bucketed_hash_join if even that outgrows memory.
+    union-find. Per round the heavy work (attach each edge's dst label, min
+    per src) is fully distributed; the label ATTACH picks its mechanism by
+    label count:
+
+    - <= `broadcast_max_labels`: the label table is pulled once and broadcast
+      via ``ray.put`` (one object-store copy, map-side lookup — cheapest while
+      the table fits comfortably in a worker heap);
+    - above it: ``joins.bucketed_hash_join(edges, labels, on='dst')`` — the
+      label table never leaves the cluster, so dup-heavy corpora (billions of
+      near-dup nodes) stay off the driver entirely.
+
+    Convergence is a DISTRIBUTED changed-label count (union old+new, one
+    groupby(src) min/max, sum of mismatches) — no driver-side frame compare.
 
     Round: label(x) = min(label(x), min(label(n)) for n in neighbors(x)).
     Converges in O(diameter) rounds; near-dup clusters are tiny cliques/stars
     so 2-3 rounds typically suffice. Returns a Dataset (src, label)."""
-    import ray.data as rd
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Max, Min
 
     # undirected edge list, one row per direction
     def sym(b: pd.DataFrame) -> pd.DataFrame:
@@ -346,7 +361,7 @@ def distributed_components(pairs_ds, max_rounds: int = 10):
             }
         )
 
-    edges = pairs_ds.map_batches(sym, batch_format="pandas")
+    edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
     # initial labels: own id (+ self-edge keeps isolated direction stable)
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
 
@@ -356,33 +371,58 @@ def distributed_components(pairs_ds, max_rounds: int = 10):
         return b
 
     labels = labels.map_batches(clip_self, batch_format="pandas").materialize()
+    n_labels = labels.count()  # bounded: one row per node IN a candidate pair
+    use_broadcast = n_labels <= broadcast_max_labels
+
+    def n_changed(old_ds, new_ds) -> int:
+        """Distributed count of srcs whose label changed: union the two label
+        tables, groupby(src) min/max, sum of (min != max)."""
+        u = old_ds.union(new_ds)
+        agg = u.groupby("src").aggregate(
+            Min("label", alias_name="lo"), Max("label", alias_name="hi")
+        )
+        return int(
+            agg.map_batches(
+                lambda df: pd.DataFrame({"c": [int((df["lo"] != df["hi"]).sum())]}),
+                batch_format="pandas",
+            ).sum("c")
+            or 0
+        )
 
     for _ in range(max_rounds):
-        # propagate: neighbor labels via broadcastable merge per batch is a
-        # join; expressed as groupby instead — attach each edge's dst label,
-        # take min per src
-        lbl_df = labels.to_pandas()  # bounded: one row per node IN A PAIR
-        import ray
+        if use_broadcast:
+            import ray
 
-        ref = ray.put(lbl_df.set_index("src")["label"])
+            lbl_df = labels.to_pandas()
+            ref = ray.put(lbl_df.set_index("src")["label"])
 
-        def attach(b: pd.DataFrame) -> pd.DataFrame:
-            lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-            return pd.DataFrame(
-                {"src": b["src"], "cand": b["dst"].map(lab).fillna(b["dst"])}
+            def attach(b: pd.DataFrame) -> pd.DataFrame:
+                lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+                return pd.DataFrame(
+                    {"src": b["src"], "cand": b["dst"].map(lab).fillna(b["dst"])}
+                )
+
+            prop = edges.map_batches(attach, batch_format="pandas")
+        else:
+            from .joins import bucketed_hash_join
+
+            lbl_d = labels.map_batches(
+                lambda df: df.rename(columns={"src": "dst", "label": "cand"}),
+                batch_format="pandas",
             )
-
-        prop = edges.map_batches(attach, batch_format="pandas")
+            # symmetric edges make every dst a src, so the inner join is total
+            prop = bucketed_hash_join(
+                edges, lbl_d, on="dst"
+            ).map_batches(lambda df: df[["src", "cand"]], batch_format="pandas")
         new_labels = (
             prop.groupby("src")
             .aggregate(Min("cand", alias_name="label"))
             .map_batches(clip_self, batch_format="pandas")
             .materialize()
         )
-        new_df = new_labels.to_pandas().sort_values("src").reset_index(drop=True)
-        old_df = lbl_df.sort_values("src").reset_index(drop=True)
+        changed = n_changed(labels, new_labels)
         labels = new_labels
-        if new_df.equals(old_df):
+        if changed == 0:
             break
     return labels
 
@@ -580,19 +620,21 @@ def minhash_lsh_dedup(
 
 
 def simhash_vector(texts: np.ndarray) -> np.ndarray:
-    """64-bit simhash per doc from token hashes (unit weights)."""
-    all_tokens: list[str] = []
-    offsets = [0]
-    for t in texts:
-        toks = _TOKEN_RE.findall(t.lower()) if isinstance(t, str) else []
-        all_tokens.extend(toks)
-        offsets.append(len(all_tokens))
-    n_docs = len(offsets) - 1
+    """64-bit simhash per doc from token hashes (unit weights). Tokenization
+    is the shared Arrow kernel (`textkernels.tokenize` — identical token
+    sequence to re.findall('[a-z0-9]+', text.lower())) and token hashing is
+    one `hash64` pass over the DISTINCT tokens (dictionary-encoded), mirroring
+    `_shingle_hashes` — no per-row Python in the signature stage."""
+    from ..functions.textkernels import tokenize
+
+    flat, doc_idx, n_tokens = tokenize(pa.array(list(texts), type=pa.string()))
+    n_docs = len(n_tokens)
     out = np.zeros(n_docs, dtype=np.uint64)
-    if not all_tokens:
+    if not len(flat):
         return out
-    H = hash64(np.array(all_tokens, dtype=object)).astype(np.uint64)
-    doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+    denc = flat.dictionary_encode()
+    uniq_hash = hash64(denc.dictionary.to_numpy(zero_copy_only=False)).astype(np.uint64)
+    H = uniq_hash[denc.indices.to_numpy(zero_copy_only=False)]
     acc = np.zeros((n_docs, 64), dtype=np.int32)
     for j in range(64):
         bit = ((H >> np.uint64(j)) & np.uint64(1)).astype(np.int32) * 2 - 1
@@ -704,30 +746,99 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple], col: str = "text", id_col: str =
 
 
 class HyperplaneLSH:
-    """map_batches stage: sign-bit bucket of each (normalized) embedding under
-    `n_bits` random hyperplanes."""
+    """map_batches stage -> (id, band, band_hash, emb_norm) rows, `bands` per
+    vector: each band is the sign pattern of the normalized embedding under its
+    own `n_bits` random hyperplanes (independent bands drive pair recall
+    exactly like minhash banding — P[miss] = (1 - p^n_bits)^bands for
+    collision prob p per plane). The rows feed `_bucket_pairs`, which shuffles
+    on a HASH of (band, band_hash) and caps within-bucket pair emission.
 
-    def __init__(self, dim: int, n_bits: int = 12, seed: int = 11, col: str = "embedding", id_col: str = "vec_id"):
+    Shuffle cost note: the normalized vector rides along `bands` times
+    (bands x dim x 4 bytes per vector); for very large `dim` lower `bands` or
+    swap the extra_col for a bucketed join of vectors onto the pair set."""
+
+    def __init__(
+        self,
+        dim: int,
+        n_bits: int = 8,
+        bands: int = 8,
+        seed: int = 11,
+        col: str = "embedding",
+        id_col: str = "vec_id",
+    ):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        self.planes = rng.standard_normal((dim, bands * n_bits)).astype(np.float32)
+        self.n_bits = n_bits
+        self.bands = bands
         self.col = col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         emb = np.stack(batch[self.col].to_numpy(zero_copy_only=False))
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(norms, 1e-12)
-        bits = (emb @ self.planes) > 0
-        bucket = np.zeros(len(bits), dtype=np.uint64)
-        for j in range(bits.shape[1]):
-            bucket |= bits[:, j].astype(np.uint64) << np.uint64(j)
+        emb = (emb / np.maximum(norms, 1e-12)).astype(np.float32)
+        bits = (emb @ self.planes) > 0  # (n, bands * n_bits)
+        n = len(emb)
+        bh = np.zeros((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            for j in range(self.n_bits):
+                bh[:, b] |= bits[:, b * self.n_bits + j].astype(np.uint64) << np.uint64(j)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        emb_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(emb, self.bands, axis=0).reshape(-1)), emb.shape[1]
+        ).cast(pa.list_(pa.float32()))
         return pa.table(
             {
-                self.id_col: batch[self.id_col],
-                "bucket": pa.array(bucket),
-                "emb_norm": pa.array(list(emb.astype(np.float32)), type=pa.list_(pa.float32())),
+                self.id_col: pa.array(np.repeat(ids, self.bands)),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "emb_norm": emb_list,
             }
         )
+
+
+def embedding_candidate_pairs(
+    ds,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bits: int = 8,
+    bands: int = 8,
+    dim: int | None = None,
+    num_buckets: int = 32,
+    pair_cap: int = 20,
+):
+    """Candidate (a, b, emb_norm_a, emb_norm_b) pairs from banded
+    hyperplane-LSH through the SAME capped pair policy as minhash/simhash
+    (`_bucket_pairs`: all-pairs <= pair_cap per LSH bucket, star+chain above)
+    — a hot bucket of near-identical vectors emits O(bucket) pairs, never
+    O(bucket^2), and no task ever densifies a whole bucket's matrix."""
+    if dim is None:
+        first = ds.take(1)[0][col]
+        dim = len(first)
+    sig = ds.map_batches(
+        HyperplaneLSH(dim, n_bits, bands, col=col, id_col=id_col), batch_format="pyarrow"
+    )
+    return _bucket_pairs(
+        sig, id_col, num_buckets=num_buckets, extra_cols=("emb_norm",), pair_cap=pair_cap
+    )
+
+
+def cosine_verify_pairs(pairs_ds, threshold: float):
+    """Pairwise cosine over the candidate-pair Dataset (row-wise dot of the
+    two normalized vectors — vectorized per batch, linear in pairs)."""
+
+    def cosine_ok(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=df["a"].dtype), "b": pd.Series([], dtype=df["b"].dtype)}
+            )
+        A = np.stack(df["emb_norm_a"].to_numpy()).astype(np.float64)
+        B = np.stack(df["emb_norm_b"].to_numpy()).astype(np.float64)
+        sims = np.einsum("ij,ij->i", A, B)
+        m = sims >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m]})
+
+    return pairs_ds.map_batches(cosine_ok, batch_format="pandas")
 
 
 def embedding_dedup(
@@ -735,31 +846,23 @@ def embedding_dedup(
     threshold: float = 0.95,
     col: str = "embedding",
     id_col: str = "vec_id",
-    n_bits: int = 12,
+    n_bits: int = 8,
+    bands: int = 8,
     dim: int | None = None,
     include_singletons: bool = False,
     assembly: str = "auto",
     driver_max_pairs: int = 100_000,
+    pair_cap: int = 20,
 ):
-    """Embedding-cosine near-dup clusters: hyperplane-LSH buckets ->
-    within-bucket exact cosine >= threshold (all-pairs only within a bucket;
-    size `n_bits` to the corpus) -> driver or distributed components."""
-    if dim is None:
-        first = ds.take(1)[0][col]
-        dim = len(first)
-    sig = ds.map_batches(HyperplaneLSH(dim, n_bits, col=col, id_col=id_col), batch_format="pyarrow")
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(id_col).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        if ids.size < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        E = np.stack(g["emb_norm"].to_numpy())
-        sims = E @ E.T
-        iu = np.triu_indices(ids.size, k=1)
-        hit = sims[iu] >= threshold
-        return pd.DataFrame({"a": ids[iu[0][hit]], "b": ids[iu[1][hit]]})
-
-    verified = sig.groupby("bucket").map_groups(pairs, batch_format="pandas").materialize()
+    """Embedding-cosine near-dup clusters: banded hyperplane-LSH candidates
+    through the capped `_bucket_pairs` policy (carrying the normalized vector
+    as an extra_col) -> pairwise cosine >= threshold over the pair Dataset ->
+    driver or distributed components. Verified-pair semantics are exact cosine
+    among candidates; with enough bands the candidate recall at `threshold` is
+    ~1, making the pair set equal to exact all-pairs cosine (the SQL twin)."""
+    pairs = embedding_candidate_pairs(
+        ds, col, id_col, n_bits, bands, dim, pair_cap=pair_cap
+    )
+    verified = cosine_verify_pairs(pairs, threshold).materialize()
     labels = _labels_from_pairs_ds(verified, assembly, driver_max_pairs)
     return _finish_labels(ds, labels, id_col, include_singletons)
