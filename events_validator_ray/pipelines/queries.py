@@ -4,8 +4,14 @@ twin where the semantics are SQL-expressible.
 
 Conventions (driver contract): each callable takes sf_dir and returns a
 Dataset / DataFrame / pyarrow Table; computed column names match the SQL
-aliases exactly; approximate/stateful ops (HLL, t-digest, drift, dedup
-clustering) omit the oracle and get the driver's rows-only check.
+aliases exactly; genuinely approximate ops (HLL, t-digest, IVF, simhash
+Hamming, winnowing fingerprints, stubbed codecs) omit the oracle and get the
+driver's rows-only check — their accuracy is asserted against exact twins in
+pytest instead. Minhash/embedding dedup ARE oracle-checked: their verified
+pairs are exact metrics (n-gram Jaccard / cosine) among LSH candidates, and
+candidate recall at the threshold is 1 on these corpora (asserted in
+tests/test_dedup_oracle.py), so cluster labels match the DuckDB
+exact-pairs + recursive-components twins.
 
 The transcript corpus is the deterministic synthetic table from
 sources/transcripts.py, cached under /tmp; the oracle SQL reads the SAME
@@ -258,17 +264,67 @@ def q_quantiles_exact(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+#: fixed reference profile the role histogram is drifted against
+DRIFT_ROLE_REFERENCE = {"user": 45, "assistant": 35, "tool": 12, "system": 8}
+
+
 def q_drift_roles(sf_dir: str):
-    """PSI drift of the role histogram vs a fixed reference profile
-    (rows-only check; scoring functions unit-tested)."""
-    from ..stages.sketches import drift_report, sketch_dataset
+    """Per-role observed counts + chi-square drift parts vs a fixed reference
+    profile, micro-scaled to exact integers. The distributed piece (mergeable
+    CatHist sketch over the corpus) is hash-checked against a DuckDB GROUP BY;
+    the chi-square part per key is multiply/divide/subtract-only IEEE doubles
+    reproduced op-for-op in the SQL twin (no float SUM, no transcendentals),
+    so the compare is exact. Keys absent from the reference (out-of-enum
+    'robot', null roles) emit chi_part_micro = -1. The PSI aggregate
+    (`drift_report`) stays unit-tested — log() isn't bit-portable."""
+    import math
+
+    from ..stages.sketches import CatHist, sketch_dataset
 
     ds = _read_transcripts(sf_dir)
     sk = sketch_dataset(ds, {"role": ("cathist",)})
-    reference = {
-        "role": {"user": 45, "assistant": 35, "tool": 12, "system": 8}
-    }
-    return drift_report(sk, reference, method="psi", threshold=0.2)
+    counts = dict(sk[("role", "cathist")].counts)
+    n_o = sum(counts.values())
+    n_r = sum(DRIFT_ROLE_REFERENCE.values())
+    rows = []
+    for k in set(counts) | set(DRIFT_ROLE_REFERENCE):
+        obs = int(counts.get(k, 0))
+        ref = int(DRIFT_ROLE_REFERENCE.get(k, 0))
+        if ref > 0:
+            exp = (n_o * ref) / n_r
+            diff = obs - exp
+            chi_micro = int(math.floor((diff * diff / exp) * 1_000_000 + 0.5))
+        else:
+            chi_micro = -1
+        rows.append(
+            {
+                "key": "(null)" if k == CatHist.NULL else k,
+                "n_obs": obs,
+                "chi_part_micro": chi_micro,
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(rows).sort_values("key").reset_index(drop=True)
+
+
+def drift_roles_oracle(table_sql: str) -> str:
+    ref_vals = ", ".join(f"('{k}', {v})" for k, v in DRIFT_ROLE_REFERENCE.items())
+    exp = "(CAST(j.n_o * j.r AS DOUBLE) / j.n_r)"
+    return (
+        f"WITH obs AS (SELECT COALESCE(role, '(null)') AS key, COUNT(*) AS n "
+        f"FROM {table_sql} GROUP BY 1), "
+        f"ref(key, r) AS (VALUES {ref_vals}), "
+        "keys AS (SELECT key FROM obs UNION SELECT key FROM ref), "
+        "j AS (SELECT k.key, COALESCE(o.n, 0) AS n_obs, COALESCE(rf.r, 0) AS r, "
+        "(SELECT SUM(n) FROM obs) AS n_o, (SELECT SUM(r) FROM ref) AS n_r "
+        "FROM keys k LEFT JOIN obs o ON o.key = k.key "
+        "LEFT JOIN ref rf ON rf.key = k.key) "
+        "SELECT j.key AS key, CAST(j.n_obs AS BIGINT) AS n_obs, "
+        f"CASE WHEN j.r > 0 THEN CAST(floor(((j.n_obs - {exp}) * (j.n_obs - {exp}) "
+        f"/ {exp}) * 1000000 + 0.5) AS BIGINT) ELSE -1 END AS chi_part_micro "
+        "FROM j"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -342,12 +398,69 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup clustering (full labeling incl. singletons)."""
+    """MinHash-LSH near-dup clustering (full labeling incl. singletons).
+    Verified-pair semantics are EXACT n-gram Jaccard >= 0.8 among LSH
+    candidates; on the test corpora banded-LSH recall at the threshold is 1
+    (planted pairs sit at J >= 0.9 with the next pair below 0.2 — asserted in
+    tests/test_dedup_oracle.py), so the cluster labels hash-match the DuckDB
+    exact-Jaccard + recursive-components twin."""
     from ..stages.dedup import minhash_lsh_dedup
 
     return minhash_lsh_dedup(
         _read_table(sf_dir, "documents"), threshold=0.8, include_singletons=True
     )
+
+
+def _components_sql(pair_sql: str, universe_sql: str, id_out: str) -> str:
+    """Recursive-CTE connected components over an (a, b) pair relation:
+    transitive closure seeded with self-loops, cluster = MIN reachable id —
+    the SQL twin of `_union_find` / `distributed_components`."""
+    return (
+        f"WITH RECURSIVE {pair_sql}, "
+        "sym AS (SELECT a AS u, b AS v FROM epairs UNION ALL SELECT b, a FROM epairs), "
+        f"reach(u, v) AS ({universe_sql} UNION "
+        "SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v) "
+        f"SELECT u AS {id_out}, MIN(v) AS cluster FROM reach GROUP BY u"
+    )
+
+
+def minhash_components_oracle() -> str:
+    """Exact word-3-gram Jaccard >= 0.8 all-pairs (DISTINCT shingles; docs
+    with 1-2 tokens contribute one all-token shingle; two zero-token docs are
+    trivially identical — union 0 -> J=1) -> connected components."""
+    pair_sql = (
+        "toks AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+') AS ts FROM documents), "
+        "pos AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p, "
+        "len(ts) AS n FROM toks), "
+        "sh AS (SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS s "
+        "FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1 "
+        "JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 2 WHERE a.n >= 3 "
+        "UNION ALL SELECT doc_id, string_agg(tok, ' ' ORDER BY p) FROM pos "
+        "WHERE n BETWEEN 1 AND 2 GROUP BY doc_id), "
+        "dsh AS (SELECT DISTINCT doc_id, s FROM sh), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dsh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS i "
+        "FROM dsh x JOIN dsh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2), "
+        "epairs AS (SELECT i.a, i.b FROM inter i "
+        "JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b "
+        "WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= 0.8 "
+        "UNION ALL SELECT t1.doc_id, t2.doc_id FROM toks t1 JOIN toks t2 "
+        "ON t1.doc_id < t2.doc_id WHERE len(t1.ts) = 0 AND len(t2.ts) = 0)"
+    )
+    return _components_sql(pair_sql, "SELECT doc_id, doc_id FROM documents", "doc_id")
+
+
+def embedding_components_oracle() -> str:
+    """Exact all-pairs cosine >= 0.98 -> connected components (margin: the
+    sf0.01 corpus has no pair within 0.4 of the threshold; planted-dup parity
+    is tested on synthetic corpora in tests/test_dedup_oracle.py)."""
+    pair_sql = (
+        "epairs AS (SELECT e1.vec_id AS a, e2.vec_id AS b "
+        "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
+        "WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.98)"
+    )
+    return _components_sql(pair_sql, "SELECT vec_id, vec_id FROM embeddings", "vec_id")
 
 
 def q_dedup_simhash(sf_dir: str):
@@ -1138,6 +1251,7 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "FROM viol GROUP BY field, error_type "
             "ORDER BY n DESC, field, error_type LIMIT 20"
         ),
+        "drift_roles": drift_roles_oracle(t),
     }
 
 
@@ -1229,6 +1343,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["range_join"] = range_join_oracle()
     out["curate_docs"] = curate_oracle()
     out["near_dup_pairs"] = near_dup_pairs_oracle()
+    out["dedup_minhash"] = minhash_components_oracle()
+    out["dedup_embedding"] = embedding_components_oracle()
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()
     out["window_session"] = session_oracle()
