@@ -74,7 +74,7 @@ def curate_documents(
                 "max_chars": max_chars,
                 "min_stop_ratio": min_stop_ratio,
                 "near_dup_threshold": near_dup_threshold,
-                "v": 1,
+                "v": 2,  # v2: exact dedup groups on (hash, text); in-flight sink count
             },
             sort_keys=True,
         ).encode()
@@ -114,8 +114,11 @@ def curate_documents(
         )
 
     def first_per_hash(g):
-        g = g.sort_values(["content_hash", id_col], kind="stable")
-        return g[~g["content_hash"].duplicated()].drop(columns=["content_hash", "pbucket"])
+        # group on (hash, text), not the hash alone: identical texts share a
+        # bucket by construction, and a 64-bit collision between two DISTINCT
+        # texts (expected at 10^10+ docs) must keep both
+        g = g.sort_values(["content_hash", col, id_col], kind="stable")
+        return g[~g.duplicated(["content_hash", col])].drop(columns=["content_hash", "pbucket"])
 
     first_per_hash.__name__ = "first_per_hash"
     deduped = (
@@ -145,13 +148,16 @@ def curate_documents(
             keys = ray.get(keys)
         return df[~df[id_col].isin(keys)]
 
-    clean = survivors.map_batches(drop_near, batch_format="pandas")
+    # materialize once: the count comes from the materialized blocks and the
+    # sink streams the same blocks — no re-read of the just-written parquet
+    # (same pattern as validate_pipeline.py stage 1)
+    clean = survivors.map_batches(drop_near, batch_format="pandas").materialize()
+    n_out = clean.count()
 
     # ---- sink
     final_dir = os.path.join(out_dir, "clean")
     with atomic_output_dir(final_dir) as tmp:
         clean.write_parquet(tmp)
-    n_out = rd.read_parquet(final_dir).count()
     counts = {
         "n_input": n_input,
         "n_after_quality": n_quality,

@@ -853,16 +853,12 @@ def q_broadcast_join(sf_dir: str):
 def q_bucketed_join(sf_dir: str):
     """Explicit partitioned hash join (both sides 'large'): orders ⨝ customer
     on custkey, one tagged-union shuffle, per-bucket pandas merge."""
-    from ..stages.joins import bucketed_hash_join
     from ray.data.aggregate import Count
+
+    from ..stages.joins import bucketed_hash_join
 
     orders = _read_table(sf_dir, "orders").select_columns(["o_custkey", "o_orderkey"])
     cust = _read_table(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"])
-
-    def renamed(b):
-        return b.rename_columns(["custkey", "o_orderkey"]) if b.schema.names[0] == "o_custkey" else b
-
-    import pyarrow as pa
 
     orders = orders.map_batches(
         lambda t: t.rename_columns(["custkey", "o_orderkey"]), batch_format="pyarrow"

@@ -49,10 +49,18 @@ def failures_by_day(ds, dim: str = "field"):
     )
 
 
-def daily_error_rate(ds):
+def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
     """Per-day total distinct events, distinct error events, and error rate %
     (validation_report.py:119-131). Returns (date_utc, n_events,
-    n_error_events, error_rate) sorted by day."""
+    n_error_events, error_rate) sorted by day.
+
+    ``approx=True`` is the 10^12-turn path: per-batch mergeable HLL partials
+    per (day, total|error) replace the two-level distinct groupby — the
+    shuffle disappears entirely (one tiny partial row per block x day reaches
+    the driver; relative error ~1.04/sqrt(2^hll_p), ~0.8% at p=14, asserted
+    against the exact mode in tests/test_sketches.py)."""
+    if approx:
+        return _daily_error_rate_hll(ds, hll_p)
     from ray.data.aggregate import Count
 
     with_date = _with_date(ds).select_columns(["date_utc", "event_id", "status"])
@@ -93,6 +101,78 @@ def daily_error_rate(ds):
     out["n_error_events"] = out["n_error_events"].astype("int64")
     out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)
     return out.sort_values("date_utc").reset_index(drop=True)
+
+
+def _daily_error_rate_hll(ds, hll_p: int):
+    """HLL-sketched distinct rates: a map-only pass emits one serialized HLL
+    partial per (block, day, which in {total, error}); the driver merges the
+    partials (blocks x days x 2 tiny rows — never the data, never a shuffle).
+    Same execution pattern as the sketch plane (stages/sketches.py)."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.sketches import HLL, hash64
+
+    def partials(t: pa.Table) -> pa.Table:
+        dates = t["date_utc"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        errs = pc.equal(t["status"], "error").to_numpy(zero_copy_only=False)
+        h = hash64(ids).astype(np.uint64)
+        uniq, inv = np.unique(dates, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        out_d, out_w, out_p = [], [], []
+        for k, d in enumerate(uniq):
+            seg = order[bounds[k] : bounds[k + 1]]
+            hll = HLL(hll_p)
+            hll.add_hashes(h[seg])
+            out_d.append(d)
+            out_w.append("total")
+            out_p.append(pickle.dumps(hll))
+            seg_e = seg[errs[seg]]
+            if seg_e.size:
+                hll_e = HLL(hll_p)
+                hll_e.add_hashes(h[seg_e])
+                out_d.append(d)
+                out_w.append("error")
+                out_p.append(pickle.dumps(hll_e))
+        return pa.table(
+            {
+                "date_utc": pa.array(out_d, pa.string()),
+                "which": pa.array(out_w, pa.string()),
+                "payload": pa.array(out_p, pa.binary()),
+            }
+        )
+
+    rows = (
+        _with_date(ds)
+        .select_columns(["date_utc", "event_id", "status"])
+        .map_batches(partials, batch_format="pyarrow")
+        .take_all()
+    )
+    merged: dict[tuple[str, str], HLL] = {}
+    for r in rows:
+        key = (r["date_utc"], r["which"])
+        hll = pickle.loads(r["payload"])
+        if key in merged:
+            merged[key].merge(hll)
+        else:
+            merged[key] = hll
+    days = sorted({d for d, _ in merged})
+    out = pd.DataFrame(
+        {
+            "date_utc": days,
+            "n_events": [int(round(merged[(d, "total")].estimate())) for d in days],
+            "n_error_events": [
+                int(round(merged[(d, "error")].estimate())) if (d, "error") in merged else 0
+                for d in days
+            ],
+        }
+    )
+    out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)
+    return out.reset_index(drop=True)
 
 
 def unique_event_names(ds):

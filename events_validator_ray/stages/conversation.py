@@ -566,19 +566,17 @@ def detect_skew(
     between the plain and salted conversation paths."""
     from ray.data.aggregate import Count
 
-    # seeded sample -> both consumers below recompute the identical cheap
-    # map-only lineage (no object-store copy of a 10^10-row sample)
+    # ONE execution of the sampled lineage: the distributed value-counts are
+    # materialized (object-store, spillable; bounded by distinct keys in the
+    # sample) and BOTH total and top-k derive from them — re-executing the
+    # seeded random_sample per consumer could mix two different samples if
+    # per-task sampling isn't bit-stable across block layouts
     sample = ds.select_columns([within]).random_sample(sample_frac, seed=seed)
-    total = sample.count()
-    # distributed value-counts; only the top-k rows reach the driver (a 2%
-    # sample of 10^12 turns is still 10^10 rows — never collect it)
-    top_rows = (
-        sample.groupby(within)
-        .aggregate(Count(alias_name="n"))
-        .sort("n", descending=True)
-        .limit(top_k)
-        .take_all()
-    )
+    vc = sample.groupby(within).aggregate(Count(alias_name="n")).materialize()
+    total = int(vc.sum("n") or 0)
+    # only the top-k rows reach the driver (a 2% sample of 10^12 turns is
+    # still 10^10 rows — never collect it)
+    top_rows = vc.sort("n", descending=True).limit(top_k).take_all()
     top = [(str(r[within]), int(r["n"])) for r in top_rows]
     return {
         "sampled_rows": total,

@@ -10,6 +10,46 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _canon_key_str(s: pd.Series) -> np.ndarray:
+    """Canonical string form of a join key for bucket hashing: integral
+    floats render as int strings so a key that arrives int64 in one block and
+    float64 in another (the int64-with-nulls Arrow->pandas round trip) lands
+    in the same bucket ('5', never '5.0'). NaN keys keep a stable sentinel."""
+    if pd.api.types.is_float_dtype(s):
+        v = s.to_numpy()
+        out = np.empty(len(v), dtype=object)
+        finite = np.isfinite(v)
+        integral = finite & (v == np.floor(v)) & (np.abs(v) < 2**63)
+        out[integral] = v[integral].astype(np.int64).astype(str)
+        rest = ~integral
+        out[rest] = v[rest].astype(str)
+        return out
+    return s.astype(str).to_numpy()
+
+
+def _split_sides(g: pa.Table, left_cols: list[str], right_cols: list[str]):
+    """Split a tagged-union group INSIDE Arrow and convert each side to
+    pandas separately: the other side's null-padded rows never share a pandas
+    column with real values, so int64 payloads (snowflake-scale ids) are
+    never degraded to float64 by the union itself."""
+    sides = g["__side"]
+    l = g.filter(pc.equal(sides, "l")).select(left_cols).to_pandas()
+    r = g.filter(pc.equal(sides, "r")).select(right_cols).to_pandas()
+    return l, r
+
+
+def _nullable_ints(df: pd.DataFrame, skip: tuple[str, ...]) -> pd.DataFrame:
+    """Integer payload columns -> pandas nullable Int64 so a left join's
+    missing matches pad with pd.NA instead of coercing the whole column (and
+    every matched value above 2^53) through float64."""
+    for c in df.columns:
+        if c not in skip and pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df
 
 
 class BroadcastJoin:
@@ -113,7 +153,7 @@ def asof_join(
                     b[c] = pd.NA
             b = b[all_cols]
             b["__bucket"] = (
-                hash64(b[by].astype(str).to_numpy()) % np.uint64(num_buckets)
+                hash64(_canon_key_str(b[by])) % np.uint64(num_buckets)
             ).astype(np.int64)
             b["__side"] = side
             return b
@@ -125,9 +165,10 @@ def asof_join(
     rt = right.map_batches(tag("r"), batch_format="pandas")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == "l", left_cols].sort_values(on, kind="stable")
-        r = g.loc[g["__side"] == "r", [by, on] + out_right].sort_values(on, kind="stable")
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(g, left_cols, [by, on] + out_right)
+        l = l.sort_values(on, kind="stable")
+        r = _nullable_ints(r.sort_values(on, kind="stable"), skip=(by, on))
         if l.empty:
             return pd.DataFrame(columns=all_cols)
         if r.empty:
@@ -139,7 +180,7 @@ def asof_join(
         return merged[all_cols]
 
     join_bucket.__name__ = "asof_bucket"
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def range_join(
@@ -175,7 +216,7 @@ def range_join(
                     b[c] = pd.NA
             b = b[all_cols]
             b["__bucket"] = (
-                hash64(b[on].astype(str).to_numpy()) % np.uint64(num_buckets)
+                hash64(_canon_key_str(b[on])) % np.uint64(num_buckets)
             ).astype(np.int64)
             b["__side"] = side
             return b
@@ -187,9 +228,8 @@ def range_join(
     rt = right.map_batches(tag("r"), batch_format="pandas")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == "l", left_cols]
-        r = g.loc[g["__side"] == "r", [on] + out_right]
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(g, left_cols, [on] + out_right)
         if l.empty or r.empty:
             return pd.DataFrame(columns=all_cols)
         m = l.merge(r, on=on, how="inner")
@@ -197,7 +237,7 @@ def range_join(
         return m[keep][all_cols]
 
     join_bucket.__name__ = "range_bucket"
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def bucketed_hash_join(
@@ -227,12 +267,12 @@ def bucketed_hash_join(
                 if c not in b.columns:
                     b[c] = pd.NA
             b = b[all_cols]
-            # hash the key's STRING form: blocks may carry the same key as
-            # int64 in one block and object (from NA-padded concat) in
-            # another, and hash64 is dtype-sensitive — the canonical form
-            # keeps both sides of the join in the same bucket
+            # hash the key's CANONICAL string form: blocks may carry the same
+            # key as int64 in one block and float64/object in another (NA
+            # padding, Arrow->pandas round trips), and hash64 is
+            # dtype-sensitive — '5' and '5.0' must share a bucket
             b["__bucket"] = (
-                hash64(b[on].astype(str).to_numpy()) % np.uint64(num_buckets)
+                hash64(_canon_key_str(b[on])) % np.uint64(num_buckets)
             ).astype(np.int64)
             b["__side"] = side
             return b
@@ -244,12 +284,13 @@ def bucketed_hash_join(
     rt = right.map_batches(tag("r", right_cols), batch_format="pandas")
     both = lt.union(rt)
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["__side"] == "l", left_cols]
-        r = g.loc[g["__side"] == "r", right_cols]
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(g, left_cols, right_cols)
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame(columns=all_cols)
+        if how != "inner":
+            r = _nullable_ints(r, skip=(on,))
         return l.merge(r, on=on, how=how)
 
     join_bucket.__name__ = "join_bucket"
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

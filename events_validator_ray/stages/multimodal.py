@@ -223,10 +223,19 @@ class ExtractAudio:
         )
 
 
-def extract_audio(ds, feature_dim: int = 32, concurrency: int = 2, batch_size: int = 32):
+def extract_audio(
+    ds,
+    feature_dim: int = 32,
+    concurrency: int = 2,
+    batch_size: int = 32,
+    allow_fake: bool = True,
+):
+    """`allow_fake=False` makes the documented fail-fast reachable from the
+    public helper: with no codec library each actor raises at construction
+    instead of silently emitting the deterministic stub features."""
     return ds.filter(expr="kind == 'audio'").map_batches(
         ExtractAudio,
-        fn_constructor_kwargs={"feature_dim": feature_dim},
+        fn_constructor_kwargs={"feature_dim": feature_dim, "allow_fake": allow_fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -254,12 +263,19 @@ def synthetic_media(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
-def decode_images(ds, feature_dim: int = 64, concurrency: int = 4, batch_size: int = 32):
+def decode_images(
+    ds,
+    feature_dim: int = 64,
+    concurrency: int = 4,
+    batch_size: int = 32,
+    allow_fake: bool = True,
+):
     """The canonical wiring: small batches, actor pool, binary-safe arrow
-    format end to end."""
+    format end to end. `allow_fake=False` fails at actor construction when
+    PIL is absent (never mid-stream)."""
     return ds.filter(expr="kind == 'image'").map_batches(
         DecodeImage,
-        fn_constructor_kwargs={"feature_dim": feature_dim},
+        fn_constructor_kwargs={"feature_dim": feature_dim, "allow_fake": allow_fake},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -34,8 +34,10 @@ def hash64(values: np.ndarray) -> np.ndarray:
     arr = np.asarray(values)
     if arr.dtype == object:
         # hash_array handles str elements directly and falls back to
-        # astype(str) internally for mixed objects — identical values to the
-        # explicit "U" round-trip, without the two array copies
+        # astype(str) internally for mixed objects. Caveat: None hashes to
+        # its own sentinel (2^64-1), NOT to hash("None") as an astype(str)
+        # round-trip would — self-consistent within and across runs, but a
+        # null-bearing hashed column changes values vs a str-cast pipeline
         return pd.util.hash_array(arr)
     if arr.dtype.kind == "U":
         return pd.util.hash_array(arr.astype(object))

@@ -37,7 +37,6 @@ def tumbling_window_agg(
             pc.cast(pc.floor(pc.divide(epoch, float(window_s * 1_000_000))), pa.int64()),
             window_s,
         )
-        cols = [key, "window_start"]
         out = pa.table({key: t[key], "window_start": win})
         if value_col:
             out = out.append_column(value_col, t[value_col])

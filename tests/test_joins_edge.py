@@ -1,0 +1,68 @@
+"""Join hardening edge cases (round-2 ADVICE): dtype-drifted keys must still
+co-bucket, and snowflake-scale int payloads must survive NA-padded unions and
+left joins without a float64 round trip."""
+
+import numpy as np
+import pandas as pd
+
+from events_validator_ray.stages.joins import asof_join, bucketed_hash_join
+
+BIG = 2**61 + 12345  # not representable in float64 (would round)
+
+
+def test_bucketed_join_float_key_block_still_matches(ray_session):
+    """A key column arriving float64 in one side (int64-with-nulls round
+    trip) must land in the same bucket as the int64 side: '5' == '5.0'."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.array([1.0, 2.0, 5.0], dtype="float64"), "lv": [10, 20, 50]})
+    right = pd.DataFrame({"k": np.array([1, 2, 5], dtype="int64"), "rv": [100, 200, 500]})
+    got = (
+        bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=8)
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert list(got["rv"]) == [100, 200, 500]
+
+
+def test_bucketed_left_join_preserves_big_ids(ray_session):
+    """how='left' with missing matches must not degrade matched right-side
+    int64 payloads through float64 (2^61-scale ids round-trip exactly)."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": [1, 3], "big_id": [BIG, BIG + 7]})
+    got = (
+        bucketed_hash_join(
+            rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=4, how="left"
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    by_k = got.set_index("k")["big_id"]
+    assert int(by_k[1]) == BIG and int(by_k[3]) == BIG + 7
+    assert pd.isna(by_k[2])
+
+
+def test_asof_join_preserves_big_ids(ray_session):
+    """asof payload ids above 2^53 survive the tagged union + merge_asof."""
+    import ray.data as rd
+
+    left = pd.DataFrame({"u": [1, 1, 2], "t": np.array([5, 9, 5], dtype="int64")})
+    right = pd.DataFrame(
+        {"u": [1, 1], "t": np.array([4, 8], dtype="int64"), "rid": [BIG, BIG + 1]}
+    )
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), on="t", by="u", num_buckets=4)
+        .to_pandas()
+        .sort_values(["u", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3
+    assert int(got.loc[0, "rid"]) == BIG  # t=5 -> last right t<=5 is 4
+    assert int(got.loc[1, "rid"]) == BIG + 1  # t=9 -> 8
+    assert pd.isna(got.loc[2, "rid"])  # u=2 has no right rows

@@ -158,3 +158,41 @@ def test_spec_file_fixtures():
     assert spec.table.unique == ["conv_id", "turn_idx"]
     spec2 = load_spec_file("specs/events.json")
     assert spec2.fields["event_type"].enum is not None
+
+
+def test_daily_error_rate_approx_matches_exact_sf01(ray_session):
+    """Round-3 item 4: the HLL-sketched daily_error_rate (map-only, no
+    shuffle) tracks the exact two-level distinct groupby within the HLL error
+    envelope on the sf0.1 corpus."""
+    from events_validator_ray.pipelines.queries import _read_transcripts
+    from events_validator_ray.pipelines.report import daily_error_rate
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    ds = _read_transcripts("/root/testdata/sf0.1")
+    log = ds.map_batches(
+        ValidateBatch(transcript_spec(), log_valid=True, date_from="ts"),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    exact = daily_error_rate(log).set_index("date_utc")
+    approx = daily_error_rate(log, approx=True).set_index("date_utc")
+    assert list(exact.index) == list(approx.index)
+    # HLL p=14: sigma ~ 1.04/sqrt(2^14) = 0.81%; assert a 3-sigma-ish bound
+    # on days with enough mass for the relative bound to be meaningful
+    big = exact["n_events"] >= 1000
+    rel = (
+        (approx.loc[big, "n_events"] - exact.loc[big, "n_events"]).abs()
+        / exact.loc[big, "n_events"]
+    )
+    assert float(rel.max()) < 0.03
+    err_big = exact["n_error_events"] >= 500
+    rel_e = (
+        (approx.loc[err_big, "n_error_events"] - exact.loc[err_big, "n_error_events"]).abs()
+        / exact.loc[err_big, "n_error_events"]
+    )
+    assert float(rel_e.max()) < 0.03
+    # rate column stays consistent with its own numerator/denominator
+    recomputed = (100.0 * approx["n_error_events"] / approx["n_events"]).round(6)
+    assert (approx["error_rate"] == recomputed).all()
