@@ -26,6 +26,10 @@ import subprocess
 import sys
 import time
 
+# must be set BEFORE `import ray` (ray_constants reads it at import time):
+# 50% of host memory for the object store, Ray Data's own recommendation
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.5")
+
 
 def _headline(ds, spec):
     """Full scalar validation; consumed via per-batch partial aggregation
@@ -66,10 +70,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
+    rd.DataContext.get_current().enable_progress_bar_name_truncation = False
 
-    from events_validator_ray.logutil import suppress_empty_shuffle_partition_warning
+    from events_validator_ray.logutil import (
+        suppress_empty_shuffle_partition_warning,
+        suppress_schema_hash_warning,
+    )
 
     suppress_empty_shuffle_partition_warning()
+    suppress_schema_hash_warning()
 
     from events_validator_ray.sources.transcripts import ensure_transcripts, sf_from_dir
     from events_validator_ray.spec import transcript_spec
@@ -108,20 +117,34 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     queries: dict[str, float] = {}
 
-    t0 = time.time()
-    counts = _headline(read(), spec)
-    headline = time.time() - t0
+    # min-of-N per query (round-3 item 6): the shared host swings wall times
+    # 2-3x with co-tenant noise; the min over N back-to-back runs is the
+    # repeatable number (the --scaling path has used this discipline since
+    # round 1 — applied to every standard-run query from round 3)
+    min_of = max(1, int(os.environ.get("GRAFT_BENCH_MIN_OF", "2")))
+
+    def _timed(fn, repeats: int = 0) -> float:
+        best = None
+        for _ in range(repeats or min_of):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        return best
+
+    counts_box: dict = {}
+
+    def _run_headline():
+        counts_box["counts"] = _headline(read(), spec)
+
+    headline = _timed(_run_headline, 3 if os.environ.get("GRAFT_BENCH_ONLY") else 0)
+    counts = counts_box["counts"]
     queries["validate_scalar"] = round(headline, 3)
 
     if os.environ.get("GRAFT_BENCH_ONLY"):
         # scaling mode: measure only the headline (compute-bound, larger
         # repeat); min of 3 repeats controls for noisy-neighbor/steal-time
         # variance on the shared host
-        for _ in range(2):
-            t0 = time.time()
-            _headline(read(), spec)
-            headline = min(headline, time.time() - t0)
-        queries["validate_scalar"] = round(headline, 3)
         ray.shutdown()
         return {
             "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",
@@ -135,47 +158,55 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "status_counts": counts,
         }
 
-    t0 = time.time()
-    conversation_violations(read(), spec).count()
-    queries["conversation_checks"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    conversation_violations_salted(read(), spec, chunk=1000).count()
-    queries["conversation_checks_salted"] = round(time.time() - t0, 3)
-
-    t0 = time.time()
-    sketch_dataset(
-        read(),
-        {"conv_id": ("stats", "hll"), "turn_idx": ("stats", "tdigest"), "role": ("cathist",)},
+    queries["conversation_checks"] = round(
+        _timed(lambda: conversation_violations(read(), spec).count()), 3
     )
-    queries["sketch_profile"] = round(time.time() - t0, 3)
+
+    queries["conversation_checks_salted"] = round(
+        _timed(lambda: conversation_violations_salted(read(), spec, chunk=1000).count()), 3
+    )
+
+    queries["sketch_profile"] = round(
+        _timed(
+            lambda: sketch_dataset(
+                read(),
+                {
+                    "conv_id": ("stats", "hll"),
+                    "turn_idx": ("stats", "tdigest"),
+                    "role": ("cathist",),
+                },
+            )
+        ),
+        3,
+    )
 
     from events_validator_ray.stages.dedup import minhash_lsh_dedup
     from events_validator_ray.stages.similarity import ann_topk
 
     docs = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs):
-        t0 = time.time()
-        minhash_lsh_dedup(rd.read_parquet(docs), threshold=0.8)
-        queries["dedup_minhash"] = round(time.time() - t0, 3)
+        queries["dedup_minhash"] = round(
+            _timed(lambda: minhash_lsh_dedup(rd.read_parquet(docs), threshold=0.8)), 3
+        )
     emb = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb):
-        t0 = time.time()
-        ann_topk(rd.read_parquet(emb), [0, 1, 2, 3, 4], k=10)
-        queries["ann_topk"] = round(time.time() - t0, 3)
+        queries["ann_topk"] = round(
+            _timed(lambda: ann_topk(rd.read_parquet(emb), [0, 1, 2, 3, 4], k=10)), 3
+        )
 
     from events_validator_ray.pipelines.report import failures_by_day
     from events_validator_ray.stages.validate import ValidateBatch
 
-    t0 = time.time()
-    log = read().map_batches(
-        ValidateBatch(spec, log_valid=True, date_from="ts"),
-        batch_format="pyarrow",
-        batch_size=None,  # whole-block batches: the validator is fully vectorized
-        zero_copy_batch=True,
-    )
-    failures_by_day(log, dim="field").count()
-    queries["report_failures_by_day"] = round(time.time() - t0, 3)
+    def _report():
+        log = read().map_batches(
+            ValidateBatch(spec, log_valid=True, date_from="ts"),
+            batch_format="pyarrow",
+            batch_size=None,  # whole-block batches: the validator is fully vectorized
+            zero_copy_batch=True,
+        )
+        failures_by_day(log, dim="field").count()
+
+    queries["report_failures_by_day"] = round(_timed(_report), 3)
 
     # nested-document validation (list<struct> items + struct meta) over the
     # deterministic nested corpus
@@ -184,14 +215,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     ndir = ensure_nested_events(sf)
     nspec = load_spec(NESTED_SPEC_JSON, event_name="purchase")
-    t0 = time.time()
-    rd.read_parquet(ndir).map_batches(
-        ValidateBatch(nspec, log_valid=False, id_cols=("event_id",)),
-        batch_format="pyarrow",
-        batch_size=None,
-        zero_copy_batch=True,
-    ).count()
-    queries["validate_nested"] = round(time.time() - t0, 3)
+
+    def _nested():
+        rd.read_parquet(ndir).map_batches(
+            ValidateBatch(nspec, log_valid=False, id_cols=("event_id",)),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).count()
+
+    queries["validate_nested"] = round(_timed(_nested), 3)
 
     result = {
         "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",

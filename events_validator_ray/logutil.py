@@ -34,3 +34,21 @@ def suppress_empty_shuffle_partition_warning() -> None:
     )
     if not any(isinstance(f, _EmptyBundleFilter) for f in logger.filters):
         logger.addFilter(_EmptyBundleFilter())
+
+
+_SCHEMA_HASH_PATTERN = "Failed to hash the schemas (for deduplication)"
+
+
+class _SchemaHashFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:  # True = keep
+        return _SCHEMA_HASH_PATTERN not in record.getMessage()
+
+
+def suppress_schema_hash_warning() -> None:
+    """Ray's `unify_schemas` tries `set(schemas)` as an early-exit
+    optimization (transform_pyarrow.py:176-181); PandasBlockSchema objects
+    aren't hashable, so it logs a warning and falls through to the full
+    unification — results unaffected. Filter only that exact message."""
+    logger = logging.getLogger("ray.data._internal.arrow_ops.transform_pyarrow")
+    if not any(isinstance(f, _SchemaHashFilter) for f in logger.filters):
+        logger.addFilter(_SchemaHashFilter())

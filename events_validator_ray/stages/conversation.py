@@ -636,10 +636,12 @@ def _unpack_summaries(df: "pd.DataFrame") -> "pd.DataFrame":
     parts.columns = SUMMARY_FIELDS[: parts.shape[1]]
     out = pd.DataFrame({"conv": df["event_name"].to_numpy()})
     for c in ("min_turn", "max_turn", "max_ts", "min_ts", "chunk", "alt_first_turn"):
-        out[c] = pd.to_numeric(parts[c].replace("", np.nan)) if c in parts else np.nan
+        # mask-then-to_numeric: `.replace("", nan)` trips the pandas
+        # silent-downcasting FutureWarning in every worker
+        out[c] = pd.to_numeric(parts[c].where(parts[c] != "")) if c in parts else np.nan
     out["first_ok"] = parts["first_ok"] if "first_ok" in parts else ""
     for c in ("min_role", "alt_first_role", "alt_last_role"):
-        out[c] = parts[c].replace("", np.nan) if c in parts else np.nan
+        out[c] = parts[c].where(parts[c] != "") if c in parts else np.nan
     return out
 
 

@@ -155,6 +155,13 @@ def _random_doc(rng, depth=0):
                 _random_doc(rng, depth + 1) if rng.random() < 0.5 else int(rng.integers(0, 9))
                 for _ in range(int(rng.integers(0, 3)))
             ]
+        elif r < 0.42 and depth < 2:
+            # arrays-of-arrays: items walked UNWRAPPED via the JS property
+            # view (index keys + 'length'), a[0][1]-style (round-3 item 8)
+            out[k] = [
+                [["x", 3, None][int(rng.integers(0, 3))] for _ in range(int(rng.integers(0, 3)))]
+                for _ in range(int(rng.integers(1, 3)))
+            ]
         elif r < 0.5:
             out[k] = ["x", "", None, 7, True][int(rng.integers(0, 5))]
         elif r < 0.7:
@@ -177,6 +184,13 @@ def _random_nested_rule(rng, depth=0):
         rule["nestedSchema"] = {
             f"k{i}": _random_nested_rule(rng, depth + 1) for i in range(int(rng.integers(1, 3)))
         }
+        if rng.random() < 0.4:
+            # index-key / length rules resolve against the JS array property
+            # view when the item is itself an array (_array_props)
+            rule["nestedSchema"][str(int(rng.integers(0, 3)))] = _random_nested_rule(
+                rng, depth + 1
+            )
+            rule["nestedSchema"]["length"] = {"type": "number"}
     else:
         rule["type"] = ["string", "number", "boolean"][int(rng.integers(0, 3))]
         if rng.random() < 0.3:

@@ -115,6 +115,46 @@ CASES = [
         {"a": [None]},
         [("a[0].id", "missing", "field present", "field missing")],
     ),
+    # 28: a[0][1]-style DEEP nesting (round-3 item 8): an index-key rule with
+    # its own nestedSchema recurses into the inner array via the same JS
+    # property walk (validationHelpers.js:38-48) — path a[0].1[0].id; index
+    # keys beyond the array's length are missing properties
+    (
+        {
+            "a": {
+                "type": "array",
+                "nestedSchema": {
+                    "1": {"type": "array", "nestedSchema": {"id": {"type": "string"}}},
+                    "length": {"type": "number", "value": 2},
+                    "2": {"type": "string"},
+                },
+            }
+        },
+        {"a": [[["ig"], [{"id": 5}]]]},
+        [
+            ("a[0].1[0].id", "type", "string", "number"),
+            ("a[0].2", "missing", "field present", "field missing"),
+        ],
+    ),
+    # 29: the 'length' property participates in value checks like any field
+    (
+        {
+            "a": {
+                "type": "array",
+                "nestedSchema": {
+                    "1": {"type": "array", "nestedSchema": {"id": {"type": "string"}}},
+                    "length": {"type": "number", "value": 2},
+                    "2": {"type": "string"},
+                },
+            }
+        },
+        {"a": [["x"]]},
+        [
+            ("a[0].1", "missing", "field present", "field missing"),
+            ("a[0].length", "value", "2", "1"),
+            ("a[0].2", "missing", "field present", "field missing"),
+        ],
+    ),
 ]
 
 
