@@ -872,6 +872,47 @@ def q_bucketed_join(sf_dir: str):
     )
 
 
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join (the scale slot for key sets too
+    large to broadcast, stages/joins.py:bloom_semi_join): orders placed by
+    BUILDING-segment customers. The Bloom drops non-matching orders map-side;
+    the bucketed survivor pass removes false positives, so the result is
+    exactly the SQL IN-subquery."""
+    from ..stages.joins import bloom_semi_join
+
+    orders = _read_table(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    keys = (
+        _read_table(sf_dir, "customer")
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .map_batches(lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
+    )
+    return bloom_semi_join(orders, keys, on="o_custkey").select_columns(["o_orderkey"])
+
+
+def q_mod_sample(sf_dir: str):
+    """Deterministic systematic 1-in-10 sample (the reference's 'sample
+    events upstream' cost mitigation, README.md:62-64, as an engine
+    operator): map-only, zero shuffle, rerun-stable."""
+    from ..stages.sampling import mod_sample
+
+    return mod_sample(
+        _read_table(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"]),
+        "o_orderkey",
+        modulus=10,
+        keep_below=1,
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """First-10-per-stratum deterministic sample (balanced-per-class
+    curation): per-batch combiner bounds the shuffle to blocks x strata x n."""
+    from ..stages.sampling import stratified_sample
+
+    ds = _read_table(sf_dir, "orders").select_columns(["o_orderpriority", "o_orderkey"])
+    return stratified_sample(ds, key="o_orderpriority", order_col="o_orderkey", n_per_key=10)
+
+
 def q_asof_join(sf_dir: str):
     """As-of join (SURVEY custom-operator slot): each purchase event picks up
     the LAST prior view of the same user — one tagged-union shuffle
@@ -1319,6 +1360,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "curate_docs": q_curate_docs,
         "near_dup_pairs": q_near_dup_pairs,
+        "bloom_semi_join": q_bloom_semi_join,
+        "mod_sample": q_mod_sample,
+        "stratified_sample": q_stratified_sample,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1341,6 +1385,19 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["dedup_minhash"] = minhash_components_oracle()
     out["dedup_embedding"] = embedding_components_oracle()
+    out["bloom_semi_join"] = (
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN "
+        "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    )
+    out["mod_sample"] = (
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 < 1"
+    )
+    out["stratified_sample"] = (
+        "SELECT o_orderpriority, o_orderkey FROM "
+        "(SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER "
+        "(PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn FROM orders) "
+        "WHERE rn <= 10"
+    )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()
     out["window_session"] = session_oracle()

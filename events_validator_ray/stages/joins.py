@@ -240,6 +240,133 @@ def range_join(
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over 64-bit key hashes (double hashing,
+    Kirsch-Mitzenmacher): k probe positions derived from one `hash64` pass +
+    a splitmix64 remix — no per-key Python. Mergeable by OR, so partial
+    filters built per block combine associatively (same pattern as the
+    sketch plane). Size: 2^n_bits_log2 bits (default 2^22 = 512 KiB —
+    ~0.6% FP at 2M keys with k=4)."""
+
+    def __init__(self, n_bits_log2: int = 22, k: int = 4):
+        self.n_bits_log2 = n_bits_log2
+        self.m = np.uint64(1 << n_bits_log2)
+        self.k = k
+        self.bits = np.zeros((1 << n_bits_log2) // 8, dtype=np.uint8)
+
+    @staticmethod
+    def _h2(h1: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            z = (h1 + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return (z ^ (z >> np.uint64(31))) | np.uint64(1)  # odd -> full cycle
+
+    def _positions(self, keys) -> np.ndarray:
+        from ..stages.sketches import hash64
+
+        h1 = hash64(np.asarray(keys, dtype=object)).astype(np.uint64)
+        h2 = self._h2(h1)
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [((h1 + np.uint64(i) * h2) % self.m).astype(np.int64) for i in range(self.k)]
+            )
+
+    def add(self, keys) -> "BloomFilter":
+        pos = self._positions(keys)
+        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return self
+
+    def contains(self, keys) -> np.ndarray:
+        pos = self._positions(keys)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self
+
+
+def build_bloom(keys_ds, on: str, n_bits_log2: int = 22, k: int = 4) -> BloomFilter:
+    """Distributed Bloom build: one partial filter per block (a map-only
+    pass; each partial is m/8 bytes), OR-merged on the driver — the key SET
+    never materializes anywhere."""
+    import pickle
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = BloomFilter(n_bits_log2, k).add(_canon_key_str(df[on]))
+        return pd.DataFrame({"payload": [pickle.dumps(b.bits)]})
+
+    rows = keys_ds.select_columns([on]).map_batches(partial, batch_format="pandas").take_all()
+    out = BloomFilter(n_bits_log2, k)
+    for r in rows:
+        np.bitwise_or(out.bits, pickle.loads(r["payload"]), out=out.bits)
+    return out
+
+
+def bloom_semi_join(left, keys_ds, on: str, n_bits_log2: int = 22, k: int = 4, num_buckets: int = 32):
+    """EXACT semi-join for key sets too large to broadcast exactly: a Bloom
+    prefilter (tiny broadcast, built distributed) drops the vast majority of
+    non-matching rows map-side, then a bucketed co-shuffle of only the
+    SURVIVORS against the (deduplicated) key set removes the Bloom's false
+    positives. Result is exactly `left WHERE left.on IN keys` (SQL twin), at
+    a shuffle volume of survivors + distinct keys instead of all of left.
+
+    This is the scale slot `semi_join_filter` names for extreme key
+    cardinalities; use `semi_join_filter` when the key set comfortably fits
+    an object-store broadcast."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from .sketches import hash64
+
+    bloom_ref = ray.put(build_bloom(keys_ds, on, n_bits_log2, k))
+    holder: dict = {}
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        if "b" not in holder:
+            obj = bloom_ref
+            if isinstance(obj, ray.ObjectRef):
+                obj = ray.get(obj)
+            holder["b"] = obj
+        return df[holder["b"].contains(_canon_key_str(df[on]))]
+
+    survivors = left.map_batches(prefilter, batch_format="pandas")
+    left_cols = list(left.schema().names)
+
+    # exact pass: tagged union of survivors + DISTINCT keys, one shuffle
+    distinct_keys = keys_ds.select_columns([on]).groupby(on).aggregate(Count(alias_name="_n"))
+
+    def tag(side: str):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            for c in left_cols:
+                if c not in b.columns:
+                    b[c] = pd.NA
+            b = b[left_cols]
+            b["__bucket"] = (
+                hash64(_canon_key_str(b[on])) % np.uint64(num_buckets)
+            ).astype(np.int64)
+            b["__side"] = side
+            return b
+
+        fn.__name__ = f"tag_{side}"
+        return fn
+
+    lt = survivors.map_batches(tag("l"), batch_format="pandas")
+    rt = distinct_keys.map_batches(tag("r"), batch_format="pandas")
+
+    def semi_bucket(g: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(g, left_cols, [on])
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=left_cols)
+        return l[l[on].isin(set(r[on]))]
+
+    semi_bucket.__name__ = "semi_bucket"
+    return lt.union(rt).groupby("__bucket").map_groups(semi_bucket, batch_format="pyarrow")
+
+
 def bucketed_hash_join(
     left,
     right,

@@ -1,0 +1,63 @@
+"""Deterministic sampling operators (training-data ops; the reference's cost
+mitigation is "sample events upstream in GTM triggers", README.md:62-64 —
+here sampling is a first-class, reproducible engine operator instead of a
+client-side trigger setting).
+
+Both operators are pure functions of the data (no RNG), so reruns, resumed
+runs and the DuckDB oracle all select the identical rows:
+
+- mod_sample: systematic 1-in-(m/k) sampling on an integer id column
+  (`id % m < k`) — a map-only filter, zero shuffle.
+- stratified_sample: first `n` rows per stratum under a deterministic total
+  order — per-batch combiner (keep <= n per key per batch) bounds the
+  shuffle to blocks x keys x n rows, then one groupby(key) finishes
+  globally. SQL twin: ROW_NUMBER() OVER (PARTITION BY key ORDER BY ord) <= n.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def mod_sample(ds, id_col: str, modulus: int = 100, keep_below: int = 1):
+    """Keep rows where `id_col % modulus < keep_below` (sampling rate
+    keep_below/modulus). Deterministic, map-only, SQL-twinnable."""
+
+    def flt(t: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(t[id_col], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return t.filter(pa.array((ids % modulus) < keep_below))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def stratified_sample(ds, key: str, order_col: str, n_per_key: int):
+    """First `n_per_key` rows per `key` stratum ordered by `order_col`
+    (which must be a deterministic total order within each stratum — a
+    unique id). Balanced-per-class selection for training-data curation.
+
+    Scale shape: the per-batch combiner already reduces each block to at
+    most n rows per stratum it contains, so the single groupby(key) shuffle
+    moves O(blocks x strata x n) rows — never the corpus."""
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([key, order_col], kind="stable").groupby(key, sort=False).head(n_per_key)
+        )
+
+    combiner.__name__ = "stratified_combiner"
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values([key, order_col], kind="stable").groupby(key, sort=False).head(n_per_key)
+        )
+
+    finish.__name__ = "stratified_finish"
+    return (
+        ds.map_batches(combiner, batch_format="pandas")
+        .groupby(key)
+        .map_groups(finish, batch_format="pandas")
+    )

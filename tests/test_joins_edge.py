@@ -66,3 +66,60 @@ def test_asof_join_preserves_big_ids(ray_session):
     assert int(got.loc[0, "rid"]) == BIG  # t=5 -> last right t<=5 is 4
     assert int(got.loc[1, "rid"]) == BIG + 1  # t=9 -> 8
     assert pd.isna(got.loc[2, "rid"])  # u=2 has no right rows
+
+
+def test_bloom_filter_fp_rate_and_prefilter(ray_session):
+    """BloomFilter: zero false negatives, bounded false positives; the
+    prefilter pass of bloom_semi_join drops most non-members before the
+    exact shuffle."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import BloomFilter, bloom_semi_join, build_bloom
+
+    members = np.array([str(i) for i in range(5000)], dtype=object)
+    absent = np.array([f"x{i}" for i in range(20000)], dtype=object)
+    b = BloomFilter(n_bits_log2=17, k=4).add(members)
+    assert b.contains(members).all()  # no false negatives, ever
+    fp = b.contains(absent).mean()
+    assert fp < 0.05  # 5k keys in 2^17 bits, k=4 -> ~0.2% expected
+
+    # distributed build == local build
+    keys_ds = rd.from_pandas(pd.DataFrame({"k": members})).repartition(4)
+    db = build_bloom(keys_ds, "k", n_bits_log2=17, k=4)
+    assert (db.bits == b.bits).all()
+
+    # exact semi-join parity incl. FP removal
+    left = pd.DataFrame({"k": list(members[:100]) + [f"x{i}" for i in range(400)], "v": range(500)})
+    got = (
+        bloom_semi_join(rd.from_pandas(left).repartition(3), keys_ds, on="k", n_bits_log2=17)
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert list(got["v"]) == list(range(100))
+
+
+def test_stratified_sample_combiner_matches_global(ray_session):
+    """stratified_sample over many small blocks equals the single-frame
+    ROW_NUMBER semantics regardless of partitioning."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import stratified_sample
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "cls": rng.integers(0, 7, 1000).astype(str),
+            "id": rng.permutation(1000),
+        }
+    )
+    got = (
+        stratified_sample(rd.from_pandas(df).repartition(9), "cls", "id", 5)
+        .to_pandas()
+        .sort_values(["cls", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["cls", "id"]).groupby("cls").head(5).sort_values(["cls", "id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
