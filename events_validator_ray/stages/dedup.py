@@ -547,6 +547,27 @@ def _full_labeling(ds, labels: dict, id_col: str):
     return ds.select_columns([id_col]).map_batches(lab, batch_format="pandas")
 
 
+def _full_labeling_join(ds, labels_ds, id_col: str):
+    """Join-based full (doc -> cluster) labeling for dup-heavy corpora where
+    even the near-dup label TABLE outgrows a broadcast (billions of rows at
+    30-50% web duplication): one bucketed left join of corpus ids against the
+    label Dataset; unlabeled docs keep their own id. Nothing touches the
+    driver."""
+    from .joins import bucketed_hash_join
+
+    lab = labels_ds.map_batches(
+        lambda df: df.rename(columns={"src": id_col, "label": "cluster"}),
+        batch_format="pandas",
+    )
+    joined = bucketed_hash_join(ds.select_columns([id_col]), lab, on=id_col, how="left")
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cluster"].where(df["cluster"].notna(), df[id_col])
+        return pd.DataFrame({id_col: df[id_col], "cluster": c.astype(df[id_col].dtype)})
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def _finish_labels(ds, labels: dict, id_col: str, include_singletons: bool):
     if include_singletons:
         return _full_labeling(ds, labels, id_col)
@@ -557,19 +578,33 @@ def _finish_labels(ds, labels: dict, id_col: str, include_singletons: bool):
     )
 
 
-def _labels_from_pairs_ds(verified_pairs_ds, assembly: str, driver_max_pairs: int) -> dict:
-    """Cluster labels from a (materialized) verified-pair Dataset: driver
-    union-find below `driver_max_pairs`, distributed min-label propagation
-    above (or when forced). The returned map is bounded by the number of docs
-    in verified pairs — near-dups, never the corpus."""
+def _assemble_labels(verified_pairs_ds, assembly: str, driver_max_pairs: int):
+    """Cluster labels from a (materialized) verified-pair Dataset: a dict via
+    driver union-find below `driver_max_pairs`, else the label DATASET from
+    distributed min-label propagation (kept distributed — the caller decides
+    whether it is small enough to pull)."""
     n = verified_pairs_ds.count()
     if n == 0:
         return {}
     if assembly == "driver" or (assembly == "auto" and n <= driver_max_pairs):
         pairs = sorted({(r["a"], r["b"]) for r in verified_pairs_ds.take_all()})
         return _union_find(pairs)
-    labels_ds = distributed_components(verified_pairs_ds)
-    return {r["src"]: r["label"] for r in labels_ds.take_all()}
+    return distributed_components(verified_pairs_ds)
+
+
+def _finish_from_assembly(
+    ds, labels_obj, id_col: str, include_singletons: bool, broadcast_max_labels: int = 200_000
+):
+    """Labeling policy ladder: dict labels -> broadcast map; Dataset labels
+    that fit -> pull once and broadcast; Dataset labels above
+    `broadcast_max_labels` (dup-heavy corpora: billions of near-dup nodes) ->
+    join-based full labeling, nothing on the driver."""
+    if isinstance(labels_obj, dict):
+        return _finish_labels(ds, labels_obj, id_col, include_singletons)
+    if include_singletons and labels_obj.count() > broadcast_max_labels:
+        return _full_labeling_join(ds, labels_obj, id_col)
+    labels = {r["src"]: r["label"] for r in labels_obj.take_all()}
+    return _finish_labels(ds, labels, id_col, include_singletons)
 
 
 def minhash_lsh_dedup(
@@ -583,11 +618,14 @@ def minhash_lsh_dedup(
     include_singletons: bool = False,
     assembly: str = "auto",
     driver_max_pairs: int = 100_000,
+    broadcast_max_labels: int = 200_000,
 ):
     """Near-dup clustering (cluster = min doc id). Returns a small pandas
     DataFrame of the PAIRED docs by default; `include_singletons=True` returns
     a streaming Dataset labeling the whole corpus (cluster=doc_id for uniques)
-    with no driver-side corpus materialization.
+    with no driver-side corpus materialization — above `broadcast_max_labels`
+    near-dup nodes the full labeling switches from a broadcast map to a
+    bucketed join, so dup-heavy corpora never pull the label table either.
 
     `assembly`: 'driver' (take_all + union-find; bounded by candidate pairs),
     'distributed' (bucketed-join Jaccard verify + min-label-propagation
@@ -598,20 +636,20 @@ def minhash_lsh_dedup(
     n_pairs = pairs_ds.count()
     use_driver = assembly == "driver" or (assembly == "auto" and n_pairs <= driver_max_pairs)
     if n_pairs == 0:
-        labels: dict = {}
+        labels_obj: dict | object = {}
     elif use_driver:
         raw_pairs = sorted({(r["a"], r["b"]) for r in pairs_ds.take_all()})
         if verify:
             raw_pairs = jaccard_verify_pairs(ds, raw_pairs, col, id_col, ngram, threshold)
-        labels = _union_find(raw_pairs)
+        labels_obj = _union_find(raw_pairs)
     else:
         vp = (
             jaccard_verify_distributed(ds, pairs_ds, col, id_col, ngram, threshold)
             if verify
             else pairs_ds
         ).materialize()
-        labels = _labels_from_pairs_ds(vp, "distributed", driver_max_pairs)
-    return _finish_labels(ds, labels, id_col, include_singletons)
+        labels_obj = _assemble_labels(vp, "distributed", driver_max_pairs)
+    return _finish_from_assembly(ds, labels_obj, id_col, include_singletons, broadcast_max_labels)
 
 
 # ---------------------------------------------------------------------------
@@ -689,6 +727,7 @@ def simhash_dedup(
     assembly: str = "auto",
     driver_max_pairs: int = 100_000,
     num_buckets: int = 32,
+    broadcast_max_labels: int = 200_000,
 ):
     """Near-dup clusters by simhash: banded candidates (any identical 16-bit
     band) verified by exact Hamming distance <= max_hamming.
@@ -710,8 +749,8 @@ def simhash_dedup(
         return pd.DataFrame({"a": df["a"].to_numpy()[m], "b": df["b"].to_numpy()[m]})
 
     verified = pairs.map_batches(hamming_ok, batch_format="pandas").materialize()
-    labels = _labels_from_pairs_ds(verified, assembly, driver_max_pairs)
-    return _finish_labels(ds, labels, id_col, include_singletons)
+    labels_obj = _assemble_labels(verified, assembly, driver_max_pairs)
+    return _finish_from_assembly(ds, labels_obj, id_col, include_singletons, broadcast_max_labels)
 
 
 def ngram_jaccard_pairs(ds, pairs: list[tuple], col: str = "text", id_col: str = "doc_id", ngram: int = 3) -> pd.DataFrame:
@@ -853,6 +892,7 @@ def embedding_dedup(
     assembly: str = "auto",
     driver_max_pairs: int = 100_000,
     pair_cap: int = 20,
+    broadcast_max_labels: int = 200_000,
 ):
     """Embedding-cosine near-dup clusters: banded hyperplane-LSH candidates
     through the capped `_bucket_pairs` policy (carrying the normalized vector
@@ -864,5 +904,5 @@ def embedding_dedup(
         ds, col, id_col, n_bits, bands, dim, pair_cap=pair_cap
     )
     verified = cosine_verify_pairs(pairs, threshold).materialize()
-    labels = _labels_from_pairs_ds(verified, assembly, driver_max_pairs)
-    return _finish_labels(ds, labels, id_col, include_singletons)
+    labels_obj = _assemble_labels(verified, assembly, driver_max_pairs)
+    return _finish_from_assembly(ds, labels_obj, id_col, include_singletons, broadcast_max_labels)

@@ -294,3 +294,20 @@ def test_simhash_distributed_equals_driver(ray_session):
     drv = simhash_dedup(ds2, max_hamming=3, assembly="driver")
     dist = simhash_dedup(ds2, max_hamming=3, assembly="distributed")
     assert drv.to_dict("records") == dist.to_dict("records")
+
+
+def test_full_labeling_join_path_matches_broadcast(ds):
+    """Dup-heavy-corpus slot: with broadcast_max_labels=0 the full labeling
+    goes through the bucketed-join path (label table never pulled to the
+    driver) and must produce the broadcast path's labels exactly."""
+    broadcast = minhash_lsh_dedup(ds, threshold=0.7, include_singletons=True)
+    want = {r["doc_id"]: r["cluster"] for r in broadcast.take_all()}
+    joined = minhash_lsh_dedup(
+        ds,
+        threshold=0.7,
+        include_singletons=True,
+        assembly="distributed",
+        broadcast_max_labels=0,
+    )
+    got = {r["doc_id"]: r["cluster"] for r in joined.take_all()}
+    assert got == want
