@@ -95,8 +95,21 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
     totals = pairs.groupby("date_utc").aggregate(Count(alias_name="n_events"))
     errors = err_pairs.groupby("date_utc").aggregate(Count(alias_name="n_error_events"))
 
+    import pandas as pd
+
     tdf = totals.to_pandas()
     edf = errors.to_pandas()
+    if tdf.empty:  # empty log / fully-filtered date range: typed empty frame
+        return pd.DataFrame(
+            {
+                "date_utc": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_error_events": pd.Series([], dtype="int64"),
+                "error_rate": pd.Series([], dtype="float64"),
+            }
+        )
+    if edf.empty:
+        edf = pd.DataFrame({"date_utc": pd.Series([], dtype=object), "n_error_events": pd.Series([], dtype="int64")})
     out = tdf.merge(edf, on="date_utc", how="left").fillna({"n_error_events": 0})
     out["n_error_events"] = out["n_error_events"].astype("int64")
     out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)

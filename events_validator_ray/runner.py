@@ -46,6 +46,21 @@ def main(argv: list[str] | None = None) -> int:
         "--reference-profile",
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
+    p.add_argument(
+        "--report",
+        action="store_true",
+        help="report plane over an EXISTING validation run: --input = the run's "
+        "out dir (reads violations/); prints failures-by-day and daily error "
+        "rate (the reference's Validation Report views)",
+    )
+    p.add_argument(
+        "--approx-rate",
+        action="store_true",
+        help="with --report: HLL-sketched distinct rates (the 10^12 path — "
+        "map-only, no shuffle, ~0.8%% relative error at p=14)",
+    )
+    p.add_argument("--date-from", help="report date-range start (predicate pushdown)")
+    p.add_argument("--date-to", help="report date-range end")
     args = p.parse_args(argv)
 
     import ray
@@ -70,6 +85,29 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.curate import curate_documents
 
         summary = curate_documents(args.input, args.out, resume=not args.no_resume)
+        print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return 0
+
+    if args.report:
+        import os as _os
+
+        from .pipelines.report import daily_error_rate, failures_by_day
+        from .sources.readers import read_violations_dir
+
+        vdir = _os.path.join(args.input, "violations")
+        if not _os.path.isdir(vdir):
+            vdir = args.input  # accept a bare violations dir too
+        log = read_violations_dir(vdir, args.date_from, args.date_to)
+        fbd = failures_by_day(log, dim="field").take_all()
+        rate = daily_error_rate(log, approx=args.approx_rate)
+        summary = {
+            "mode": "approx_hll" if args.approx_rate else "exact",
+            "n_failure_groups": len(fbd),
+            "top_failures": fbd[:10],
+            "daily_error_rate": rate.to_dict("records")[:31],
+            "n_days": len(rate),
+        }
         print(json.dumps(summary, default=str))
         ray.shutdown()
         return 0

@@ -83,13 +83,20 @@ def read_violations_dir(path: str, date_from: str | None = None, date_to: str | 
     """Violations read-back with date-range predicate pushdown — the
     reporting plane's input (the reference queries BigQuery for a date range,
     validation_report.py:31-43)."""
+    import datetime as _dt
+
     import pyarrow.compute as pc
     import ray.data as rd
 
+    def ts_scalar(s):
+        # ISO date/datetime string -> timestamp scalar (a bare string scalar
+        # has no comparison kernel against timestamp[us])
+        return pa.scalar(_dt.datetime.fromisoformat(s) if isinstance(s, str) else s)
+
     flt = None
     if date_from:
-        flt = pc.field("timestamp") >= pa.scalar(date_from)
+        flt = pc.field("timestamp") >= ts_scalar(date_from)
     if date_to:
-        cond = pc.field("timestamp") <= pa.scalar(date_to)
+        cond = pc.field("timestamp") <= ts_scalar(date_to)
         flt = cond if flt is None else (flt & cond)
     return rd.read_parquet(path, filter=flt) if flt is not None else rd.read_parquet(path)
