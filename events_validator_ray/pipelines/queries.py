@@ -539,6 +539,16 @@ def q_text_stats(sf_dir: str):
     return _read_table(sf_dir, "documents").map_batches(stats, batch_format="pandas")
 
 
+def q_token_count_bpe(sf_dir: str):
+    """GPT-2-style pretokenizer token counts (the BPE-ish regex slot) —
+    RE2 on both sides, so the count is engine-exact."""
+    from ..stages.text import BpeTokenCount
+
+    return _read_table(sf_dir, "documents").map_batches(
+        BpeTokenCount(), batch_format="pyarrow"
+    )
+
+
 def q_quality_scores(sf_dir: str):
     """Quality features with ratio columns micro-scaled to exact integers
     (floor(x*1e6+0.5) on raw IEEE doubles — the SQL twin reproduces the
@@ -1363,6 +1373,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "mod_sample": q_mod_sample,
         "stratified_sample": q_stratified_sample,
+        "token_count_bpe": q_token_count_bpe,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1397,6 +1408,13 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "(SELECT o_orderpriority, o_orderkey, ROW_NUMBER() OVER "
         "(PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn FROM orders) "
         "WHERE rn <= 10"
+    )
+    from ..stages.text import BPE_SPLIT_PATTERN
+
+    out["token_count_bpe"] = (
+        "SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), "
+        f"'{BPE_SPLIT_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens "
+        "FROM documents"
     )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()

@@ -52,6 +52,34 @@ class TokenCount:
         )
 
 
+#: GPT-2-style pretokenizer split pattern, RE2-compatible (no lookahead):
+#: contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+#: runs, whitespace runs. Both pyarrow and DuckDB execute regex via RE2, so
+#: match counts agree bit-for-bit between the engine and the SQL twin.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+class BpeTokenCount:
+    """BPE-ish pretokenizer token count per doc (the SURVEY 'token counting:
+    whitespace + a BPE-ish regex' slot): one `pc.count_substring_regex` pass,
+    no per-token materialization — counts what a GPT-2-style BPE would see
+    BEFORE merges, the standard cheap length signal for curation budgets."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        filled = pc.fill_null(batch[self.col], "")
+        n = pc.count_substring_regex(filled, BPE_SPLIT_PATTERN)
+        return pa.table(
+            {self.id_col: batch[self.id_col], "n_bpe_tokens": pc.cast(n, pa.int64())}
+        )
+
+
 class QualityScore:
     """Heuristic quality features: char count, token count, mean token
     length, punctuation ratio, stopword ratio, and a boolean keep-flag."""
