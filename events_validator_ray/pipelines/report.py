@@ -174,16 +174,17 @@ def _daily_error_rate_hll(ds, hll_p: int):
         else:
             merged[key] = hll
     days = sorted({d for d, _ in merged})
-    out = pd.DataFrame(
-        {
-            "date_utc": days,
-            "n_events": [int(round(merged[(d, "total")].estimate())) for d in days],
-            "n_error_events": [
-                int(round(merged[(d, "error")].estimate())) if (d, "error") in merged else 0
-                for d in days
-            ],
-        }
-    )
+    n_ev = [int(round(merged[(d, "total")].estimate())) for d in days]
+    n_err = [
+        # the two sketches estimate independently; clamp so a day where every
+        # event errors can't report > 100% from opposite-sign HLL noise
+        min(
+            int(round(merged[(d, "error")].estimate())) if (d, "error") in merged else 0,
+            tot,
+        )
+        for d, tot in zip(days, n_ev)
+    ]
+    out = pd.DataFrame({"date_utc": days, "n_events": n_ev, "n_error_events": n_err})
     out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)
     return out.reset_index(drop=True)
 

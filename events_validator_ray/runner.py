@@ -20,7 +20,10 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="Ray-Data-native transcript validation engine")
     p.add_argument("--input", required=True, help="directory of transcript parquet files")
-    p.add_argument("--out", required=True, help="output directory (violations + manifest)")
+    p.add_argument(
+        "--out",
+        help="output directory (violations + manifest); not needed for --report",
+    )
     p.add_argument("--spec", help="constraint-spec JSON file (default: transcript spec)")
     p.add_argument(
         "--salt-mode",
@@ -62,6 +65,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--date-from", help="report date-range start (predicate pushdown)")
     p.add_argument("--date-to", help="report date-range end")
     args = p.parse_args(argv)
+    if not args.report and not args.out:
+        p.error("--out is required (except with --report)")
 
     import ray
 

@@ -97,6 +97,12 @@ def read_violations_dir(path: str, date_from: str | None = None, date_to: str | 
     if date_from:
         flt = pc.field("timestamp") >= ts_scalar(date_from)
     if date_to:
-        cond = pc.field("timestamp") <= ts_scalar(date_to)
+        if isinstance(date_to, str) and len(date_to) == 10:
+            # bare END DATE is inclusive of the whole day (BigQuery-report
+            # range semantics): ts < date_to + 1 day, not ts <= midnight
+            end = _dt.datetime.fromisoformat(date_to) + _dt.timedelta(days=1)
+            cond = pc.field("timestamp") < pa.scalar(end)
+        else:
+            cond = pc.field("timestamp") <= ts_scalar(date_to)
         flt = cond if flt is None else (flt & cond)
     return rd.read_parquet(path, filter=flt) if flt is not None else rd.read_parquet(path)

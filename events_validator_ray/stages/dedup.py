@@ -389,11 +389,11 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
             or 0
         )
 
+    lbl_df = labels.to_pandas().sort_values("src").reset_index(drop=True) if use_broadcast else None
     for _ in range(max_rounds):
         if use_broadcast:
             import ray
 
-            lbl_df = labels.to_pandas()
             ref = ray.put(lbl_df.set_index("src")["label"])
 
             def attach(b: pd.DataFrame) -> pd.DataFrame:
@@ -420,7 +420,14 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
             .map_batches(clip_self, batch_format="pandas")
             .materialize()
         )
-        changed = n_changed(labels, new_labels)
+        if use_broadcast:
+            # labels are already on the driver each round in this regime —
+            # compare there instead of paying an extra union+groupby shuffle
+            new_df = new_labels.to_pandas().sort_values("src").reset_index(drop=True)
+            changed = int((new_df["label"].to_numpy() != lbl_df["label"].to_numpy()).sum())
+            lbl_df = new_df
+        else:
+            changed = n_changed(labels, new_labels)
         labels = new_labels
         if changed == 0:
             break
@@ -597,12 +604,19 @@ def _finish_from_assembly(
 ):
     """Labeling policy ladder: dict labels -> broadcast map; Dataset labels
     that fit -> pull once and broadcast; Dataset labels above
-    `broadcast_max_labels` (dup-heavy corpora: billions of near-dup nodes) ->
-    join-based full labeling, nothing on the driver."""
+    `broadcast_max_labels` (dup-heavy corpora: billions of near-dup nodes)
+    NEVER reach the driver — full labeling goes through a bucketed join, and
+    the paired-docs-only result stays a Dataset (columns id, cluster) instead
+    of the usual pandas DataFrame."""
     if isinstance(labels_obj, dict):
         return _finish_labels(ds, labels_obj, id_col, include_singletons)
-    if include_singletons and labels_obj.count() > broadcast_max_labels:
-        return _full_labeling_join(ds, labels_obj, id_col)
+    if labels_obj.count() > broadcast_max_labels:
+        if include_singletons:
+            return _full_labeling_join(ds, labels_obj, id_col)
+        return labels_obj.map_batches(
+            lambda df: df.rename(columns={"src": id_col, "label": "cluster"}),
+            batch_format="pandas",
+        )
     labels = {r["src"]: r["label"] for r in labels_obj.take_all()}
     return _finish_labels(ds, labels, id_col, include_singletons)
 

@@ -169,13 +169,8 @@ def asof_join(
         l, r = _split_sides(g, left_cols, [by, on] + out_right)
         l = l.sort_values(on, kind="stable")
         r = _nullable_ints(r.sort_values(on, kind="stable"), skip=(by, on))
-        if l.empty:
-            return pd.DataFrame(columns=all_cols)
-        if r.empty:
-            out = l.copy()
-            for c in out_right:
-                out[c] = pd.NA
-            return out[all_cols]
+        # empty sides keep their Arrow-derived dtypes through merge_asof, so
+        # empty buckets emit the same block schema as full ones
         merged = pd.merge_asof(l, r, on=on, by=by, direction="backward")
         return merged[all_cols]
 
@@ -230,9 +225,7 @@ def range_join(
 
     def join_bucket(g: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(g, left_cols, [on] + out_right)
-        if l.empty or r.empty:
-            return pd.DataFrame(columns=all_cols)
-        m = l.merge(r, on=on, how="inner")
+        m = l.merge(r, on=on, how="inner")  # typed even when a side is empty
         keep = (m[point] >= m[lo]) & (m[point] <= m[hi])
         return m[keep][all_cols]
 
@@ -319,8 +312,6 @@ def bloom_semi_join(left, keys_ds, on: str, n_bits_log2: int = 22, k: int = 4, n
 
     from ray.data.aggregate import Count
 
-    from .sketches import hash64
-
     bloom_ref = ray.put(build_bloom(keys_ds, on, n_bits_log2, k))
     holder: dict = {}
 
@@ -333,38 +324,17 @@ def bloom_semi_join(left, keys_ds, on: str, n_bits_log2: int = 22, k: int = 4, n
         return df[holder["b"].contains(_canon_key_str(df[on]))]
 
     survivors = left.map_batches(prefilter, batch_format="pandas")
-    left_cols = list(left.schema().names)
-
-    # exact pass: tagged union of survivors + DISTINCT keys, one shuffle
-    distinct_keys = keys_ds.select_columns([on]).groupby(on).aggregate(Count(alias_name="_n"))
-
-    def tag(side: str):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            for c in left_cols:
-                if c not in b.columns:
-                    b[c] = pd.NA
-            b = b[left_cols]
-            b["__bucket"] = (
-                hash64(_canon_key_str(b[on])) % np.uint64(num_buckets)
-            ).astype(np.int64)
-            b["__side"] = side
-            return b
-
-        fn.__name__ = f"tag_{side}"
-        return fn
-
-    lt = survivors.map_batches(tag("l"), batch_format="pandas")
-    rt = distinct_keys.map_batches(tag("r"), batch_format="pandas")
-
-    def semi_bucket(g: pa.Table) -> pd.DataFrame:
-        l, r = _split_sides(g, left_cols, [on])
-        if l.empty or r.empty:
-            return pd.DataFrame(columns=left_cols)
-        return l[l[on].isin(set(r[on]))]
-
-    semi_bucket.__name__ = "semi_bucket"
-    return lt.union(rt).groupby("__bucket").map_groups(semi_bucket, batch_format="pyarrow")
+    # exact pass: the inner bucketed join of survivors against the DISTINCT
+    # key set IS the semi-join (deduplicated right side -> no row
+    # multiplication, output = left columns) — one shared join machinery,
+    # not a second tagged-union implementation
+    distinct_keys = (
+        keys_ds.select_columns([on])
+        .groupby(on)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([on])
+    )
+    return bucketed_hash_join(survivors, distinct_keys, on=on, num_buckets=num_buckets)
 
 
 def bucketed_hash_join(
@@ -413,10 +383,10 @@ def bucketed_hash_join(
 
     def join_bucket(g: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(g, left_cols, right_cols)
-        if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame(columns=all_cols)
         if how != "inner":
             r = _nullable_ints(r, skip=(on,))
+        # pandas merge keeps both sides' dtypes when one is empty, so empty
+        # buckets emit the same block schema as full ones (no schema flips)
         return l.merge(r, on=on, how=how)
 
     join_bucket.__name__ = "join_bucket"

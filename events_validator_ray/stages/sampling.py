@@ -26,10 +26,15 @@ def mod_sample(ds, id_col: str, modulus: int = 100, keep_below: int = 1):
     keep_below/modulus). Deterministic, map-only, SQL-twinnable."""
 
     def flt(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         ids = (
             pc.cast(t[id_col], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
         )
-        return t.filter(pa.array((ids % modulus) < keep_below))
+        # fmod keeps the dividend's sign (C / SQL % semantics) — numpy's `%`
+        # would keep -9 % 10 == 1 and silently diverge from the twin on
+        # negative ids
+        return t.filter(pa.array(np.fmod(ids, modulus) < keep_below))
 
     return ds.map_batches(flt, batch_format="pyarrow")
 

@@ -311,3 +311,20 @@ def test_full_labeling_join_path_matches_broadcast(ds):
     )
     got = {r["doc_id"]: r["cluster"] for r in joined.take_all()}
     assert got == want
+
+
+def test_paired_labels_stay_dataset_above_broadcast_threshold(ds):
+    """include_singletons=False with a label table above broadcast_max_labels
+    must return the label DATASET (renamed to id/cluster), never take_all it
+    onto the driver."""
+    out = minhash_lsh_dedup(
+        ds,
+        threshold=0.7,
+        assembly="distributed",
+        broadcast_max_labels=0,
+        include_singletons=False,
+    )
+    assert not isinstance(out, pd.DataFrame)
+    got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+    drv = minhash_lsh_dedup(ds, threshold=0.7, assembly="driver")
+    assert got == dict(zip(drv.doc_id, drv.cluster))
