@@ -42,6 +42,8 @@ def curate_documents(
     min_stop_ratio: float = 0.05,
     near_dup_threshold: float = 0.8,
     resume: bool = True,
+    dedup_assembly: str = "auto",
+    broadcast_max_labels: int = 200_000,
 ) -> dict:
     """Run the curation pipeline; returns a summary dict with per-stage
     counts. Idempotent: a completed run with matching input fingerprint is
@@ -131,27 +133,59 @@ def curate_documents(
     survivors = deduped
 
     # ---- stage 3: near-dup clusters -> drop non-representatives
-    clusters = minhash_lsh_dedup(
-        survivors, col=col, id_col=id_col, threshold=near_dup_threshold, assembly="auto"
-    )
-    drop = frozenset(
-        int(d) if hasattr(d, "item") else d
-        for d, c in zip(clusters[id_col], clusters["cluster"])
-        if d != c
-    )  # bounded by near-duplicate docs
-    n_near_dropped = len(drop)
-    drop_ref = ray.put(drop)
+    import pandas as pd
 
-    def drop_near(df):
-        keys = drop_ref
-        if isinstance(keys, ray.ObjectRef):
-            keys = ray.get(keys)
-        return df[~df[id_col].isin(keys)]
+    # (dedup_assembly / broadcast_max_labels pick the execution PATH, not the
+    # result — deliberately excluded from the resume params hash)
+    clusters = minhash_lsh_dedup(
+        survivors,
+        col=col,
+        id_col=id_col,
+        threshold=near_dup_threshold,
+        assembly=dedup_assembly,
+        broadcast_max_labels=broadcast_max_labels,
+    )
+    if isinstance(clusters, pd.DataFrame):
+        # normal regime: the paired-doc table fits the driver -> broadcast
+        # anti-filter (bounded by near-duplicate docs)
+        drop = frozenset(
+            int(d) if hasattr(d, "item") else d
+            for d, c in zip(clusters[id_col], clusters["cluster"])
+            if d != c
+        )
+        n_near_dropped = len(drop)
+        drop_ref = ray.put(drop)
+
+        def drop_near(df):
+            keys = drop_ref
+            if isinstance(keys, ray.ObjectRef):
+                keys = ray.get(keys)
+            return df[~df[id_col].isin(keys)]
+
+        cleaned = survivors.map_batches(drop_near, batch_format="pandas")
+    else:
+        # dup-heavy regime: clusters came back as a DATASET (label table above
+        # the dedup plane's broadcast threshold) -> distributed anti-join via
+        # a bucketed left join on a marker column; nothing on the driver
+        from ..stages.joins import bucketed_hash_join
+
+        drop_ds = clusters.map_batches(
+            lambda df: df.loc[df[id_col] != df["cluster"], [id_col]].assign(__drop=1),
+            batch_format="pandas",
+        ).materialize()
+        n_near_dropped = drop_ds.count()
+        joined = bucketed_hash_join(survivors, drop_ds, on=id_col, how="left")
+        cleaned = joined.map_batches(
+            lambda df: df.loc[
+                df["__drop"].isna(), [c for c in df.columns if c != "__drop"]
+            ],
+            batch_format="pandas",
+        )
 
     # materialize once: the count comes from the materialized blocks and the
     # sink streams the same blocks — no re-read of the just-written parquet
     # (same pattern as validate_pipeline.py stage 1)
-    clean = survivors.map_batches(drop_near, batch_format="pandas").materialize()
+    clean = cleaned.materialize()
     n_out = clean.count()
 
     # ---- sink

@@ -464,6 +464,31 @@ def jaccard_verify_pairs(ds, pairs: list[tuple], col: str, id_col: str, ngram: i
     return out
 
 
+def _shingle_payloads(texts: np.ndarray, ngram: int) -> list[bytes]:
+    """Per-doc shingle-hash sets serialized as raw uint64 BYTES — a binary
+    column survives pandas round trips untouched, where a list<uint64> column
+    can be inferred as a fixed-shape TensorArray on uniform blocks and then
+    fail to concat with NA-padded join blocks."""
+    sh, off = _shingle_hashes(texts, ngram)
+    return [sh[off[i] : off[i + 1]].tobytes() for i in range(len(off) - 1)]
+
+
+def _shingle_rows(docs_ds, col: str, id_col: str, ngram: int):
+    """(id, shingle-payload) rows for EVERY row of an already-selected doc
+    Dataset (the post-semi-join slot — no id filtering needed)."""
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "sh": pa.array(_shingle_payloads(texts, ngram), type=pa.binary()),
+            }
+        )
+
+    return docs_ds.map_batches(shingles, batch_format="pyarrow")
+
+
 def _shingle_set_dataset(ds, cand_ids, col: str, id_col: str, ngram: int):
     """(id, shingle-hash list) rows for the candidate docs only — computed
     distributed; the candidate-id SET is broadcast via ray.put (bounded by the
@@ -482,27 +507,39 @@ def _shingle_set_dataset(ds, cand_ids, col: str, id_col: str, ngram: int):
             return pa.table(
                 {
                     id_col: pa.array([], type=batch[id_col].type),
-                    "sh": pa.array([], type=pa.list_(pa.uint64())),
+                    "sh": pa.array([], type=pa.binary()),
                 }
             )
         texts = batch[col].to_numpy(zero_copy_only=False)[mask]
-        sh, off = _shingle_hashes(texts, ngram)
-        lists = [sh[off[i] : off[i + 1]].tolist() for i in range(len(off) - 1)]
         return pa.table(
-            {id_col: pa.array(ids_np[mask]), "sh": pa.array(lists, type=pa.list_(pa.uint64()))}
+            {
+                id_col: pa.array(ids_np[mask]),
+                "sh": pa.array(_shingle_payloads(texts, ngram), type=pa.binary()),
+            }
         )
 
     return ds.select_columns([id_col, col]).map_batches(shingle_sets, batch_format="pyarrow")
 
 
-def jaccard_verify_distributed(ds, pairs_ds, col: str, id_col: str, ngram: int, threshold: float):
+def jaccard_verify_distributed(
+    ds,
+    pairs_ds,
+    col: str,
+    id_col: str,
+    ngram: int,
+    threshold: float,
+    broadcast_max_ids: int = 1_000_000,
+):
     """Distributed pair verification: shingle-set rows for candidate docs are
     joined onto both pair sides with `bucketed_hash_join` (one shuffle each,
     all bounded by the candidate count) and scored per batch — no shingle set
-    ever reaches the driver. Returns a Dataset (a, b) of verified pairs."""
+    ever reaches the driver. Candidate-doc SELECTION is a broadcast id set
+    below `broadcast_max_ids` and a `bloom_semi_join` above it (dup-heavy
+    corpora: billions of candidate ids never reach the driver either).
+    Returns a Dataset (a, b) of verified pairs."""
     from ray.data.aggregate import Count
 
-    from .joins import bucketed_hash_join
+    from .joins import bloom_semi_join, bucketed_hash_join
 
     ids_ds = (
         pairs_ds.map_batches(
@@ -511,9 +548,15 @@ def jaccard_verify_distributed(ds, pairs_ds, col: str, id_col: str, ngram: int, 
         )
         .groupby(id_col)
         .aggregate(Count(alias_name="_n"))
+        .select_columns([id_col])
+        .materialize()
     )
-    cand = [r[id_col] for r in ids_ds.take_all()]  # bounded by candidate pairs
-    sets = _shingle_set_dataset(ds, cand, col, id_col, ngram).materialize()
+    if ids_ds.count() <= broadcast_max_ids:
+        cand = [r[id_col] for r in ids_ds.take_all()]  # bounded by candidates
+        sets = _shingle_set_dataset(ds, cand, col, id_col, ngram).materialize()
+    else:
+        docs = bloom_semi_join(ds.select_columns([id_col, col]), ids_ds, on=id_col)
+        sets = _shingle_rows(docs, col, id_col, ngram).materialize()
     sa = sets.map_batches(lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow")
     sb = sets.map_batches(lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow")
     j = bucketed_hash_join(pairs_ds.select_columns(["a", "b"]), sa, on="a")
@@ -522,8 +565,8 @@ def jaccard_verify_distributed(ds, pairs_ds, col: str, id_col: str, ngram: int, 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         keep_a, keep_b = [], []
         for a, b, xa, xb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
-            set_a = set(xa) if xa is not None else set()
-            set_b = set(xb) if xb is not None else set()
+            set_a = set(np.frombuffer(xa, dtype=np.uint64)) if isinstance(xa, bytes) else set()
+            set_b = set(np.frombuffer(xb, dtype=np.uint64)) if isinstance(xb, bytes) else set()
             union = len(set_a | set_b)
             if ((len(set_a & set_b) / union) if union else 1.0) >= threshold:
                 keep_a.append(a)

@@ -73,3 +73,23 @@ def test_curate_resume_is_parameter_aware(ray_session, tmp_path, corpus_dir):
     assert stricter["n_near_dup_dropped"] == 0  # 0.99 keeps the near dup
     again = curate_documents(input_dir, out, near_dup_threshold=0.99)
     assert again["skipped"] is True
+
+
+def test_curate_dup_heavy_anti_join_path_matches_broadcast(ray_session, tmp_path):
+    """Forcing the dedup plane's Dataset-label regime (distributed assembly,
+    broadcast_max_labels=0), curate must route the near-dup drop through the
+    bucketed anti-join and produce identical stage counts."""
+    import os
+
+    from events_validator_ray.pipelines.curate import curate_documents
+
+    src = "/root/testdata/sf0.01/documents.parquet"
+    a = curate_documents(src, os.path.join(tmp_path, "a"))
+    b = curate_documents(
+        src,
+        os.path.join(tmp_path, "b"),
+        dedup_assembly="distributed",
+        broadcast_max_labels=0,
+    )
+    for k in ("n_input", "n_after_quality", "n_after_exact", "n_near_dup_dropped", "n_output"):
+        assert a[k] == b[k], k

@@ -328,3 +328,26 @@ def test_paired_labels_stay_dataset_above_broadcast_threshold(ds):
     got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
     drv = minhash_lsh_dedup(ds, threshold=0.7, assembly="driver")
     assert got == dict(zip(drv.doc_id, drv.cluster))
+
+
+def test_jaccard_verify_semi_join_path_matches_broadcast(ds):
+    """broadcast_max_ids=0 forces candidate-doc selection through
+    bloom_semi_join; verified pairs must equal the broadcast-id-set path."""
+    import ray.data as rd  # noqa: F401
+
+    from events_validator_ray.stages.dedup import (
+        MinHashParams,
+        MinHashSignatures,
+        _bucket_pairs,
+        jaccard_verify_distributed,
+    )
+
+    sig = ds.map_batches(
+        MinHashSignatures(MinHashParams(), "text", "doc_id", 3), batch_format="pyarrow"
+    )
+    pairs = _bucket_pairs(sig, "doc_id").materialize()
+    bc = {(r["a"], r["b"]) for r in jaccard_verify_distributed(
+        ds, pairs, "text", "doc_id", 3, 0.7).take_all()}
+    sj = {(r["a"], r["b"]) for r in jaccard_verify_distributed(
+        ds, pairs, "text", "doc_id", 3, 0.7, broadcast_max_ids=0).take_all()}
+    assert bc == sj and len(bc) >= 3
