@@ -539,6 +539,15 @@ def q_text_stats(sf_dir: str):
     return _read_table(sf_dir, "documents").map_batches(stats, batch_format="pandas")
 
 
+def q_quantile_filter(sf_dir: str):
+    """Exact distributed quantile-threshold filter (keep docs at/above the
+    median n_chars — the 'top-X% by quality' curation selector)."""
+    from ..stages.sampling import quantile_threshold_filter
+
+    ds = _read_table(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return quantile_threshold_filter(ds, "n_chars", 0.5)
+
+
 def q_token_count_bpe(sf_dir: str):
     """GPT-2-style pretokenizer token counts (the BPE-ish regex slot) —
     RE2 on both sides, so the count is engine-exact."""
@@ -1374,6 +1383,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "mod_sample": q_mod_sample,
         "stratified_sample": q_stratified_sample,
         "token_count_bpe": q_token_count_bpe,
+        "quantile_filter": q_quantile_filter,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1415,6 +1425,10 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), "
         f"'{BPE_SPLIT_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens "
         "FROM documents"
+    )
+    out["quantile_filter"] = (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.5) FROM documents)"
     )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()

@@ -66,3 +66,31 @@ def stratified_sample(ds, key: str, order_col: str, n_per_key: int):
         .groupby(key)
         .map_groups(finish, batch_format="pandas")
     )
+
+
+def quantile_threshold_filter(ds, col: str, q: float):
+    """Keep rows with `col` >= the EXACT q-quantile of the corpus (the
+    "top-(1-q) by quality score" curation selector).
+
+    Scale shape: one value-count groupby (shuffle bounded by the column's
+    cardinality, never the corpus), a tiny driver cumsum to locate the
+    quantile_disc threshold (same rank rule as DuckDB: element at rank
+    ceil(q*n), 1-based), then a map-only filter — the corpus itself streams
+    through a single pushed-down comparison."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    vc = (
+        ds.groupby(col)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    counts = vc["n"].to_numpy()
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    rank = max(1, int(np.ceil(q * total)))
+    thr = vc[col].iloc[int(np.searchsorted(cum, rank))]
+    return ds.filter(expr=f"{col} >= {thr!r}")

@@ -158,3 +158,23 @@ def test_bloom_semi_join_empty_keys(ray_session):
     # empty-bucket guarantee is about per-bucket schema consistency, asserted
     # by the non-empty-case tests above)
     assert len(out) == 0
+
+
+def test_quantile_threshold_filter_matches_sql(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"id": range(500), "score": rng.integers(0, 80, 500)})
+    got = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(rd.from_pandas(df).repartition(5), "score", 0.9).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT id FROM df WHERE score >= (SELECT quantile_disc(score, 0.9) FROM df)"
+        ).df()["id"]
+    )
+    assert got == want and 0 < len(got) < 500
