@@ -103,7 +103,9 @@ def main(argv: list[str] | None = None) -> int:
         vdir = _os.path.join(args.input, "violations")
         if not _os.path.isdir(vdir):
             vdir = args.input  # accept a bare violations dir too
-        log = read_violations_dir(vdir, args.date_from, args.date_to)
+        # materialize once: failures-by-day + both distinct-rate lineages
+        # consume the same blocks instead of re-scanning the parquet 3x
+        log = read_violations_dir(vdir, args.date_from, args.date_to).materialize()
         fbd = failures_by_day(log, dim="field").take_all()
         rate = daily_error_rate(log, approx=args.approx_rate)
         summary = {

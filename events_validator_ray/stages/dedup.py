@@ -555,7 +555,9 @@ def jaccard_verify_distributed(
         cand = [r[id_col] for r in ids_ds.take_all()]  # bounded by candidates
         sets = _shingle_set_dataset(ds, cand, col, id_col, ngram).materialize()
     else:
-        docs = bloom_semi_join(ds.select_columns([id_col, col]), ids_ds, on=id_col)
+        docs = bloom_semi_join(
+            ds.select_columns([id_col, col]), ids_ds, on=id_col, keys_distinct=True
+        )
         sets = _shingle_rows(docs, col, id_col, ngram).materialize()
     sa = sets.map_batches(lambda t: t.rename_columns(["a", "sh_a"]), batch_format="pyarrow")
     sb = sets.map_batches(lambda t: t.rename_columns(["b", "sh_b"]), batch_format="pyarrow")

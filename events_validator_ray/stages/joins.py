@@ -297,7 +297,15 @@ def build_bloom(keys_ds, on: str, n_bits_log2: int = 22, k: int = 4) -> BloomFil
     return out
 
 
-def bloom_semi_join(left, keys_ds, on: str, n_bits_log2: int = 22, k: int = 4, num_buckets: int = 32):
+def bloom_semi_join(
+    left,
+    keys_ds,
+    on: str,
+    n_bits_log2: int = 22,
+    k: int = 4,
+    num_buckets: int = 32,
+    keys_distinct: bool = False,
+):
     """EXACT semi-join for key sets too large to broadcast exactly: a Bloom
     prefilter (tiny broadcast, built distributed) drops the vast majority of
     non-matching rows map-side, then a bucketed co-shuffle of only the
@@ -328,12 +336,17 @@ def bloom_semi_join(left, keys_ds, on: str, n_bits_log2: int = 22, k: int = 4, n
     # key set IS the semi-join (deduplicated right side -> no row
     # multiplication, output = left columns) — one shared join machinery,
     # not a second tagged-union implementation
-    distinct_keys = (
-        keys_ds.select_columns([on])
-        .groupby(on)
-        .aggregate(Count(alias_name="_n"))
-        .select_columns([on])
-    )
+    if keys_distinct:
+        # caller guarantees uniqueness (e.g. keys came out of a groupby) —
+        # skip a second full shuffle of what may be the largest key set here
+        distinct_keys = keys_ds.select_columns([on])
+    else:
+        distinct_keys = (
+            keys_ds.select_columns([on])
+            .groupby(on)
+            .aggregate(Count(alias_name="_n"))
+            .select_columns([on])
+        )
     return bucketed_hash_join(survivors, distinct_keys, on=on, num_buckets=num_buckets)
 
 

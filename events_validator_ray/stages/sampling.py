@@ -81,16 +81,26 @@ def quantile_threshold_filter(ds, col: str, q: float):
 
     from ray.data.aggregate import Count
 
-    vc = (
-        ds.groupby(col)
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-        .sort_values(col)
-        .reset_index(drop=True)
-    )
+    vc = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+    if len(vc):
+        # quantile_disc ignores NULLs: drop the null/NaN group from the rank
+        vc = vc[vc[col].notna()].sort_values(col).reset_index(drop=True)
+    if not len(vc):
+        # empty / all-null corpus: SQL's threshold is NULL -> zero rows kept
+        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
     counts = vc["n"].to_numpy()
     cum = np.cumsum(counts)
     total = int(cum[-1])
     rank = max(1, int(np.ceil(q * total)))
     thr = vc[col].iloc[int(np.searchsorted(cum, rank))]
-    return ds.filter(expr=f"{col} >= {thr!r}")
+    if isinstance(thr, (int, np.integer)):
+        return ds.filter(expr=f"{col} >= {int(thr)}")  # pushdown-friendly
+    if isinstance(thr, (float, np.floating)):
+        return ds.filter(expr=f"{col} >= {float(thr)!r}")
+    # non-numeric thresholds: typed Arrow comparison (no expr-quoting hazards)
+    thr_scalar = pa.scalar(thr)
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t[col], thr_scalar))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -178,3 +178,28 @@ def test_quantile_threshold_filter_matches_sql(ray_session):
         ).df()["id"]
     )
     assert got == want and 0 < len(got) < 500
+
+
+def test_quantile_filter_nulls_and_empty_match_sql(ray_session):
+    """quantile_disc ignores NULLs; empty/all-null input keeps zero rows
+    (SQL: col >= NULL is never true)."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    df = pd.DataFrame(
+        {"id": range(10), "score": [1.0, 2, 3, 4, 5, None, None, None, None, None]}
+    )
+    got = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(rd.from_pandas(df).repartition(3), "score", 0.5).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT id FROM df WHERE score >= (SELECT quantile_disc(score, 0.5) FROM df)"
+        ).df()["id"]
+    )
+    assert got == want == [2, 3, 4]
+    allnull = pd.DataFrame({"id": [1, 2], "score": [None, None]})
+    assert quantile_threshold_filter(rd.from_pandas(allnull), "score", 0.5).count() == 0
