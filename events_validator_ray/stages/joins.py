@@ -281,16 +281,31 @@ class BloomFilter:
 
 
 def build_bloom(keys_ds, on: str, n_bits_log2: int = 22, k: int = 4) -> BloomFilter:
-    """Distributed Bloom build: one partial filter per block (a map-only
-    pass; each partial is m/8 bytes), OR-merged on the driver — the key SET
-    never materializes anywhere."""
+    """Distributed Bloom build: one partial filter per BLOCK (whole-block
+    batches — the default 1024-row batches would emit one m/8-byte payload
+    per thousand keys), then a distributed OR-combine stage collapses every
+    ~64 partials into one before the driver pull — the pull is
+    ceil(blocks/64) payloads, not blocks, and the key SET never materializes
+    anywhere."""
     import pickle
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         b = BloomFilter(n_bits_log2, k).add(_canon_key_str(df[on]))
         return pd.DataFrame({"payload": [pickle.dumps(b.bits)]})
 
-    rows = keys_ds.select_columns([on]).map_batches(partial, batch_format="pandas").take_all()
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for p in df["payload"]:
+            bits = pickle.loads(p)
+            acc = bits if acc is None else np.bitwise_or(acc, bits)
+        return pd.DataFrame({"payload": [pickle.dumps(acc)]})
+
+    rows = (
+        keys_ds.select_columns([on])
+        .map_batches(partial, batch_format="pandas", batch_size=None)
+        .map_batches(combine, batch_format="pandas", batch_size=64)
+        .take_all()
+    )
     out = BloomFilter(n_bits_log2, k)
     for r in rows:
         np.bitwise_or(out.bits, pickle.loads(r["payload"]), out=out.bits)
