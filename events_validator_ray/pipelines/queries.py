@@ -4,14 +4,16 @@ twin where the semantics are SQL-expressible.
 
 Conventions (driver contract): each callable takes sf_dir and returns a
 Dataset / DataFrame / pyarrow Table; computed column names match the SQL
-aliases exactly; genuinely approximate ops (HLL, t-digest, IVF, simhash
-Hamming, winnowing fingerprints, stubbed codecs) omit the oracle and get the
-driver's rows-only check — their accuracy is asserted against exact twins in
-pytest instead. Minhash/embedding dedup ARE oracle-checked: their verified
-pairs are exact metrics (n-gram Jaccard / cosine) among LSH candidates, and
+aliases exactly; genuinely approximate ops (HLL, t-digest, simhash Hamming,
+winnowing fingerprints, stubbed codecs) omit the oracle and get the driver's
+rows-only check — their accuracy is asserted against exact twins in pytest
+instead. Minhash/embedding dedup ARE oracle-checked: their verified pairs
+are exact metrics (n-gram Jaccard / cosine) among LSH candidates, and
 candidate recall at the threshold is 1 on these corpora (asserted in
 tests/test_dedup_oracle.py), so cluster labels match the DuckDB
-exact-pairs + recursive-components twins.
+exact-pairs + recursive-components twins. IVF ANN is oracle-checked in its
+full-probe (exact-by-construction) configuration; its approximate config
+keeps a recall bound in pytest.
 
 The transcript corpus is the deterministic synthetic table from
 sources/transcripts.py, cached under /tmp; the oracle SQL reads the SAME
@@ -502,12 +504,23 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_ann_topk_ivf(sf_dir: str):
-    """IVF-bucketed approximate variant (rows-only; recall tested vs exact)."""
+    """IVF machinery in its FULL-PROBE configuration (nprobe = n_centroids):
+    every bucket is searched, so the result is exact by construction and
+    hash-checks against the same brute-force SQL as `ann_topk` — what gets
+    verified is the IVF plumbing itself (centroid training, bucket
+    assignment, probed-bucket semi-join, partial top-k merge). The
+    APPROXIMATE configuration (nprobe < n_centroids) keeps its recall bound
+    in tests/test_similarity_text.py."""
+    import numpy as np
+
     from ..stages.similarity import ann_topk_ivf
 
-    return ann_topk_ivf(
-        _read_table(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K, n_centroids=16, nprobe=8
+    df = ann_topk_ivf(
+        _read_table(sf_dir, "embeddings"), ANN_QUERY_IDS, k=ANN_K, n_centroids=16, nprobe=16
     )
+    df = df.copy()
+    df["score_micro"] = np.floor(df["score"] * 1_000_000 + 0.5).astype("int64")
+    return df[["query_id", "vec_id", "rank", "score_micro"]]
 
 
 def q_text_stats(sf_dir: str):
@@ -1164,6 +1177,18 @@ def q_multimodal_decode(sf_dir: str):
     )
 
 
+def _ann_exact_sql(ids: str) -> str:
+    return (
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})), "
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
+        "FROM q CROSS JOIN embeddings e), "
+        "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
+        f"SELECT query_id, vec_id, rank, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS score_micro "
+        f"FROM r WHERE rank <= {ANN_K}"
+    )
+
+
 def training_ops_oracles() -> dict[str, str]:
     from ..stages.text import LANG_STOPWORDS
 
@@ -1212,15 +1237,9 @@ def training_ops_oracles() -> dict[str, str]:
         "quality_scores": quality_sql,
         "lang_id": lang_sql,
         "dedup_exact": "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text",
-        "ann_topk": (
-            f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})), "
-            "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
-            "FROM q CROSS JOIN embeddings e), "
-            "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
-            "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
-            f"SELECT query_id, vec_id, rank, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS score_micro "
-            f"FROM r WHERE rank <= {ANN_K}"
-        ),
+        "ann_topk": _ann_exact_sql(ids),
+        # full-probe IVF is exact by construction -> shares the exact twin
+        "ann_topk_ivf": _ann_exact_sql(ids),
         "text_stats": (
             "SELECT doc_id, length(text) AS n_chars, "
             "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens, "
