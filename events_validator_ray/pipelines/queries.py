@@ -552,6 +552,24 @@ def q_text_stats(sf_dir: str):
     return _read_table(sf_dir, "documents").map_batches(stats, batch_format="pandas")
 
 
+def q_grouped_quantiles(sf_dir: str):
+    """Per-group EXACT quantiles (order price quantiles per priority class);
+    value compared in integer cents — quantile_disc picks a stored double,
+    so both engines see the identical bits."""
+    import pandas as pd
+
+    from ..stages.sampling import grouped_quantiles
+
+    ds = _read_table(sf_dir, "orders").select_columns(["o_orderpriority", "o_totalprice"])
+    out = grouped_quantiles(ds, key="o_orderpriority", col="o_totalprice").to_pandas()
+
+    def cents(x: pd.Series) -> pd.Series:
+        return (x * 100).round().astype("int64")
+
+    out["value_cents"] = cents(out["value"])
+    return out[["o_orderpriority", "q_permille", "value_cents"]]
+
+
 def q_quantile_filter(sf_dir: str):
     """Exact distributed quantile-threshold filter (keep docs at/above the
     median n_chars — the 'top-X% by quality' curation selector)."""
@@ -1403,6 +1421,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "token_count_bpe": q_token_count_bpe,
         "quantile_filter": q_quantile_filter,
+        "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -1448,6 +1467,12 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["quantile_filter"] = (
         "SELECT doc_id, n_chars FROM documents "
         "WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.5) FROM documents)"
+    )
+    out["grouped_quantiles"] = "\nUNION ALL\n".join(
+        f"SELECT o_orderpriority, {int(q * 1000)} AS q_permille, "
+        f"CAST(round(quantile_disc(o_totalprice, {q}) * 100) AS BIGINT) AS value_cents "
+        "FROM orders GROUP BY o_orderpriority"
+        for q in (0.5, 0.9, 0.99)
     )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()

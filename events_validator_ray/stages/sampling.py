@@ -104,3 +104,38 @@ def quantile_threshold_filter(ds, col: str, q: float):
         return t.filter(pc.greater_equal(t[col], thr_scalar))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, key: str, col: str, qs=(0.5, 0.9, 0.99)):
+    """EXACT per-group quantiles (quantile_disc rank rule) — per-segment
+    distribution stats (e.g. price quantiles per priority class, turn-count
+    quantiles per role).
+
+    Scale shape: ONE groupby((key, col)) value-count shuffle (bounded by the
+    joint cardinality, never the corpus), then a per-key vectorized rank walk
+    inside map_groups. Returns a Dataset (key, q_permille, value)."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    vc = ds.select_columns([key, col]).groupby([key, col]).aggregate(Count(alias_name="n"))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col, kind="stable")
+        cum = np.cumsum(g["n"].to_numpy())
+        total = int(cum[-1])
+        vals = g[col].to_numpy()
+        rows = []
+        for q in qs:
+            rank = max(1, int(np.ceil(q * total)))
+            rows.append(
+                {
+                    key: g[key].iloc[0],
+                    "q_permille": int(round(q * 1000)),
+                    "value": vals[int(np.searchsorted(cum, rank))],
+                }
+            )
+        return pd.DataFrame(rows)
+
+    per_key.__name__ = "grouped_quantiles"
+    return vc.groupby(key).map_groups(per_key, batch_format="pandas")

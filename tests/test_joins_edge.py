@@ -203,3 +203,27 @@ def test_quantile_filter_nulls_and_empty_match_sql(ray_session):
     assert got == want == [2, 3, 4]
     allnull = pd.DataFrame({"id": [1, 2], "score": [None, None]})
     assert quantile_threshold_filter(rd.from_pandas(allnull), "score", 0.5).count() == 0
+
+
+def test_grouped_quantiles_partition_invariant(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {"g": rng.choice(list("abc"), 900), "v": rng.integers(0, 50, 900)}
+    )
+    got = (
+        grouped_quantiles(rd.from_pandas(df).repartition(7), "g", "v", qs=(0.5, 0.9))
+        .to_pandas()
+        .sort_values(["g", "q_permille"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT g, 500 AS q_permille, quantile_disc(v, 0.5) AS value FROM df GROUP BY g "
+        "UNION ALL SELECT g, 900, quantile_disc(v, 0.9) FROM df GROUP BY g "
+        "ORDER BY g, q_permille"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
