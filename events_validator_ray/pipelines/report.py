@@ -159,34 +159,30 @@ def _daily_error_rate_hll(ds, hll_p: int):
             }
         )
 
-    def combine(t: pa.Table) -> pa.Table:
-        # distributed pre-merge: collapse each batch's partials per (day,
-        # which) so the driver pulls ~days x 2 payloads, not blocks x days x 2
-        # (an HLL payload is ~2^p bytes; at 10^12 turns the uncombined pull
-        # would scale with block count)
-        acc: dict[tuple[str, str], HLL] = {}
-        for d, w, p in zip(
-            t["date_utc"].to_pylist(), t["which"].to_pylist(), t["payload"].to_pylist()
-        ):
+    def merge_group(g: "pd.DataFrame") -> "pd.DataFrame":
+        # REAL distributed reduction keyed by (day, which): a plain chained
+        # map_batches would be fused into the partial task (verified — the
+        # driver kept pulling blocks x days x 2 payloads); the groupby
+        # shuffle collapses to exactly one payload per (day, which)
+        acc = None
+        for p in g["payload"]:
             h = pickle.loads(p)
-            if (d, w) in acc:
-                acc[(d, w)].merge(h)
-            else:
-                acc[(d, w)] = h
-        keys = sorted(acc)
-        return pa.table(
+            acc = h if acc is None else acc.merge(h)
+        return pd.DataFrame(
             {
-                "date_utc": pa.array([k[0] for k in keys], pa.string()),
-                "which": pa.array([k[1] for k in keys], pa.string()),
-                "payload": pa.array([pickle.dumps(acc[k]) for k in keys], pa.binary()),
+                "date_utc": [g["date_utc"].iloc[0]],
+                "which": [g["which"].iloc[0]],
+                "payload": [pickle.dumps(acc)],
             }
         )
 
+    merge_group.__name__ = "merge_hll_group"
     rows = (
         _with_date(ds)
         .select_columns(["date_utc", "event_id", "status"])
         .map_batches(partials, batch_format="pyarrow")
-        .map_batches(combine, batch_format="pyarrow", batch_size=256)
+        .groupby(["date_utc", "which"])
+        .map_groups(merge_group, batch_format="pandas")
         .take_all()
     )
     merged: dict[tuple[str, str], HLL] = {}

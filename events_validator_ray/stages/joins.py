@@ -303,7 +303,11 @@ def build_bloom(keys_ds, on: str, n_bits_log2: int = 22, k: int = 4) -> BloomFil
     rows = (
         keys_ds.select_columns([on])
         .map_batches(partial, batch_format="pandas", batch_size=None)
-        .map_batches(combine, batch_format="pandas", batch_size=64)
+        # repartition is a REAL exchange barrier: without it Ray fuses the
+        # combine into the partial task (same-task re-batching) and the
+        # driver still pulls one payload per block — verified empirically
+        .repartition(8)
+        .map_batches(combine, batch_format="pandas", batch_size=None)
         .take_all()
     )
     out = BloomFilter(n_bits_log2, k)

@@ -121,7 +121,17 @@ def grouped_quantiles(ds, key: str, col: str, qs=(0.5, 0.9, 0.99)):
     vc = ds.select_columns([key, col]).groupby([key, col]).aggregate(Count(alias_name="n"))
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(col, kind="stable")
+        group_val = g[key].iloc[0]
+        # quantile_disc ignores NULLs (same rule as quantile_threshold_filter)
+        g = g[g[col].notna()].sort_values(col, kind="stable")
+        if not len(g):
+            # all-null group: SQL's quantile is NULL
+            return pd.DataFrame(
+                [
+                    {key: group_val, "q_permille": int(round(q * 1000)), "value": None}
+                    for q in qs
+                ]
+            )
         cum = np.cumsum(g["n"].to_numpy())
         total = int(cum[-1])
         vals = g[col].to_numpy()
@@ -130,7 +140,7 @@ def grouped_quantiles(ds, key: str, col: str, qs=(0.5, 0.9, 0.99)):
             rank = max(1, int(np.ceil(q * total)))
             rows.append(
                 {
-                    key: g[key].iloc[0],
+                    key: group_val,
                     "q_permille": int(round(q * 1000)),
                     "value": vals[int(np.searchsorted(cum, rank))],
                 }
