@@ -46,7 +46,10 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_hash") -> pa.Table:
     vals = batch[col].to_numpy(zero_copy_only=False)
     h = hash64(np.where(pd.isna(vals), "", vals))
-    return batch.append_column(out, pa.array(h.astype(np.uint64)))
+    # bit-cast to int64: a uint64 COLUMN with values above 2^63 can't
+    # round-trip Ray's pandas sort blocks (some blocks become pickled-object
+    # extensions, flipping the schema mid-shuffle); identity is unchanged
+    return batch.append_column(out, pa.array(h.astype(np.uint64).view(np.int64)))
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
@@ -201,7 +204,9 @@ class MinHashSignatures:
             {
                 self.id_col: pa.array(np.repeat(ids, B)),
                 "band": pa.array(np.tile(np.arange(B, dtype=np.int32), n)),
-                "band_hash": pa.array(bh.reshape(-1)),
+                # int64 bit-cast: stable pandas-block representation (see
+                # add_content_hash)
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
@@ -762,8 +767,9 @@ class SimHashSignatures:
             {
                 self.id_col: pa.array(np.repeat(ids, 4)),
                 "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
-                "band_hash": pa.array(bands.reshape(-1)),
-                "simhash": pa.array(np.repeat(sh, 4)),
+                # int64 bit-casts: stable pandas-block representation
+                "band_hash": pa.array(bands.reshape(-1).view(np.int64)),
+                "simhash": pa.array(np.repeat(sh, 4).view(np.int64)),
             }
         )
 
@@ -889,7 +895,8 @@ class HyperplaneLSH:
             {
                 self.id_col: pa.array(np.repeat(ids, self.bands)),
                 "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-                "band_hash": pa.array(bh.reshape(-1)),
+                # int64 bit-cast: stable pandas-block representation
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
                 "emb_norm": emb_list,
             }
         )
