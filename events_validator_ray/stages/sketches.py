@@ -7,11 +7,13 @@ streamlit_ev/app/validation_report.py:119-131) into the stateful profile plane
 the north rule mandates (SURVEY.md §2.3 ST1, §2.5 A5).
 
 Execution pattern (scale-sane): a ``map_batches`` stage emits ONE serialized
-partial sketch row per (batch, column, kind); a block-level combine stage
-merges within each downstream block; the driver merges the per-block partials
-(a few thousand rows even at 10^12 turns — never the data). All sketches merge
-associatively, so the same partials can be persisted in the checkpoint
-manifest and merged across resumed runs.
+partial sketch row per (batch, column, kind); a ``repartition`` exchange
+barrier then routes the partials into `combine_partitions` tasks whose
+whole-block combine collapses them, so the driver merges at most
+combine_partitions × |(col, kind)| rows regardless of block count — never
+one row per block, never the data. All sketches merge associatively, so the
+same partials can be persisted in the checkpoint manifest and merged across
+resumed runs.
 
 Hashing: pandas.util.hash_array (64-bit, stable across processes and runs —
 unlike Python's salted hash()).
@@ -404,15 +406,20 @@ def combine_sketch_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def sketch_dataset(ds, plan: dict[str, tuple[str, ...]], concurrency: int | None = None):
-    """ds -> merged sketches {(col, kind): sketch}. Projects to the planned
-    columns before sketching; two map_batches levels keep the all-to-driver
-    fan-in tiny.
-
-    `concurrency=N` runs the partial stage as an actor pool (plan validated /
-    state constructed once per actor — the north-star's stateful-stage shape);
-    default is stateless tasks, which fuse with the read and win on this
-    workload since per-batch partials carry all the state that matters."""
+def combined_partial_rows(
+    ds,
+    plan: dict[str, tuple[str, ...]],
+    concurrency: int | None = None,
+    combine_partitions: int = 8,
+):
+    """Partial-sketch rows reduced to ≤ combine_partitions × |(col, kind)| rows
+    — the Dataset `sketch_dataset` pulls. The `repartition` between partials
+    and combine is a REAL exchange barrier: without it Ray fuses
+    `SketchPartials → combine_sketch_rows` into one task (same-task
+    re-batching), the combine only merges partials its own task produced, and
+    the driver still pulls ~one row per (block × column × kind) — at
+    10^12-turn block counts with 16 KB HLL payloads that is a multi-GB driver
+    fan-in (same bug class fixed for Bloom in joins.build_bloom)."""
     cols = [c for c in plan]
     projected = ds.select_columns(cols)
     if concurrency:
@@ -425,11 +432,30 @@ def sketch_dataset(ds, plan: dict[str, tuple[str, ...]], concurrency: int | None
         )
     else:
         partials = projected.map_batches(SketchPartials(plan), batch_format="pyarrow")
-    rows = (
+    return (
         partials
-        .map_batches(combine_sketch_rows, batch_format="pyarrow", batch_size=4096)
-        .take_all()
+        .repartition(combine_partitions)
+        # whole-block batches: one combined row per (col, kind) per partition
+        .map_batches(combine_sketch_rows, batch_format="pyarrow", batch_size=None)
     )
+
+
+def sketch_dataset(
+    ds,
+    plan: dict[str, tuple[str, ...]],
+    concurrency: int | None = None,
+    combine_partitions: int = 8,
+):
+    """ds -> merged sketches {(col, kind): sketch}. Projects to the planned
+    columns before sketching; the partial→combine reduction behind a
+    repartition barrier keeps the all-to-driver fan-in at
+    combine_partitions × keys rows regardless of block count.
+
+    `concurrency=N` runs the partial stage as an actor pool (plan validated /
+    state constructed once per actor — the north-star's stateful-stage shape);
+    default is stateless tasks, which fuse with the read and win on this
+    workload since per-batch partials carry all the state that matters."""
+    rows = combined_partial_rows(ds, plan, concurrency, combine_partitions).take_all()
     merged: dict[tuple[str, str], Any] = {}
     for row in rows:
         key = (row["col"], row["kind"])

@@ -109,6 +109,29 @@ def test_sketch_dataset_end_to_end(ray_session):
     assert roles["user"] > 0 and roles["assistant"] > 0
 
 
+def test_sketch_combine_fanin_bounded(ray_session):
+    """The partial→combine reduction is a REAL exchange (repartition barrier,
+    joins.build_bloom pattern): the driver pulls ≤ combine_partitions × keys
+    combined rows even when the input has many more blocks — NOT one row per
+    (block × col × kind), which chained map_batches fusion would leave."""
+    import pandas as pd
+    import ray.data as rd
+
+    from events_validator_ray.stages.sketches import combined_partial_rows
+
+    n_blocks = 32
+    df = pd.DataFrame({"x": np.arange(20_000), "y": np.arange(20_000) % 7})
+    ds = rd.from_pandas(df).repartition(n_blocks)
+    plan = {"x": ("stats", "hll"), "y": ("stats",)}  # 3 (col, kind) keys
+    k = 4
+    rows = combined_partial_rows(ds, plan, combine_partitions=k).take_all()
+    assert len(rows) <= k * 3 < n_blocks * 3
+    # and the merged result is still exact
+    sk = sketch_dataset(ds, plan, combine_partitions=k)
+    st = sk[("x", "stats")]
+    assert st.count == 20_000 and st.min == 0 and st.max == 19_999
+
+
 def test_numhist_drift(ray_session):
     import ray.data as rd
 
