@@ -68,36 +68,243 @@ def stratified_sample(ds, key: str, order_col: str, n_per_key: int):
     )
 
 
-def quantile_threshold_filter(ds, col: str, q: float):
+def _chain_mask(v, chain, bins: int):
+    """Boolean mask of finite values surviving the histogram refinement chain
+    [(lo, hi, j), ...]: at each level the value's bin under the SAME clipped
+    floor assignment used when counting must equal the chosen bin j. Purely
+    functional (no range filters), so float edge rounding can never make the
+    count pass and the select pass disagree."""
+    import numpy as np
+
+    m = np.isfinite(v)
+    for lo, hi, j in chain:
+        idx = np.full(len(v), -1, dtype=np.int64)
+        iv = v[m]
+        idx_m = np.clip(
+            np.floor((iv - lo) / (hi - lo) * bins).astype(np.int64), 0, bins - 1
+        )
+        idx[m] = idx_m
+        m = m & (idx == j)
+    return m
+
+
+def _float_quantile_threshold(
+    ds,
+    col: str,
+    q: float,
+    bins: int = 1024,
+    refine_cap: int = 65_536,
+    max_levels: int = 8,
+    combine_partitions: int = 4,
+    telemetry: dict | None = None,
+):
+    """EXACT quantile_disc threshold of a continuous float column with a
+    DRIVER PULL BOUNDED BY THE BIN COUNT, never the cardinality: a stats scan
+    (count / ±inf counts / finite min-max), then per-level histogram scans
+    (each task emits one `bins`-long int64 payload, reduced behind a
+    repartition barrier — the joins.build_bloom pattern), narrowing to the bin
+    containing rank ceil(q·n) until it holds ≤ refine_cap values, then one
+    exact value-count groupby restricted to that bin. Bin assignment is a
+    clipped monotone floor map, so bin order is value order and the rank walk
+    stays exact regardless of float edge rounding. NULL and NaN are ignored
+    (quantile_disc NULL rule; the engine's documented NaN stance). Returns the
+    threshold as a float (may be ±inf), or None for an empty/all-null column.
+    """
+    import pickle
+
+    import numpy as np
+
+    proj = ds.select_columns([col])
+
+    def _reduce(partial_fn, merge_fn):
+        rows = (
+            proj.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
+            .repartition(combine_partitions)
+            .map_batches(merge_fn, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        return [pickle.loads(r["payload"]) for r in rows]
+
+    def _payload_table(obj) -> pa.Table:
+        return pa.table({"payload": pa.array([pickle.dumps(obj)], pa.binary())})
+
+    def _vals(t: pa.Table) -> "np.ndarray":
+        v = t[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        return v[~np.isnan(v)]
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        v = _vals(t)
+        fin = v[np.isfinite(v)]
+        return _payload_table(
+            (
+                int(fin.size),
+                int(np.isneginf(v).sum()),
+                int(np.isposinf(v).sum()),
+                float(fin.min()) if fin.size else None,
+                float(fin.max()) if fin.size else None,
+            )
+        )
+
+    def stats_merge(t: pa.Table) -> pa.Table:
+        n_fin = neg = pos = 0
+        lo = hi = None
+        for p in t["payload"].to_pylist():
+            a, b, c, mn, mx = pickle.loads(p)
+            n_fin += a
+            neg += b
+            pos += c
+            if mn is not None:
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+        return _payload_table((n_fin, neg, pos, lo, hi))
+
+    n_fin = neg = pos = 0
+    lo = hi = None
+    for a, b, c, mn, mx in _reduce(stats_partial, stats_merge):
+        n_fin += a
+        neg += b
+        pos += c
+        if mn is not None:
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+    total = n_fin + neg + pos
+    if total == 0:
+        return None
+    rank = max(1, int(np.ceil(q * total)))
+    if rank <= neg:
+        return float("-inf")
+    if rank > neg + n_fin:
+        return float("inf")
+    rank_fin = rank - neg  # 1-based rank among finite values
+    if lo == hi:
+        return float(lo)
+
+    chain: list[tuple[float, float, int]] = []
+    count_below = 0  # finite values strictly in lower bins of the chain
+    bin_count = n_fin
+    levels = 0
+    while bin_count > refine_cap and levels < max_levels and lo < hi:
+
+        def hist_partial(t: pa.Table, _lo=lo, _hi=hi, _chain=tuple(chain)) -> pa.Table:
+            v = _vals(t)
+            m = _chain_mask(v, _chain, bins)
+            iv = v[m]
+            idx = np.clip(
+                np.floor((iv - _lo) / (_hi - _lo) * bins).astype(np.int64), 0, bins - 1
+            )
+            return _payload_table(np.bincount(idx, minlength=bins).astype(np.int64))
+
+        def hist_merge(t: pa.Table) -> pa.Table:
+            acc = np.zeros(bins, dtype=np.int64)
+            for p in t["payload"].to_pylist():
+                acc += pickle.loads(p)
+            return _payload_table(acc)
+
+        counts = np.zeros(bins, dtype=np.int64)
+        for c in _reduce(hist_partial, hist_merge):
+            counts += c
+        cum = np.cumsum(counts)
+        j = int(np.searchsorted(cum, rank_fin - count_below))
+        width = hi - lo
+        new_lo = lo + j * width / bins
+        new_hi = lo + (j + 1) * width / bins
+        count_below += int(cum[j - 1]) if j > 0 else 0
+        new_count = int(counts[j])
+        chain.append((lo, hi, j))
+        levels += 1
+        if not (new_lo < new_hi) or new_count == bin_count:
+            # width underflow / no progress: (near-)identical values — the
+            # exact pass below pulls few DISTINCT values even if the count is
+            # large
+            bin_count = new_count
+            break
+        lo, hi, bin_count = new_lo, new_hi, new_count
+
+    # exact pass: value counts of the surviving bin only
+    def bin_values(t: pa.Table, _chain=tuple(chain)) -> pa.Table:
+        v = _vals(t)
+        m = _chain_mask(v, _chain, bins)
+        uniq, cnt = np.unique(v[m], return_counts=True)
+        return pa.table(
+            {"value": pa.array(uniq, pa.float64()), "n": pa.array(cnt, pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    vc = (
+        proj.map_batches(bin_values, batch_format="pyarrow", batch_size=None)
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    if telemetry is not None:
+        telemetry["levels"] = levels
+        telemetry["exact_rows"] = len(vc)
+        telemetry["bin_count"] = bin_count
+    cum = np.cumsum(vc["n"].to_numpy())
+    return float(vc["value"].iloc[int(np.searchsorted(cum, rank_fin - count_below))])
+
+
+def quantile_threshold_filter(
+    ds,
+    col: str,
+    q: float,
+    bins: int = 1024,
+    refine_cap: int = 65_536,
+    telemetry: dict | None = None,
+):
     """Keep rows with `col` >= the EXACT q-quantile of the corpus (the
     "top-(1-q) by quality score" curation selector).
 
-    Scale shape: one value-count groupby (shuffle bounded by the column's
-    cardinality, never the corpus), a tiny driver cumsum to locate the
-    quantile_disc threshold (same rank rule as DuckDB: element at rank
-    ceil(q*n), 1-based), then a map-only filter — the corpus itself streams
-    through a single pushed-down comparison."""
+    Scale shape by column type:
+    - float columns (the continuous "quality score" case, where cardinality ≈
+      corpus): bin-then-refine histogram ladder — driver pulls are bounded by
+      the BIN COUNT per level plus one ≤ refine_cap exact pass, never the
+      cardinality (see _float_quantile_threshold);
+    - integer / categorical columns: one value-count groupby (shuffle bounded
+      by the column's cardinality — the documented bounded-cardinality use),
+      a tiny driver cumsum to locate the quantile_disc threshold (same rank
+      rule as DuckDB: element at rank ceil(q*n), 1-based).
+    The corpus itself then streams through a single map-only comparison."""
     import numpy as np
 
-    from ray.data.aggregate import Count
+    sch = ds.schema()
+    ftype = dict(zip(sch.names, sch.types)).get(col)
+    # ftype may be a plain Python type (e.g. an all-null pandas column) —
+    # only pyarrow floating types take the histogram path
+    if isinstance(ftype, pa.DataType) and pa.types.is_floating(ftype):
+        thr = _float_quantile_threshold(
+            ds, col, q, bins=bins, refine_cap=refine_cap, telemetry=telemetry
+        )
+        if thr is None:
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+    else:
+        from ray.data.aggregate import Count
 
-    vc = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
-    if len(vc):
-        # quantile_disc ignores NULLs: drop the null/NaN group from the rank
-        vc = vc[vc[col].notna()].sort_values(col).reset_index(drop=True)
-    if not len(vc):
-        # empty / all-null corpus: SQL's threshold is NULL -> zero rows kept
-        return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
-    counts = vc["n"].to_numpy()
-    cum = np.cumsum(counts)
-    total = int(cum[-1])
-    rank = max(1, int(np.ceil(q * total)))
-    thr = vc[col].iloc[int(np.searchsorted(cum, rank))]
-    if isinstance(thr, (int, np.integer)):
+        vc = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+        if len(vc):
+            # quantile_disc ignores NULLs: drop the null/NaN group from the rank
+            vc = vc[vc[col].notna()].sort_values(col).reset_index(drop=True)
+        if not len(vc):
+            # empty / all-null corpus: SQL's threshold is NULL -> zero rows kept
+            return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        counts = vc["n"].to_numpy()
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        rank = max(1, int(np.ceil(q * total)))
+        thr = vc[col].iloc[int(np.searchsorted(cum, rank))]
+    # expr pushdown only for finite numerics on identifier-safe names: an inf
+    # threshold (infs survive the notna filter, unlike NULLs) or a dotted /
+    # spaced column name would render an unparseable expression
+    safe_name = col.isidentifier()
+    if isinstance(thr, (int, np.integer)) and safe_name:
         return ds.filter(expr=f"{col} >= {int(thr)}")  # pushdown-friendly
-    if isinstance(thr, (float, np.floating)):
+    if isinstance(thr, (float, np.floating)) and safe_name and np.isfinite(thr):
         return ds.filter(expr=f"{col} >= {float(thr)!r}")
-    # non-numeric thresholds: typed Arrow comparison (no expr-quoting hazards)
+    # non-numeric / non-finite thresholds: typed Arrow comparison (no
+    # expr-quoting hazards; greater_equal handles ±inf exactly)
     thr_scalar = pa.scalar(thr)
 
     def flt(t: pa.Table) -> pa.Table:

@@ -205,6 +205,71 @@ def test_quantile_filter_nulls_and_empty_match_sql(ray_session):
     assert quantile_threshold_filter(rd.from_pandas(allnull), "score", 0.5).count() == 0
 
 
+def test_quantile_filter_continuous_float_bounded_pull(ray_session):
+    """The continuous-column path (per-row-distinct float scores — the real
+    'top-X% by quality' case): exact vs DuckDB quantile_disc, with the driver
+    pull bounded by the BIN COUNT per level plus one ≤ refine_cap exact pass —
+    never the column cardinality."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame({"id": range(n), "score": rng.normal(0.0, 1.0, n)})
+    assert df["score"].nunique() == n  # per-row distinct
+    tel = {}
+    got = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(
+            rd.from_pandas(df).repartition(8), "score", 0.9,
+            bins=64, refine_cap=500, telemetry=tel,
+        ).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT id FROM df WHERE score >= (SELECT quantile_disc(score, 0.9) FROM df)"
+        ).df()["id"]
+    )
+    # threshold row itself survives: n - ceil(0.9n) + 1 rows
+    assert got == want and len(got) == n - int(np.ceil(0.9 * n)) + 1
+    # the refinement actually ran, and the exact pass pulled <= refine_cap
+    # value rows — not the 20k-distinct value-count table
+    assert tel["levels"] >= 1
+    assert tel["exact_rows"] <= 500 < n
+
+
+def test_quantile_filter_inf_threshold(ray_session):
+    """q high enough that the quantile_disc threshold IS +inf: the filter must
+    fall through to the typed Arrow comparison (an 'inf' literal in a filter
+    expr string is unparseable) and keep exactly the inf rows."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    df = pd.DataFrame(
+        {"id": range(8), "score": [1.0, 2.0, 3.0, 4.0, np.inf, np.inf, -np.inf, None]}
+    )
+    got = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(
+            rd.from_pandas(df).repartition(2), "score", 1.0
+        ).take_all()
+    )
+    # rank ceil(1.0*7)=7 of the 7 non-null values -> +inf; score >= inf keeps
+    # only the inf rows
+    assert got == [4, 5]
+    # -inf threshold: q=0 -> rank 1 -> -inf; every non-null row survives
+    got_lo = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(
+            rd.from_pandas(df).repartition(2), "score", 0.0
+        ).take_all()
+    )
+    assert got_lo == [0, 1, 2, 3, 4, 5, 6]
+
+
 def test_grouped_quantiles_partition_invariant(ray_session):
     import duckdb
     import ray.data as rd
