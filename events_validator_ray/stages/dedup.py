@@ -32,6 +32,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .sketches import hash64
 
@@ -445,37 +446,43 @@ def jaccard_verify_pairs(ds, pairs: list[tuple], col: str, id_col: str, ngram: i
     cand_ids = sorted({x for pr in pairs for x in pr})
     if not cand_ids:
         return []
-    id_set = set(cand_ids)
+    cand_arr = pa.array(cand_ids)
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.array([i in id_set for i in ids])
-        if not mask.any():
+        mask = pc.fill_null(pc.is_in(batch[id_col], value_set=cand_arr), False)
+        sel = batch.filter(mask)
+        if sel.num_rows == 0:
             return pa.table({id_col: pa.array([], type=batch[id_col].type), "sh": pa.array([], type=pa.list_(pa.uint64()))})
-        texts = batch[col].to_numpy(zero_copy_only=False)[mask]
+        texts = sel[col].to_numpy(zero_copy_only=False)
         sh, off = _shingle_hashes(texts, ngram)
-        lists = [sh[off[i] : off[i + 1]] for i in range(len(off) - 1)]
-        return pa.table({id_col: pa.array(ids[mask]), "sh": pa.array([l.tolist() for l in lists], type=pa.list_(pa.uint64()))})
+        # sorted-unique per doc: set semantics, and downstream scoring can use
+        # np.intersect1d(assume_unique=True)
+        lists = [np.unique(sh[off[i] : off[i + 1]]).tolist() for i in range(len(off) - 1)]
+        return pa.table({id_col: sel[id_col], "sh": pa.array(lists, type=pa.list_(pa.uint64()))})
 
     rows = ds.select_columns([id_col, col]).map_batches(shingle_sets, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: set(r["sh"]) for r in rows}
+    sets = {r[id_col]: np.asarray(r["sh"], dtype=np.uint64) for r in rows}
+    empty = np.empty(0, dtype=np.uint64)
     out = []
     for a, b in pairs:
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        union = len(sa | sb)
-        jac = (len(sa & sb) / union) if union else 1.0
+        sa, sb = sets.get(a, empty), sets.get(b, empty)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac = (inter / union) if union else 1.0
         if jac >= threshold:
             out.append((a, b))
     return out
 
 
 def _shingle_payloads(texts: np.ndarray, ngram: int) -> list[bytes]:
-    """Per-doc shingle-hash sets serialized as raw uint64 BYTES — a binary
-    column survives pandas round trips untouched, where a list<uint64> column
-    can be inferred as a fixed-shape TensorArray on uniform blocks and then
-    fail to concat with NA-padded join blocks."""
+    """Per-doc shingle-hash sets serialized as raw SORTED-UNIQUE uint64 BYTES —
+    a binary column survives pandas round trips untouched, where a
+    list<uint64> column can be inferred as a fixed-shape TensorArray on
+    uniform blocks and then fail to concat with NA-padded join blocks.
+    Sorting+deduping once at build lets pair scoring use
+    np.intersect1d(assume_unique=True) instead of per-pair Python sets."""
     sh, off = _shingle_hashes(texts, ngram)
-    return [sh[off[i] : off[i + 1]].tobytes() for i in range(len(off) - 1)]
+    return [np.unique(sh[off[i] : off[i + 1]]).tobytes() for i in range(len(off) - 1)]
 
 
 def _shingle_rows(docs_ds, col: str, id_col: str, ngram: int):
@@ -500,25 +507,25 @@ def _shingle_set_dataset(ds, cand_ids, col: str, id_col: str, ngram: int):
     number of docs in candidate pairs, never the corpus)."""
     import ray
 
-    id_ref = ray.put(frozenset(cand_ids))
+    id_ref = ray.put(pa.array(list(cand_ids)))
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
-        idset = id_ref
-        if isinstance(idset, ray.ObjectRef):
-            idset = ray.get(idset)
-        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((i in idset for i in ids_np), count=len(ids_np), dtype=bool)
-        if not mask.any():
+        idarr = id_ref
+        if isinstance(idarr, ray.ObjectRef):
+            idarr = ray.get(idarr)
+        mask = pc.fill_null(pc.is_in(batch[id_col], value_set=idarr), False)
+        sel = batch.filter(mask)
+        if sel.num_rows == 0:
             return pa.table(
                 {
                     id_col: pa.array([], type=batch[id_col].type),
                     "sh": pa.array([], type=pa.binary()),
                 }
             )
-        texts = batch[col].to_numpy(zero_copy_only=False)[mask]
+        texts = sel[col].to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                id_col: pa.array(ids_np[mask]),
+                id_col: sel[id_col],
                 "sh": pa.array(_shingle_payloads(texts, ngram), type=pa.binary()),
             }
         )
@@ -570,15 +577,19 @@ def jaccard_verify_distributed(
     j = bucketed_hash_join(j, sb, on="b")
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
-        keep_a, keep_b = [], []
-        for a, b, xa, xb in zip(df["a"], df["b"], df["sh_a"], df["sh_b"]):
-            set_a = set(np.frombuffer(xa, dtype=np.uint64)) if isinstance(xa, bytes) else set()
-            set_b = set(np.frombuffer(xb, dtype=np.uint64)) if isinstance(xb, bytes) else set()
-            union = len(set_a | set_b)
-            if ((len(set_a & set_b) / union) if union else 1.0) >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-        return pd.DataFrame({"a": keep_a, "b": keep_b})
+        # payloads are sorted-unique uint64 buffers (_shingle_payloads), so
+        # intersect1d(assume_unique=True) scores each pair without building
+        # Python sets — ~an order of magnitude cheaper on dup-heavy corpora
+        # where verified pairs are billions
+        empty = np.empty(0, dtype=np.uint64)
+        keep = np.zeros(len(df), dtype=bool)
+        for i, (xa, xb) in enumerate(zip(df["sh_a"], df["sh_b"])):
+            a = np.frombuffer(xa, dtype=np.uint64) if isinstance(xa, bytes) else empty
+            b = np.frombuffer(xb, dtype=np.uint64) if isinstance(xb, bytes) else empty
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            keep[i] = ((inter / union) if union else 1.0) >= threshold
+        return pd.DataFrame({"a": df["a"].to_numpy()[keep], "b": df["b"].to_numpy()[keep]})
 
     return j.map_batches(score, batch_format="pandas")
 
@@ -822,25 +833,25 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple], col: str = "text", id_col: str =
     """Exact n-gram Jaccard similarity for explicit id pairs (the standalone
     verification kernel)."""
     cand_ids = sorted({x for pr in pairs for x in pr})
-    verified = jaccard_verify_pairs(ds, pairs, col, id_col, ngram, threshold=-1.0)
-    # recompute with scores for reporting
-    id_set = set(cand_ids)
+    cand_arr = pa.array(cand_ids)
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.array([i in id_set for i in ids])
-        texts = batch[col].to_numpy(zero_copy_only=False)[mask]
+        mask = pc.fill_null(pc.is_in(batch[id_col], value_set=cand_arr), False)
+        sel = batch.filter(mask)
+        texts = sel[col].to_numpy(zero_copy_only=False)
         sh, off = _shingle_hashes(texts, ngram)
-        lists = [sh[off[i] : off[i + 1]].tolist() for i in range(len(off) - 1)]
-        return pa.table({id_col: pa.array(ids[mask]), "sh": pa.array(lists, type=pa.list_(pa.uint64()))})
+        lists = [np.unique(sh[off[i] : off[i + 1]]).tolist() for i in range(len(off) - 1)]
+        return pa.table({id_col: sel[id_col], "sh": pa.array(lists, type=pa.list_(pa.uint64()))})
 
     rows = ds.select_columns([id_col, col]).map_batches(shingle_sets, batch_format="pyarrow").take_all()
-    sets = {r[id_col]: set(r["sh"]) for r in rows}
+    sets = {r[id_col]: np.asarray(r["sh"], dtype=np.uint64) for r in rows}
+    empty = np.empty(0, dtype=np.uint64)
     out = []
     for a, b in pairs:
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        union = len(sa | sb)
-        out.append({"a": a, "b": b, "jaccard": (len(sa & sb) / union) if union else 1.0})
+        sa, sb = sets.get(a, empty), sets.get(b, empty)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        out.append({"a": a, "b": b, "jaccard": (inter / union) if union else 1.0})
     return pd.DataFrame(out)
 
 
@@ -878,6 +889,17 @@ class HyperplaneLSH:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # Ray does produce empty blocks at small scale; np.stack on zero
+            # rows raises — emit a typed empty table (mirrors cosine_verify_pairs)
+            return pa.table(
+                {
+                    self.id_col: pa.array([], type=batch.schema.field(self.id_col).type),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "emb_norm": pa.array([], pa.list_(pa.float32())),
+                }
+            )
         emb = np.stack(batch[self.col].to_numpy(zero_copy_only=False))
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = (emb / np.maximum(norms, 1e-12)).astype(np.float32)

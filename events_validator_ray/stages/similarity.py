@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -50,6 +51,15 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         q_ids, Q = self._queries()
+        if batch.num_rows == 0:
+            # empty blocks occur at small scale; np.stack on zero rows raises
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.from_numpy_dtype(np.asarray(q_ids).dtype) if len(q_ids) else pa.int64()),
+                    "vec_id": pa.array([], type=batch.schema.field(self.id_col).type),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         E = _normalize(np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64))
         sims = Q @ E.T  # (n_queries, batch)
@@ -76,12 +86,12 @@ def ann_topk(ds, query_ids: list, k: int = 10, col: str = "embedding", id_col: s
     descending score (ties broken by vec_id for determinism)."""
     import ray
 
-    qset = set(query_ids)
+    qarr = pa.array(list(query_ids))
 
     def grab(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.array([i in qset for i in ids])
-        return batch.filter(pa.array(mask)).select([id_col, col])
+        # vectorized hash-set membership (pc.is_in), never a per-row Python loop
+        mask = pc.fill_null(pc.is_in(batch[id_col], value_set=qarr), False)
+        return batch.filter(mask).select([id_col, col])
 
     qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
     by_id = {r[id_col]: r[col] for r in qrows}
@@ -148,6 +158,8 @@ class IVFAssign:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         C = self._c()
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_bucket", pa.array([], pa.int32()))
         E = _normalize(np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64))
         bucket = np.argmax(E @ C.T, axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(bucket))
@@ -170,12 +182,11 @@ def ann_topk_ivf(
     cref = ray.put(C)
     assigned = ds.map_batches(IVFAssign(cref, col), batch_format="pyarrow")
 
-    qset = set(query_ids)
+    qarr = pa.array(list(query_ids))
 
     def grab(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.array([i in qset for i in ids])
-        return batch.filter(pa.array(mask)).select([id_col, col])
+        mask = pc.fill_null(pc.is_in(batch[id_col], value_set=qarr), False)
+        return batch.filter(mask).select([id_col, col])
 
     qrows = ds.map_batches(grab, batch_format="pyarrow").take_all()
     by_id = {r[id_col]: r[col] for r in qrows}
@@ -190,15 +201,14 @@ def ann_topk_ivf(
 
     # broadcast semi-join on the probed bucket set (bounded by centroids ×
     # nprobe; never a literal in-list expression)
-    bref = ray.put(frozenset(wanted_buckets))
+    bref = ray.put(np.asarray(wanted_buckets, dtype=np.int32))
 
     def keep_probed(t: pa.Table) -> pa.Table:
         buckets = bref
         if isinstance(buckets, ray.ObjectRef):
             buckets = ray.get(buckets)
         b = t["ivf_bucket"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter((x in buckets for x in b), count=len(b), dtype=bool)
-        return t.filter(pa.array(mask))
+        return t.filter(pa.array(np.isin(b, buckets)))
 
     filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
     qref = ray.put((q_ids, Q))
@@ -237,6 +247,11 @@ class _CosinePairsBlock:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         all_ids, M = self._corpus()
+        if batch.num_rows == 0:
+            idt = batch.schema.field(self.id_col).type
+            return pa.table(
+                {"a": pa.array([], idt), "b": pa.array([], idt), "score": pa.array([], pa.float64())}
+            )
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         E = _normalize(
             np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64)

@@ -351,3 +351,38 @@ def test_jaccard_verify_semi_join_path_matches_broadcast(ds):
     sj = {(r["a"], r["b"]) for r in jaccard_verify_distributed(
         ds, pairs, "text", "doc_id", 3, 0.7, broadcast_max_ids=0).take_all()}
     assert bc == sj and len(bc) >= 3
+
+
+def test_lsh_and_ann_stages_tolerate_empty_blocks(ray_session):
+    """Ray produces empty blocks at small scale; the np.stack-based stages
+    (HyperplaneLSH, BruteForceTopK, IVFAssign, _CosinePairsBlock) must emit
+    typed empty tables instead of raising 'need at least one array to stack'."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.dedup import HyperplaneLSH, embedding_dedup
+    from events_validator_ray.stages.similarity import ann_topk
+
+    # direct unit check on a 0-row Arrow block
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    out = HyperplaneLSH(dim=4)(empty)
+    assert out.num_rows == 0 and out.schema.names == [
+        "vec_id", "band", "band_hash", "emb_norm",
+    ]
+
+    # pipeline check: more partitions than rows guarantees empty blocks
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((6, 8))
+    vecs[5] = vecs[0] + 1e-4  # planted near-dup
+    df = pd.DataFrame(
+        {"vec_id": range(6), "embedding": [v.astype(np.float32).tolist() for v in vecs]}
+    )
+    ds6 = rd.from_pandas(df).repartition(16)
+    labels = embedding_dedup(ds6, threshold=0.99)
+    assert dict(zip(labels.vec_id, labels.cluster)).get(5) == 0
+    top = ann_topk(ds6, query_ids=[0], k=2)
+    assert list(top.vec_id)[:2] == [0, 5]
