@@ -564,7 +564,11 @@ def q_grouped_quantiles(sf_dir: str):
     out = grouped_quantiles(ds, key="o_orderpriority", col="o_totalprice").to_pandas()
 
     def cents(x: pd.Series) -> pd.Series:
-        return (x * 100).round().astype("int64")
+        # micro-int idiom: floor(x*100 + 0.5) reproduces bit-for-bit in the
+        # SQL twin (pandas .round() is half-even, DuckDB round() half-away)
+        import numpy as np
+
+        return np.floor(x * 100 + 0.5).astype("int64")
 
     out["value_cents"] = cents(out["value"])
     return out[["o_orderpriority", "q_permille", "value_cents"]]
@@ -800,7 +804,10 @@ def q_window_tumbling(sf_dir: str):
     from ..stages.windows import tumbling_window_agg
 
     def to_cents(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        # floor(x*100 + 0.5): same-bits rounding op as the SQL twin
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t["value"], 100), 0.5)), pa.int64()
+        )
         return t.drop_columns(["value"]).append_column("value_cents", cents)
 
     ds = _read_events(sf_dir).map_batches(to_cents, batch_format="pyarrow")
@@ -858,7 +865,7 @@ def session_oracle(gap_s: int = 1800) -> str:
 def tumbling_oracle() -> str:
     return (
         "SELECT user_id, CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) * 86400 AS window_start, "
-        "COUNT(*) AS n, CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value "
+        "COUNT(*) AS n, CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value "
         "FROM events GROUP BY 1, 2"
     )
 
@@ -882,12 +889,13 @@ def q_broadcast_join(sf_dir: str):
     orders = _read_table(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, dim, on="o_custkey", dim_on="c_custkey", take_cols=["n_name"])
 
+    import numpy as np
     import pandas as pd
     import pyarrow as pa
 
     def cents_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+        df["cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype("int64")
         g = df.groupby("n_name", sort=False).agg(n_orders=("cents", "size"), sum_cents=("cents", "sum"))
         return g.reset_index()
 
@@ -1470,7 +1478,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     )
     out["grouped_quantiles"] = "\nUNION ALL\n".join(
         f"SELECT o_orderpriority, {int(q * 1000)} AS q_permille, "
-        f"CAST(round(quantile_disc(o_totalprice, {q}) * 100) AS BIGINT) AS value_cents "
+        f"CAST(floor(quantile_disc(o_totalprice, {q}) * 100 + 0.5) AS BIGINT) AS value_cents "
         "FROM orders GROUP BY o_orderpriority"
         for q in (0.5, 0.9, 0.99)
     )
@@ -1479,7 +1487,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["window_session"] = session_oracle()
     out["broadcast_join"] = (
         "SELECT n.n_name AS n_name, COUNT(*) AS n_orders, "
-        "CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+        "CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents "
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
     )

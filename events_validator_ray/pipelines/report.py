@@ -61,15 +61,16 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
     against the exact mode in tests/test_sketches.py)."""
     if approx:
         return _daily_error_rate_hll(ds, hll_p)
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max, Sum
 
     with_date = _with_date(ds).select_columns(["date_utc", "event_id", "status"])
 
     def batch_dedup(t: pa.Table) -> pa.Table:
         # pre-aggregate within the batch before the shuffle: one row per
-        # (date, event_id, is_error) cuts the groupby input by ~the batch's
-        # duplication factor
-        flags = pc.equal(t["status"], "error")
+        # (date, event_id) with its max is_error flag cuts the groupby input
+        # by ~the batch's duplication factor (int64 flag: Ray's Max/Sum
+        # aggregates want a numeric column)
+        flags = pc.cast(pc.equal(t["status"], "error"), pa.int64())
         t2 = pa.table(
             {
                 "date_utc": t["date_utc"],
@@ -79,27 +80,22 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
         )
         return t2.group_by(["date_utc", "event_id"]).aggregate([("is_error", "max")])
 
+    # single log scan: the global (date, event_id) dedup carries the error
+    # flag via Max, so per-day totals AND error counts come from one pipeline
+    # (the old shape re-scanned error rows for a second distinct pass)
     pairs = (
         with_date.map_batches(batch_dedup, batch_format="pyarrow")
         .groupby(["date_utc", "event_id"])
-        .aggregate(Count(alias_name="_n"))  # global dedup to distinct pairs
+        .aggregate(Max("is_error_max", alias_name="is_err"))
     )
-    # pairs lost the is_error flag in the Count agg; recompute flags by a
-    # second pass: distinct (date, eid) over error rows only
-    err_pairs = (
-        _with_date(ds.filter(expr="status == 'error'"))
-        .select_columns(["date_utc", "event_id"])
-        .groupby(["date_utc", "event_id"])
-        .aggregate(Count(alias_name="_n"))
+    daily = pairs.groupby("date_utc").aggregate(
+        Count(alias_name="n_events"), Sum("is_err", alias_name="n_error_events")
     )
-    totals = pairs.groupby("date_utc").aggregate(Count(alias_name="n_events"))
-    errors = err_pairs.groupby("date_utc").aggregate(Count(alias_name="n_error_events"))
 
     import pandas as pd
 
-    tdf = totals.to_pandas()
-    edf = errors.to_pandas()
-    if tdf.empty:  # empty log / fully-filtered date range: typed empty frame
+    out = daily.to_pandas()
+    if out.empty:  # empty log / fully-filtered date range: typed empty frame
         return pd.DataFrame(
             {
                 "date_utc": pd.Series([], dtype=object),
@@ -108,9 +104,6 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
                 "error_rate": pd.Series([], dtype="float64"),
             }
         )
-    if edf.empty:
-        edf = pd.DataFrame({"date_utc": pd.Series([], dtype=object), "n_error_events": pd.Series([], dtype="int64")})
-    out = tdf.merge(edf, on="date_utc", how="left").fillna({"n_error_events": 0})
     out["n_error_events"] = out["n_error_events"].astype("int64")
     out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)
     return out.sort_values("date_utc").reset_index(drop=True)

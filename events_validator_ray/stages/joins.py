@@ -147,6 +147,9 @@ def asof_join(
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             b = batch.copy()
             if side == "r":
+                # SQL ASOF equi-condition on `by` never matches NULL: drop
+                # right rows with null keys (left nulls stay as unmatched)
+                b = b[b[by].notna() & b[on].notna()]
                 b = b.rename(columns=rmap)
             for c in all_cols:
                 if c not in b.columns:
@@ -205,7 +208,9 @@ def range_join(
 
     def tag(side: str):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch.copy()
+            # SQL equi-join semantics: NULL keys never match (inner join —
+            # drop on both sides; see bucketed_hash_join)
+            b = batch[batch[on].notna()].copy()
             for c in all_cols:
                 if c not in b.columns:
                     b[c] = pd.NA
@@ -392,6 +397,12 @@ def bucketed_hash_join(
     def tag(side: str, own_cols: list[str]):
         def fn(batch: pd.DataFrame) -> pd.DataFrame:
             b = batch.copy()
+            # SQL equi-join semantics: NULL keys never match. pandas merge
+            # DOES match NaN==NaN, so drop null-key rows before the shuffle —
+            # right side always; left side too for inner joins (left/outer
+            # joins keep left NULL-key rows as unmatched NA-padded output).
+            if side == "r" or how == "inner":
+                b = b[b[on].notna()]
             for c in all_cols:
                 if c not in b.columns:
                     b[c] = pd.NA

@@ -292,3 +292,78 @@ def test_grouped_quantiles_partition_invariant(ray_session):
         "ORDER BY g, q_permille"
     ).df().reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_null_keys_never_equi_join(ray_session):
+    """Round-3 ADVICE: SQL equi-joins/IN never match NULL keys, but pandas
+    merge matches NaN==NaN — the bucketed paths must drop null-key rows so
+    engine results match the DuckDB twins on null-bearing keys."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import bloom_semi_join, range_join
+
+    l = pd.DataFrame({"k": [1.0, 2.0, None, None, 3.0], "lv": [10, 20, 30, 40, 50]})
+    r = pd.DataFrame({"k": [1.0, None, 3.0, 3.0], "rv": [100, 200, 300, 400]})
+
+    # inner: null keys on either side never match
+    got = (
+        bucketed_hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values(["lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql("SELECT l.k, lv, rv FROM l JOIN r USING (k) ORDER BY lv, rv")
+        .df()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want, check_dtype=False)
+
+    # left: left null-key rows survive unmatched; right nulls never attach
+    got_l = (
+        bucketed_hash_join(
+            rd.from_pandas(l), rd.from_pandas(r), on="k", num_buckets=4, how="left"
+        )
+        .to_pandas()
+        .sort_values(["lv"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want_l = (
+        duckdb.sql("SELECT l.k, lv, rv FROM l LEFT JOIN r USING (k) ORDER BY lv, rv NULLS FIRST")
+        .df()
+        .reset_index(drop=True)
+    )
+    got_l = got_l.sort_values(["lv", "rv"], na_position="first").reset_index(drop=True)
+    assert len(got_l) == len(want_l)
+    assert got_l["lv"].tolist() == want_l["lv"].tolist()
+    assert (
+        got_l["rv"].fillna(-1).astype("int64").tolist()
+        == want_l["rv"].fillna(-1).astype("int64").tolist()
+    )
+
+    # semi: null keys never IN
+    got_s = (
+        bloom_semi_join(rd.from_pandas(l), rd.from_pandas(r), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want_s = duckdb.sql(
+        "SELECT * FROM l WHERE k IN (SELECT k FROM r) ORDER BY lv"
+    ).df()
+    assert got_s["lv"].tolist() == want_s["lv"].tolist()
+
+    # range: null interval keys never match
+    lp = pd.DataFrame({"u": [1.0, None, 2.0], "t": [5, 5, 5], "lv": [1, 2, 3]})
+    rp = pd.DataFrame({"u": [1.0, None, 2.0], "lo": [0, 0, 6], "hi": [9, 9, 9]})
+    got_r = (
+        range_join(rd.from_pandas(lp), rd.from_pandas(rp), on="u", point="t", lo="lo", hi="hi", num_buckets=4)
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    want_r = duckdb.sql(
+        "SELECT lp.u, t, lv, lo, hi FROM lp JOIN rp ON lp.u = rp.u AND t BETWEEN lo AND hi ORDER BY lv"
+    ).df()
+    assert got_r["lv"].tolist() == want_r["lv"].tolist()
