@@ -1190,15 +1190,17 @@ def q_worst_offenders(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing smoke: deterministic fake media corpus through the
-    actor-pool image decode stage (rows-only; codecs stubbed — see
-    stages/multimodal.py)."""
+    """Multimodal decode: deterministic corpus of REAL PNG payloads through
+    the actor-pool image decode stage with allow_fake=False — every row is a
+    genuine stdlib PNG decode (struct+zlib), no stub involved (rows-only:
+    dims come from binary payloads SQL can't parse; the decode itself is
+    pixel-verified in tests/test_similarity_text.py)."""
     import ray.data as rd
 
-    from ..stages.multimodal import decode_images, synthetic_media
+    from ..stages.multimodal import decode_images, synthetic_media_real
 
-    media = rd.from_arrow(synthetic_media(96))
-    return decode_images(media, feature_dim=16, concurrency=2).select_columns(
+    media = rd.from_arrow(synthetic_media_real(96))
+    return decode_images(media, feature_dim=16, concurrency=2, allow_fake=False).select_columns(
         ["media_id", "width", "height"]
     )
 

@@ -2,12 +2,18 @@
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
 The Ray-side plumbing is real and tested — schema contract, actor signature,
-batch sizing, output layout. The codec work itself is STUBBED: the
-image/audio libraries are not in this container, so each decoder tries its
-import in ``__init__`` (once per actor) and either uses the real library or —
-only when ``allow_fake=True`` — a deterministic fake derived from the payload
-bytes. With no library and no fake, the stage raises NotImplementedError at
-construction, never mid-stream.
+batch sizing, output layout. Codec coverage is layered:
+
+- **Real stdlib paths** (no third-party dependency): PNG decode/encode via
+  struct+zlib (8-bit gray/RGB/RGBA/gray-alpha, all five scanline filters,
+  non-interlaced) and WAV via the stdlib ``wave`` module (8/16/32-bit PCM).
+  Payloads that sniff as PNG/WAV always decode for real.
+- **Library paths**: PIL / soundfile when importable (not in this
+  container), imported once per actor in ``__init__``.
+- **Deterministic fake** for formats beyond the above, only when
+  ``allow_fake=True``; with ``allow_fake=False`` an unsupported payload
+  raises ``ValueError`` naming the format, so a stub result can never be
+  mistaken for a decode.
 
 Batch-size guidance for binary payloads: keep ``batch_size`` small (rows are
 megabytes, not bytes) and let ``DataContext.target_max_block_size`` bound the
@@ -18,9 +24,161 @@ with the surrounding read/write stages.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
+
+#: PNG file signature (RFC 2083 §3.1)
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[: len(PNG_SIG)] == PNG_SIG
+
+
+def is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def png_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure-stdlib PNG decode (struct + zlib): returns (width, height,
+    uint8 pixels of shape (h, w, channels)). Supports bit depth 8, color
+    types 0/2/4/6, non-interlaced, all five scanline filters (sub is a
+    per-channel-lane cumsum; average/paeth keep their sequential left
+    dependency). Raises ValueError on anything else — never guesses."""
+    if not is_png(payload):
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    idat: list[bytes] = []
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    w, h, depth, ct, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ct not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit depth {depth}, color type {ct}, interlace {interlace})"
+        )
+    ch = _PNG_CHANNELS[ct]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: stream length != h * (stride + 1)")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x - ch]
+            rec = line.copy()
+            for c in range(ch):
+                rec[c::ch] = np.cumsum(rec[c::ch], dtype=np.int64) & 0xFF
+        elif ft == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif ft == 3:  # Average (sequential left dependency)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth (sequential left dependency)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c0 = prev[x - ch] if x >= ch else 0
+                p = a + b - c0
+                pa_, pb, pc0 = abs(p - a), abs(p - b), abs(p - c0)
+                pred = a if (pa_ <= pb and pa_ <= pc0) else (b if pb <= pc0 else c0)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return w, h, out.reshape(h, w, ch)
+
+
+def png_encode(pixels: np.ndarray) -> bytes:
+    """Pure-stdlib PNG encode (filter 0 scanlines, one zlib IDAT). `pixels`
+    is uint8 (h, w) or (h, w, channels in {1,2,3,4})."""
+    px = np.ascontiguousarray(pixels, np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    return PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def png_gray(pixels: np.ndarray) -> np.ndarray:
+    """uint8 (h, w, ch) -> float32 (h, w) luma (BT.601 for RGB; alpha
+    ignored; gray planes pass through)."""
+    ch = pixels.shape[2]
+    if ch <= 2:
+        return pixels[:, :, 0].astype(np.float32)
+    p = pixels.astype(np.float32)
+    return 0.299 * p[:, :, 0] + 0.587 * p[:, :, 1] + 0.114 * p[:, :, 2]
+
+
+def _pool8(gray: np.ndarray) -> np.ndarray:
+    """8x8 block-mean pooling (the stdlib analog of PIL resize((8, 8)))."""
+    out = np.zeros((8, 8), np.float32)
+    for i, rblk in enumerate(np.array_split(gray, 8, axis=0)):
+        for j, blk in enumerate(np.array_split(rblk, 8, axis=1)):
+            if blk.size:
+                out[i, j] = blk.mean()
+    return out
+
+
+def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
+    """Stdlib WAV decode (`wave` module): returns (sample_rate, float32 mono
+    samples in [-1, 1]); multi-channel input is mean-downmixed. 8/16/32-bit
+    PCM; raises ValueError on other sample widths."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        data = wf.readframes(wf.getnframes())
+    if sw == 2:
+        arr = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif sw == 1:
+        arr = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sw == 4:
+        arr = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return rate, arr
 
 #: schema contract for a multimodal corpus shard
 MEDIA_SCHEMA = pa.schema(
@@ -53,22 +211,21 @@ def _digest_floats(payload: bytes, n: int) -> np.ndarray:
 
 class DecodeImage:
     """Actor-pool stage: binary payload -> (media_id, width, height,
-    features[dim]). Real path uses PIL when importable; fake path derives
-    deterministic dimensions/features from the bytes."""
+    features[dim]). PNG payloads decode for REAL via the stdlib path
+    (png_decode above); other formats use PIL when importable, else — only
+    with ``allow_fake=True`` — a deterministic fake derived from the bytes.
+    ``allow_fake=False`` raises ValueError on any non-PNG payload PIL can't
+    handle, so a stub result can never pass for a decode."""
 
     def __init__(self, feature_dim: int = 64, allow_fake: bool = True):
         self.feature_dim = feature_dim
+        self.allow_fake = allow_fake
         try:
             from PIL import Image  # noqa: F401
 
             self._pil = Image
         except ImportError:
             self._pil = None
-            if not allow_fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL (not in this container); "
-                    "pass allow_fake=True for the deterministic stub"
-                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -76,7 +233,10 @@ class DecodeImage:
         widths, heights, feats = [], [], []
         for p in payloads:
             p = p or b""
-            if self._pil is not None:
+            if is_png(p):
+                w, h, px = png_decode(p)
+                f = np.resize(_pool8(png_gray(px)).reshape(-1) / 255.0, self.feature_dim)
+            elif self._pil is not None:
                 import io
 
                 with self._pil.open(io.BytesIO(p)) as img:
@@ -84,10 +244,15 @@ class DecodeImage:
                     arr = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float32)
                     f = arr.reshape(-1) / 255.0
                     f = np.resize(f, self.feature_dim)
-            else:
+            elif self.allow_fake:
                 d = hashlib.sha256(p).digest()
                 w, h = 64 + d[0] % 192, 64 + d[1] % 192
                 f = _digest_floats(p, self.feature_dim)
+            else:
+                raise ValueError(
+                    f"unsupported image payload (magic {p[:8]!r}): not PNG, PIL "
+                    "unavailable, and allow_fake=False"
+                )
             widths.append(w)
             heights.append(h)
             feats.append(f)
@@ -102,35 +267,46 @@ class DecodeImage:
 
 
 class ResizeImage:
-    """Actor-pool stage: payload -> resized payload (stub re-emits a
-    deterministic transform of the bytes when PIL is absent)."""
+    """Actor-pool stage: payload -> resized payload. PNG payloads resize for
+    REAL (stdlib decode -> nearest-neighbor resample -> stdlib re-encode);
+    other formats use PIL when importable, else the deterministic stub (only
+    with ``allow_fake=True``)."""
 
     def __init__(self, width: int = 224, height: int = 224, allow_fake: bool = True):
         self.width = width
         self.height = height
+        self.allow_fake = allow_fake
         try:
             from PIL import Image  # noqa: F401
 
             self._pil = Image
         except ImportError:
             self._pil = None
-            if not allow_fake:
-                raise NotImplementedError("resize requires PIL; allow_fake=True for stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
         out = []
         for p in payloads:
             p = p or b""
-            if self._pil is not None:
+            if is_png(p):
+                w, h, px = png_decode(p)
+                yi = np.minimum((np.arange(self.height) * h) // self.height, h - 1)
+                xi = np.minimum((np.arange(self.width) * w) // self.width, w - 1)
+                out.append(png_encode(px[yi][:, xi]))
+            elif self._pil is not None:
                 import io
 
                 with self._pil.open(io.BytesIO(p)) as img:
                     buf = io.BytesIO()
                     img.resize((self.width, self.height)).save(buf, format="PNG")
                     out.append(buf.getvalue())
-            else:
+            elif self.allow_fake:
                 out.append(hashlib.sha256(b"resize" + p).digest())
+            else:
+                raise ValueError(
+                    f"unsupported image payload (magic {p[:8]!r}): not PNG, PIL "
+                    "unavailable, and allow_fake=False"
+                )
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -173,24 +349,21 @@ class SampleFrames:
 
 class ExtractAudio:
     """Actor-pool stage for audio: payload -> (media_id, sample_rate,
-    n_samples, features[dim]) — loudness/spectral-style summary vector. Real
-    path would use soundfile/librosa (imported once per actor); neither ships
-    in this container, so the stub derives deterministic metadata + features
-    from the payload bytes. With allow_fake=False and no library the stage
-    raises at construction, never mid-stream."""
+    n_samples, features[dim]) — loudness-style summary vector. WAV payloads
+    decode for REAL via the stdlib ``wave`` module (wav_decode above); other
+    formats use soundfile when importable (not in this container), else the
+    deterministic stub (only with ``allow_fake=True``; ``allow_fake=False``
+    raises ValueError on any payload neither path can decode)."""
 
     def __init__(self, feature_dim: int = 32, allow_fake: bool = True):
         self.feature_dim = feature_dim
+        self.allow_fake = allow_fake
         try:
             import soundfile  # noqa: F401
 
             self._codec = soundfile
         except ImportError:
             self._codec = None
-            if not allow_fake:
-                raise NotImplementedError(
-                    "audio decoding requires soundfile/librosa; allow_fake=True for stub"
-                )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
@@ -198,7 +371,12 @@ class ExtractAudio:
         rates, counts, feats = [], [], []
         for p in payloads:
             p = p or b""
-            if self._codec is not None:  # pragma: no cover - lib absent here
+            if is_wav(p):
+                rate, data = wav_decode(p)
+                rates.append(int(rate))
+                counts.append(int(len(data)))
+                feats.append(np.resize(np.abs(data), self.feature_dim))
+            elif self._codec is not None:  # pragma: no cover - lib absent here
                 import io
 
                 data, rate = self._codec.read(io.BytesIO(p))
@@ -207,10 +385,15 @@ class ExtractAudio:
                 feats.append(
                     np.resize(np.abs(np.asarray(data, dtype=np.float32)), self.feature_dim)
                 )
-            else:
+            elif self.allow_fake:
                 rates.append(16_000)
                 counts.append(len(p) * 8)
                 feats.append(_digest_floats(b"audio" + p, self.feature_dim))
+            else:
+                raise ValueError(
+                    f"unsupported audio payload (magic {p[:4]!r}): not WAV, "
+                    "soundfile unavailable, and allow_fake=False"
+                )
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -230,9 +413,9 @@ def extract_audio(
     batch_size: int = 32,
     allow_fake: bool = True,
 ):
-    """`allow_fake=False` makes the documented fail-fast reachable from the
-    public helper: with no codec library each actor raises at construction
-    instead of silently emitting the deterministic stub features."""
+    """WAV payloads decode for real (stdlib); `allow_fake=False` makes any
+    other undecodable payload raise ValueError instead of silently emitting
+    the deterministic stub features."""
     return ds.filter(expr="kind == 'audio'").map_batches(
         ExtractAudio,
         fn_constructor_kwargs={"feature_dim": feature_dim, "allow_fake": allow_fake},
@@ -263,6 +446,64 @@ def synthetic_media(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic media corpus whose image payloads are REAL PNGs and
+    audio payloads REAL 16-bit PCM WAVs (built with the stdlib encoders
+    above), so the decode stages exercise their real codec paths end to end.
+    Video stays an opaque byte stream (no stdlib video container format)."""
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    ids = [f"m_{i:06d}" for i in range(n)]
+    kinds = [("image", "audio", "video")[i % 3] for i in range(n)]
+    payloads: list[bytes] = []
+    widths, heights, durations = [], [], []
+    for i, kind in enumerate(kinds):
+        if kind == "image":
+            w = int(rng.integers(8, 48))
+            h = int(rng.integers(8, 48))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(png_encode(px))
+            widths.append(w)
+            heights.append(h)
+            durations.append(-1)
+        elif kind == "audio":
+            rate = 16_000
+            n_samp = int(rng.integers(256, 2048))
+            samples = rng.integers(-32768, 32768, size=n_samp, dtype=np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(rate)
+                wf.writeframes(samples.tobytes())
+            payloads.append(buf.getvalue())
+            widths.append(-1)
+            heights.append(-1)
+            durations.append(int(n_samp * 1000 / rate))
+        else:
+            payloads.append(
+                rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
+            )
+            widths.append(-1)
+            heights.append(-1)
+            durations.append(-1)
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "application/octet-stream"}
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array([mimes[k] for k in kinds], pa.string()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "duration_ms": pa.array(durations, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def decode_images(
     ds,
     feature_dim: int = 64,
@@ -271,8 +512,9 @@ def decode_images(
     allow_fake: bool = True,
 ):
     """The canonical wiring: small batches, actor pool, binary-safe arrow
-    format end to end. `allow_fake=False` fails at actor construction when
-    PIL is absent (never mid-stream)."""
+    format end to end. PNG payloads decode for real (stdlib);
+    `allow_fake=False` makes any other undecodable payload raise ValueError
+    instead of emitting stub dims/features."""
     return ds.filter(expr="kind == 'image'").map_batches(
         DecodeImage,
         fn_constructor_kwargs={"feature_dim": feature_dim, "allow_fake": allow_fake},

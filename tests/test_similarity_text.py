@@ -188,3 +188,167 @@ def test_fingerprint_vectorized_equals_rowwise_reference():
     got = Fingerprint()(tbl)["fingerprint"].tolist()
     want = [ref_one(t) for t in texts]
     assert got == want
+
+
+def _ref_png(pixels: "np.ndarray", filters: list) -> bytes:
+    """Independent minimal PNG writer for codec tests: applies the given
+    per-scanline filter types (0-4) FORWARD, so png_decode's unfiltering is
+    checked against a second implementation, not a round-trip of itself."""
+    import struct
+    import zlib
+
+    px = pixels.astype(np.int32)
+    h, w, ch = px.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch)
+    raw = bytearray()
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * ch, np.int32)
+        out = np.empty(w * ch, np.int32)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc) else (up if pb <= pc else ul)
+            out[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ft]) + out.astype(np.uint8).tobytes()
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(
+            ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_codec_all_filters_and_roundtrip():
+    from events_validator_ray.stages.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 17, ch), dtype=np.uint8)
+        # every filter type exercised against the independent forward filter
+        blob = _ref_png(px, filters=[0, 1, 2, 3, 4])
+        w, h, got = png_decode(blob)
+        assert (w, h) == (17, 13)
+        assert np.array_equal(got, px), f"filter unfiltering mismatch (ch={ch})"
+        # round-trip of our own encoder (filter 0 path)
+        w2, h2, got2 = png_decode(png_encode(px))
+        assert (w2, h2) == (17, 13) and np.array_equal(got2, px)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        png_decode(b"\x89PNG\r\n\x1a\n" + b"garbage")
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+
+def test_wav_codec_stdlib():
+    import io
+    import wave
+
+    from events_validator_ray.stages.multimodal import wav_decode
+
+    t = np.arange(800)
+    samples = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(samples.tobytes())
+    rate, arr = wav_decode(buf.getvalue())
+    assert rate == 16000 and len(arr) == 800
+    assert np.allclose(arr, samples.astype(np.float32) / 32768.0)
+
+    # stereo downmix
+    stereo = np.stack([samples, np.zeros_like(samples)], axis=1).reshape(-1)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(2)
+        wf.setsampwidth(2)
+        wf.setframerate(8000)
+        wf.writeframes(stereo.astype(np.int16).tobytes())
+    rate2, arr2 = wav_decode(buf2.getvalue())
+    assert rate2 == 8000 and len(arr2) == 800
+    assert np.allclose(arr2, samples.astype(np.float32) / 65536.0)
+
+
+def test_multimodal_real_codec_paths(ray_session):
+    """synthetic_media_real payloads are genuine PNG/WAV; the decode stages
+    run strict (allow_fake=False) and recover the generated dims/rates."""
+    import pytest
+    import ray.data as rd
+
+    from events_validator_ray.stages.multimodal import (
+        DecodeImage,
+        ResizeImage,
+        decode_images,
+        extract_audio,
+        png_decode,
+        synthetic_media_real,
+    )
+
+    tbl = synthetic_media_real(48)
+    truth = {
+        r["media_id"]: (r["width"], r["height"], r["duration_ms"])
+        for r in tbl.to_pylist()
+    }
+    media = rd.from_arrow(tbl)
+    feats = decode_images(media, feature_dim=16, concurrency=2, allow_fake=False).take_all()
+    assert len(feats) == 16
+    for r in feats:
+        assert (r["width"], r["height"]) == truth[r["media_id"]][:2]
+        assert len(r["features"]) == 16 and any(v > 0 for v in r["features"])
+
+    audio = extract_audio(media, feature_dim=8, allow_fake=False).take_all()
+    assert len(audio) == 16
+    for r in audio:
+        assert r["sample_rate"] == 16_000
+        # duration_ms was floored from the true frame count at 16 kHz
+        assert r["n_samples"] * 1000 // 16_000 == truth[r["media_id"]][2]
+
+    resized = (
+        media.filter(expr="kind == 'image'")
+        .map_batches(
+            ResizeImage,
+            fn_constructor_kwargs={"width": 24, "height": 20, "allow_fake": False},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        )
+        .take_all()
+    )
+    assert len(resized) == 16
+    for r in resized:
+        w, h, _ = png_decode(r["payload"])
+        assert (w, h) == (24, 20)
+
+    # strict mode refuses what it can't really decode
+    import pyarrow as pa
+
+    junk = pa.table(
+        {"media_id": pa.array(["x"]), "payload": pa.array([b"\x00\x01junk"], pa.binary())}
+    )
+    with pytest.raises(ValueError):
+        DecodeImage(allow_fake=False)(junk)
