@@ -465,9 +465,73 @@ def embedding_components_oracle() -> str:
     return _components_sql(pair_sql, "SELECT vec_id, vec_id FROM embeddings", "vec_id")
 
 
+def _sidecar_path(root: str, sf_dir: str) -> str:
+    """Cache path for an engine-emitted sidecar, keyed on the source file's
+    identity (size+mtime) so a regenerated corpus can never pair with a stale
+    sidecar."""
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    return f"/tmp/{root}/docs_{st.st_size}_{int(st.st_mtime)}.parquet"
+
+
+def ensure_simhash_sigs(sf_dir: str) -> str:
+    """Emit the engine's simhash signature table (doc_id, simhash int64
+    bit-cast) to a /tmp sidecar so the DuckDB twin can recompute the Hamming
+    verify + components over the SAME signatures with bit ops. The hashes
+    are engine data (simhash_vector is the exact kernel the distributed
+    stage runs), so parity hash-checks all downstream plumbing — banded
+    candidates, pair policy, distributed verify, assembly — like the
+    ann_topk_ivf full-probe twin. Correctness apparatus only: at scale the
+    signatures live inside the pipeline, never in a driver-side file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import simhash_vector
+
+    path = _sidecar_path("graft_simhash_v1", sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        import numpy as np
+
+        sh = simhash_vector(docs["text"].to_numpy(zero_copy_only=False))
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table({"doc_id": docs["doc_id"], "simhash": pa.array(sh.view(np.int64))}),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def simhash_components_oracle(sf_dir: str) -> str:
+    """Exact all-pairs Hamming <= 3 over the emitted signature table ->
+    connected components. Candidate recall of the engine's 4x16-bit banding
+    is exactly 1 by pigeonhole (<= 3 differing bits across 4 bands leaves
+    at least one band identical), so the only engine-side approximation is
+    the pair_cap policy, which preserves in-bucket connectivity."""
+    path = ensure_simhash_sigs(sf_dir)
+    pair_sql = (
+        f"sig AS (SELECT doc_id, simhash FROM read_parquet('{path}')), "
+        "epairs AS (SELECT s1.doc_id AS a, s2.doc_id AS b FROM sig s1 "
+        "JOIN sig s2 ON s1.doc_id < s2.doc_id "
+        "WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3)"
+    )
+    return _components_sql(pair_sql, "SELECT doc_id, doc_id FROM sig", "doc_id")
+
+
 def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup full labeling. Emits the signature sidecar first so
+    the DuckDB twin (simhash_components_oracle) sees identical signatures;
+    the compared output is the cluster labeling itself."""
     from ..stages.dedup import simhash_dedup
 
+    ensure_simhash_sigs(sf_dir)
     return simhash_dedup(
         _read_table(sf_dir, "documents"), max_hamming=3, include_singletons=True
     )
@@ -644,19 +708,99 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read_table(sf_dir, "documents")).map_batches(to_micro, batch_format="pandas")
 
 
+def ensure_gram_hashes(sf_dir: str) -> str:
+    """Emit the engine's 5-gram hash table (doc_id, pos, gh int64 bit-cast)
+    for the documents corpus to a /tmp sidecar: the DuckDB twin recomputes
+    the winnowing window-min selection in SQL over the SAME gram hashes
+    (_shingle_hashes is the exact kernel Fingerprint runs), hash-checking
+    the batch-vectorized sliding-min/boundary-mask/dedup plumbing.
+    Correctness apparatus only — never part of the scale path."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import _shingle_hashes
+
+    path = _sidecar_path("graft_grams_v1", sf_dir)
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        h, off = _shingle_hashes(docs["text"].to_numpy(zero_copy_only=False), n=5)
+        counts = np.diff(off)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        pos = np.arange(len(h), dtype=np.int64) - off[doc_of]
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)[doc_of]
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "pos": pa.array(pos),
+                    "gh": pa.array(h.view(np.int64)),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+#: sign-bit flip constant: signed order of xor(v, SIGNBIT) == unsigned order
+#: of v, so SQL MIN over flipped values selects the same element the engine's
+#: uint64 min does
+_SIGNBIT = "(-9223372036854775808)::BIGINT"
+
+
+def fingerprints_oracle(sf_dir: str, w: int = 8) -> str:
+    """Winnowing selection in SQL over the emitted gram-hash table: distinct
+    per-window minima for docs with > w grams (full windows only), the
+    whole-doc min for docs with 1..w grams, empty fingerprint for gramless
+    docs. MIN uses the sign-flip trick so the selection is by UNSIGNED hash
+    order, matching the engine's uint64 min."""
+    path = ensure_gram_hashes(sf_dir)
+    return (
+        f"WITH g AS (SELECT doc_id, pos, gh FROM read_parquet('{path}')), "
+        f"f AS (SELECT doc_id, pos, xor(gh, {_SIGNBIT}) AS fv, "
+        "COUNT(*) OVER (PARTITION BY doc_id) AS n FROM g), "
+        "wm AS (SELECT doc_id, n, pos, MIN(fv) OVER (PARTITION BY doc_id "
+        f"ORDER BY pos ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m FROM f), "
+        f"sel AS (SELECT doc_id, m FROM wm WHERE n > {w} AND pos <= n - {w} "
+        f"UNION ALL SELECT doc_id, MIN(fv) FROM f WHERE n <= {w} GROUP BY doc_id), "
+        "d AS (SELECT DISTINCT doc_id, m FROM sel), "
+        "agg AS (SELECT doc_id, COUNT(*) AS n_fp, "
+        f"xor(MIN(m), {_SIGNBIT}) AS fp_min FROM d GROUP BY doc_id) "
+        "SELECT dd.doc_id, CAST(coalesce(agg.n_fp, 0) AS BIGINT) AS n_fp, "
+        "CAST(coalesce(agg.fp_min, 0) AS BIGINT) AS fp_min "
+        "FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id"
+    )
+
+
 def q_fingerprints(sf_dir: str):
-    """Winnowing fingerprints reduced to scalars (count + min) for the
-    rows-only check."""
+    """Winnowing fingerprints reduced to comparable scalars (distinct-count
+    + unsigned-min, bit-cast to int64). Emits the gram-hash sidecar first so
+    the DuckDB twin (fingerprints_oracle) reselects over identical hashes."""
     import pandas as pd
 
     from ..stages.text import fingerprints
 
+    ensure_gram_hashes(sf_dir)
+
     def reduce(df: pd.DataFrame) -> pd.DataFrame:
+        def bitcast_min(l) -> int:
+            if not len(l):
+                return 0
+            v = min(l)
+            return v - 2**64 if v >= 2**63 else v  # int64 bit-cast of uint64
+
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
                 "n_fp": df["fingerprint"].map(len).astype("int64"),
-                "fp_min": df["fingerprint"].map(lambda l: int(min(l)) if len(l) else 0),
+                "fp_min": df["fingerprint"].map(bitcast_min).astype("int64"),
             }
         )
 
@@ -1454,6 +1598,15 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["dedup_minhash"] = minhash_components_oracle()
     out["dedup_embedding"] = embedding_components_oracle()
+    # simhash / fingerprints twins recompute over the engine's emitted
+    # signature / gram-hash sidecars; generated at SQL-build time because the
+    # driver may bind the SQL before running the Ray query
+    import os as _os
+
+    _docs_dir = f"/root/testdata/sf{sf:g}"
+    if _os.path.exists(_os.path.join(_docs_dir, "documents.parquet")):
+        out["dedup_simhash"] = simhash_components_oracle(_docs_dir)
+        out["fingerprints"] = fingerprints_oracle(_docs_dir)
     out["bloom_semi_join"] = (
         "SELECT o_orderkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
