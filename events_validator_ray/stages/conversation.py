@@ -313,7 +313,29 @@ class BucketChecker:
         ts_name = order.ts_column if order else "ts"
         has_ts = ts_name in df.columns
 
-        df = df.sort_values(gcols + ["turn_idx"], kind="stable").reset_index(drop=True)
+        if not len(df):
+            return out.to_table(self.run_ts)
+
+        # single int64 composite group key: factorized conv_id (+ offset chunk)
+        # — every internal sort / groupby / merge runs on int keys; the string
+        # conv_id only materializes for the (small) violation/summary outputs
+        codes, conv_index = pd.factorize(df["conv_id"], sort=False)
+        if len(gcols) > 1:
+            chunk_np = df[gcols[1]].to_numpy()
+            chunk_min = int(chunk_np.min())
+            factor = int(chunk_np.max()) - chunk_min + 1
+            gkey = codes.astype(np.int64) * factor + (chunk_np - chunk_min)
+        else:
+            chunk_min, factor = 0, 1
+            gkey = codes.astype(np.int64)
+        df = df.assign(_g=gkey)
+        conv_arr = np.asarray(conv_index, dtype=object)
+
+        def conv_of(gvals) -> pd.Series:
+            g = np.asarray(gvals, dtype=np.int64)
+            return pd.Series(conv_arr[g // factor] if factor > 1 else conv_arr[g])
+
+        df = df.sort_values(["_g", "turn_idx"], kind="stable").reset_index(drop=True)
         if has_ts:
             s = pd.to_datetime(df[ts_name])
             vals = s.astype("int64")
@@ -324,9 +346,9 @@ class BucketChecker:
             ts = pd.Series(np.nan, index=df.index)
 
         # per-(group, turn) frame: count + max ts (C groupby)
-        key = gcols + ["turn_idx"]
+        key = ["_g", "turn_idx"]
         agg = (
-            pd.DataFrame({**{c: df[c] for c in key}, "_ts": ts})
+            pd.DataFrame({"_g": df["_g"], "turn_idx": df["turn_idx"], "_ts": ts})
             .groupby(key, sort=True)
             .agg(n=("_ts", "size"), max_ts=("_ts", "max"))
             .reset_index()
@@ -334,14 +356,16 @@ class BucketChecker:
 
         def eid_of(frame) -> np.ndarray:
             return (
-                frame["conv_id"].astype(str) + ":" + frame["turn_idx"].astype(str)
-            ).to_numpy(dtype=object)
+                conv_of(frame["_g"]).astype(str).to_numpy(dtype=object)
+                + ":"
+                + frame["turn_idx"].astype(str).to_numpy(dtype=object)
+            )
 
         if spec.table.unique:
             dup = agg[agg["n"] > 1]
             out.add(eid_of(dup), "turn_idx", "unique", "1", dup["n"].astype(str), ename)
 
-        gb = agg.groupby(gcols, sort=False)
+        gb = agg.groupby("_g", sort=False)
         if order and order.contiguous:
             prev_turn = gb["turn_idx"].shift(1)
             first_row = prev_turn.isna()
@@ -366,8 +390,8 @@ class BucketChecker:
             # and shift(1) would then feed NaN prevmax to the next turn,
             # silently masking real disorder there
             filled = agg["max_ts"].fillna(float("-inf"))
-            cummax = filled.groupby([agg[c] for c in gcols], sort=False).cummax()
-            agg["prevmax"] = cummax.groupby([agg[c] for c in gcols], sort=False).shift(1)
+            cummax = filled.groupby(agg["_g"], sort=False).cummax()
+            agg["prevmax"] = cummax.groupby(agg["_g"], sort=False).shift(1)
             joined = df.merge(agg[key + ["prevmax"]], on=key, how="left", sort=False)
             m = ts.notna().to_numpy() & (ts.to_numpy() < joined["prevmax"].to_numpy())
             sel = joined[m]
@@ -389,7 +413,7 @@ class BucketChecker:
             tr = (
                 nn.groupby(key, sort=True)["role"].min().rename("turn_role").reset_index()
             )
-            prev = tr.groupby(gcols, sort=False)["turn_role"].shift(1)
+            prev = tr.groupby("_g", sort=False)["turn_role"].shift(1)
             m = (
                 tr["turn_role"].notna()
                 & prev.notna()
@@ -406,7 +430,7 @@ class BucketChecker:
                 ename,
             )
             if self.emit_summaries:
-                g2 = tr.groupby(gcols, sort=False)
+                g2 = tr.groupby("_g", sort=False)
                 alt_summary = pd.DataFrame(
                     {
                         "alt_first_turn": g2["turn_idx"].first(),
@@ -419,7 +443,7 @@ class BucketChecker:
         summaries = None
         if (first and has_role and not self.emit_summaries) or self.emit_summaries:
             min_turn = gb["turn_idx"].first().rename("min_turn")  # agg sorted by turn
-            heads = agg.merge(min_turn.reset_index(), on=gcols, sort=False)
+            heads = agg.merge(min_turn.reset_index(), on="_g", sort=False)
             at_min = df.merge(
                 heads.loc[heads["turn_idx"] == heads["min_turn"], key],
                 on=key,
@@ -428,24 +452,24 @@ class BucketChecker:
             )
             if first and has_role:
                 am = at_min.assign(_hit=at_min["role"].eq(first))
-                gmin2 = am.groupby(gcols, sort=False)
+                gmin2 = am.groupby("_g", sort=False)
                 info = gmin2.agg(
                     hit=("_hit", "any"), mturn=("turn_idx", "first")
                 )
                 # min over NON-NULL roles only (object-dtype min chokes on
                 # NaN/str mixes; groups that are all-null stay absent -> None)
                 nn = am.dropna(subset=["role"])
-                min_role = nn.groupby(gcols, sort=False)["role"].min().rename("min_role")
+                min_role = nn.groupby("_g", sort=False)["role"].min().rename("min_role")
                 info = info.join(min_role).reset_index()
                 info["min_role"] = info["min_role"].where(info["min_role"].notna(), None)
                 if self.emit_summaries:
-                    summaries = info.set_index(gcols)[["hit", "min_role"]].rename(
+                    summaries = info.set_index("_g")[["hit", "min_role"]].rename(
                         columns={"hit": "first_ok"}
                     )
                 else:
                     bad = info[~info["hit"]]
                     out.add(
-                        (bad["conv_id"].astype(str) + ":" + bad["mturn"].astype(str)).to_numpy(dtype=object),
+                        (conv_of(bad["_g"]).astype(str).to_numpy(dtype=object) + ":" + bad["mturn"].astype(str).to_numpy(dtype=object)),
                         "role",
                         "ref",
                         f"first_role={first}",
@@ -460,8 +484,8 @@ class BucketChecker:
                     "max_turn": gb["turn_idx"].max(),
                     "max_ts": gb["max_ts"].max(),
                     "min_ts": (
-                        pd.DataFrame({**{c: df[c] for c in gcols}, "_ts": ts})
-                        .groupby(gcols, sort=False)["_ts"]
+                        pd.DataFrame({"_g": df["_g"], "_ts": ts})
+                        .groupby("_g", sort=False)["_ts"]
                         .min()
                     ),
                 }
@@ -472,10 +496,12 @@ class BucketChecker:
                 stats = stats.join(alt_summary)
             stats = stats.reset_index()
             n_stats = len(stats)
-            chunk_col = (
-                stats["chunk"].astype("int64")
-                if "chunk" in stats.columns
-                else pd.Series(0, index=stats.index)
+            gv = stats["_g"].to_numpy(dtype=np.int64)
+            conv_vals = conv_arr[gv // factor]
+            chunk_col = pd.Series(
+                (gv % factor) + chunk_min
+                if len(gcols) > 1
+                else np.zeros(len(gv), dtype=np.int64)
             )
 
             def s_int(col, default=""):
@@ -514,13 +540,14 @@ class BucketChecker:
                 .str.cat([pd.Series(c) for c in cols[1:]], sep=SUMMARY_SEP)
                 .to_numpy(dtype=object)
             )
+            conv_str = pd.Series(conv_vals).astype(str).to_numpy(dtype=object)
             out.add(
-                (stats["conv_id"].astype(str) + ":" + chunk_col.astype(str)).to_numpy(dtype=object),
+                conv_str + ":" + chunk_col.astype(str).to_numpy(dtype=object),
                 None,
                 "summary",
                 None,
                 None,
-                stats["conv_id"].to_numpy(dtype=object),
+                conv_vals,
                 status="summary",
                 payload=payloads,
             )
@@ -627,11 +654,25 @@ def conversation_violations(
 # ---------------------------------------------------------------------------
 
 
+def _violation_table(df: "pd.DataFrame") -> pa.Table:
+    """Pandas violation rows -> Arrow in the canonical VIOLATION_SCHEMA (the
+    union downstream must never mix pandas- and arrow-backed blocks)."""
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    arrays = {
+        name: tbl[name].cast(VIOLATION_SCHEMA.field(name).type)
+        for name in VIOLATION_SCHEMA.names
+    }
+    return pa.table(arrays, schema=VIOLATION_SCHEMA)
+
+
 def _unpack_summaries(df: "pd.DataFrame") -> "pd.DataFrame":
     """Packed summary rows (event_name=conv, event_data=payload) -> one
     structured frame (vectorized split; no per-row JSON)."""
     import pandas as pd
 
+    # fresh RangeIndex: `out[c] = parts[c]` below aligns BY INDEX, and the
+    # driver branch passes a boolean-filtered (gapped-index) frame
+    df = df.reset_index(drop=True)
     parts = df["event_data"].str.split(SUMMARY_SEP, expand=True)
     parts.columns = SUMMARY_FIELDS[: parts.shape[1]]
     out = pd.DataFrame({"conv": df["event_name"].to_numpy()})
@@ -868,55 +909,93 @@ def conversation_violations_salted(
         )
         .materialize()
     )
-    viol1 = phase1.filter(expr="status == 'error'")
-    # phase 2 runs DISTRIBUTED: unpack the packed summaries, hash-bucket whole
-    # conversations, merge chunk boundaries per bucket. Only its OUTPUT
-    # (cross-chunk violations + suspect markers — bounded by actual issues,
-    # never the summary table) is collected.
-    structured = (
-        phase1.filter(expr="status == 'summary'")
-        .select_columns(["event_name", "event_data"])
-        .map_batches(_unpack_summaries, batch_format="pandas")
-        .materialize()  # object-store (distributed), never the driver
-    )
-    if structured.count() <= 5_000_000:
-        # small summary table: one coalesced task beats a second shuffle
-        p2 = (
-            structured.repartition(1)
-            .map_batches(_Phase2Bucket(spec, run_ts), batch_format="pandas", batch_size=None)
-            .materialize()
+    # phase 2: unpack the packed summaries and merge chunk boundaries per
+    # conversation. The summary table is one row per (conv, chunk) — far
+    # below the corpus. When the WHOLE phase-1 output is driver-sized
+    # (phase1.count() bounds it, free on materialized data), pull it once:
+    # phase 2, the suspect-row drop and the violation re-emit all happen
+    # driver-side, leaving the final execution with only the rescan lineage
+    # plus one pre-built block. Corpus-scale phase-1 output (10^12 turns)
+    # takes the distributed hash-bucketed path, where only phase 2's OUTPUT
+    # (cross-chunk violations + suspect markers, bounded by actual issues)
+    # is ever collected.
+    import ray.data as _rd
+
+    ts_name = spec.table.order.ts_column if spec.table.order else "ts"
+    suspects: list[tuple[str, int, int]] = []
+    driver_branch = phase1.count() <= 500_000
+    if driver_branch:
+        pdf = phase1.to_pandas()
+        is_sum = (
+            pdf["status"] == "summary"
+            if len(pdf)
+            else pd.Series([], dtype=bool)
         )
+        viol1_df = pdf[~is_sum] if len(pdf) else pdf
+        p2_tbl = (
+            _Phase2Bucket(spec, run_ts)(_unpack_summaries(pdf[is_sum]))
+            if bool(is_sum.any())
+            else None
+        )
+        err2 = None
+        if p2_tbl is not None and p2_tbl.num_rows:
+            err2 = p2_tbl.filter(pc.equal(p2_tbl["status"], "error"))
+            sus = p2_tbl.filter(pc.equal(p2_tbl["status"], "suspect"))
+            for c_ch, pm in zip(
+                sus["event_id"].to_pylist(), sus["expected"].to_pylist()
+            ):
+                c, ch = c_ch.rsplit(":", 1)
+                suspects.append((c, int(ch), int(pm)))
     else:
-        # corpus-scale summaries (10^12 turns): hash-bucket whole
-        # conversations and merge boundaries per bucket
+        viol1 = phase1.filter(expr="status == 'error'")
+        out = viol1
+        structured = (
+            phase1.filter(expr="status == 'summary'")
+            .select_columns(["event_name", "event_data"])
+            .map_batches(_unpack_summaries, batch_format="pandas")
+        )
         p2 = (
             _with_bucket(structured, 64, cols=("conv",))
             .groupby("bucket")
             .map_groups(_Phase2Bucket(spec, run_ts), batch_format="pandas")
             .materialize()
         )
-    out = viol1
-    suspects: list[tuple[str, int, int]] = []
-    if p2.count() > 0:
-        out = out.union(p2.filter(expr="status == 'error'"))
-        for r in (
-            p2.filter(expr="status == 'suspect'")
-            .select_columns(["event_id", "expected"])
-            .take_all()
-        ):
-            c, ch = r["event_id"].rsplit(":", 1)
-            suspects.append((c, int(ch), int(r["expected"])))
-    if suspects:
-        pmax = {(c, ch): pm for c, ch, pm in suspects}
-        ts_name = spec.table.order.ts_column if spec.table.order else "ts"
-
-        # phase 3 owns ALL ts-order rows for suspect chunks: drop phase 1's
-        # (their `expected` is only the WITHIN-chunk prefix max — wrong when an
-        # earlier chunk holds the running max). Suspect keys are broadcast via
-        # the object store, never a literal expression.
+        if p2.count() > 0:
+            out = out.union(p2.filter(expr="status == 'error'"))
+            for r in (
+                p2.filter(expr="status == 'suspect'")
+                .select_columns(["event_id", "expected"])
+                .take_all()
+            ):
+                c, ch = r["event_id"].rsplit(":", 1)
+                suspects.append((c, int(ch), int(r["expected"])))
+    pmax = {(c, ch): pm for c, ch, pm in suspects}
+    suspect_keys = frozenset(f"{c}:{ch}" for (c, ch) in pmax)
+    # phase 3 owns ALL ts-order rows for suspect chunks: drop phase 1's
+    # (their `expected` is only the WITHIN-chunk prefix max — wrong when an
+    # earlier chunk holds the running max).
+    if driver_branch:
+        if suspects and len(viol1_df):
+            is_ts = (viol1_df["field"] == ts_name) & (
+                viol1_df["error_type"] == "order"
+            )
+            if is_ts.any():
+                split = viol1_df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
+                conv = split.str[0]
+                ch = (split.str[1].astype("int64") // chunk).astype(str)
+                drop = is_ts.copy()
+                drop.loc[is_ts] = (conv + ":" + ch).isin(suspect_keys)
+                viol1_df = viol1_df[~drop]
+        tables = [_violation_table(viol1_df)]
+        if err2 is not None and err2.num_rows:
+            tables.append(err2)
+        out = _rd.from_arrow(pa.concat_tables(tables))
+    elif suspects:
+        # distributed branch: suspect keys broadcast via the object store,
+        # never a literal expression
         import ray as _ray
 
-        suspect_ref = _ray.put(frozenset(pmax))
+        suspect_ref = _ray.put(suspect_keys)
 
         def drop_suspect_ts(df: "pd.DataFrame") -> pa.Table:
             keys = suspect_ref
@@ -926,40 +1005,53 @@ def conversation_violations_salted(
             if is_ts.any():
                 split = df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
                 conv = split.str[0]
-                ch = split.str[1].astype("int64") // chunk
-                in_suspect = pd.Series(
-                    [(c, k) in keys for c, k in zip(conv, ch)], index=conv.index
-                )
+                ch = (split.str[1].astype("int64") // chunk).astype(str)
                 drop = is_ts.copy()
-                drop.loc[is_ts] = in_suspect
+                drop.loc[is_ts] = (conv + ":" + ch).isin(keys)
                 df = df[~drop]
             # emit ARROW in the canonical schema so the downstream union mixes
             # no pandas-vs-arrow block representations
-            tbl = pa.Table.from_pandas(df, preserve_index=False)
-            arrays = {
-                name: tbl[name].cast(VIOLATION_SCHEMA.field(name).type)
-                for name in VIOLATION_SCHEMA.names
-            }
-            return pa.table(arrays, schema=VIOLATION_SCHEMA)
+            return _violation_table(df)
 
         out = out.map_batches(drop_suspect_ts, batch_format="pandas")
+    if suspects:
+        import ray as _ray
+
         # broadcast semi-join on the COMPOSITE (conv, chunk) key (never a
         # literal `in`-list expression), then a hash-bucketed vectorized
-        # rescan — many suspect chunks per task, not one task per chunk
-        key_ref = _ray.put(frozenset(f"{c}:{ch}" for (c, ch) in pmax))
+        # rescan — many suspect chunks per task, not one task per chunk.
+        # Arrow-native: is_in against the broadcast key array, zero pandas.
+        key_ref = _ray.put(pa.array(sorted(suspect_keys), type=pa.string()))
 
-        def keep_suspect(df: "pd.DataFrame") -> "pd.DataFrame":
+        def keep_suspect(t: pa.Table) -> pa.Table:
             keys = key_ref
             if isinstance(keys, _ray.ObjectRef):
                 keys = _ray.get(keys)
-            m = (df["conv_id"].astype(str) + ":" + df["chunk"].astype(str)).isin(keys)
-            return df[m]
+            comp = pc.binary_join_element_wise(
+                pc.cast(t["conv_id"], pa.string()),
+                pc.cast(t["chunk"], pa.string()),
+                ":",
+            )
+            return t.filter(pc.is_in(comp, value_set=keys))
 
-        rescan_src = salted.map_batches(keep_suspect, batch_format="pandas")
-        viol3 = (
-            _with_bucket(rescan_src, 64, cols=("conv_id", "chunk"))
-            .groupby("bucket")
-            .map_groups(_SuspectRescanBuckets(spec, run_ts, pmax), batch_format="pandas")
-        )
+        rescan_src = salted.map_batches(keep_suspect, batch_format="pyarrow")
+        # suspect volume is bounded by len(pmax) * chunk turns. When that fits
+        # one task, coalesce instead of paying a second groupby shuffle's
+        # fixed cost (the rescan kernel handles many whole groups per batch
+        # either way); corpus-scale suspect sets take the bucketed shuffle.
+        if len(pmax) * chunk <= 2_000_000:
+            viol3 = rescan_src.repartition(1).map_batches(
+                _SuspectRescanBuckets(spec, run_ts, pmax),
+                batch_format="pandas",
+                batch_size=None,
+            )
+        else:
+            viol3 = (
+                _with_bucket(rescan_src, 64, cols=("conv_id", "chunk"))
+                .groupby("bucket")
+                .map_groups(
+                    _SuspectRescanBuckets(spec, run_ts, pmax), batch_format="pandas"
+                )
+            )
         out = out.union(viol3)
     return out
