@@ -293,12 +293,20 @@ class BucketChecker:
         check_min_zero: bool = True,
         emit_summaries: bool = False,
         group_cols: tuple[str, ...] = ("conv_id",),
+        local_chunk0_checks: bool = False,
     ):
         self.spec = spec
         self.run_ts = run_ts
         self.check_min_zero = check_min_zero
         self.emit_summaries = emit_summaries
         self.group_cols = list(group_cols)
+        # salted phase 1: chunk 0 (turns [0, chunk)) always holds the
+        # conversation's GLOBAL min turn when it exists, so min-zero and
+        # first-role finalize locally there and phase 2 only needs summaries
+        # of conversations that are split or start past chunk 0 — shrinking
+        # phase-2 volume from every conversation to just the skewed tail.
+        # _Phase2Bucket(skip_chunk0_checks=True) is the matching half.
+        self.local_chunk0_checks = local_chunk0_checks
         self.__name__ = type(self).__name__
 
     def __call__(self, df) -> pa.Table:
@@ -334,6 +342,10 @@ class BucketChecker:
         def conv_of(gvals) -> pd.Series:
             g = np.asarray(gvals, dtype=np.int64)
             return pd.Series(conv_arr[g // factor] if factor > 1 else conv_arr[g])
+
+        def chunk_of(gvals) -> np.ndarray:
+            g = np.asarray(gvals, dtype=np.int64)
+            return (g % factor) + chunk_min
 
         df = df.sort_values(["_g", "turn_idx"], kind="stable").reset_index(drop=True)
         if has_ts:
@@ -371,6 +383,13 @@ class BucketChecker:
             first_row = prev_turn.isna()
             if self.check_min_zero:
                 m = first_row & (agg["turn_idx"] != 0)
+                sel = agg[m]
+                out.add(eid_of(sel), "turn_idx", "order", "0", sel["turn_idx"].astype(str), ename)
+            elif self.local_chunk0_checks and len(gcols) > 1:
+                # chunk-0 groups own the conversation's min turn: finalize
+                # min-zero here (convs starting past chunk 0 have no chunk-0
+                # group and stay a phase-2 responsibility)
+                m = first_row & (agg["turn_idx"] != 0) & (chunk_of(agg["_g"]) == 0)
                 sel = agg[m]
                 out.add(eid_of(sel), "turn_idx", "order", "0", sel["turn_idx"].astype(str), ename)
             m = (~first_row) & (agg["turn_idx"] - prev_turn > 1)
@@ -466,6 +485,23 @@ class BucketChecker:
                     summaries = info.set_index("_g")[["hit", "min_role"]].rename(
                         columns={"hit": "first_ok"}
                     )
+                    if self.local_chunk0_checks and len(gcols) > 1:
+                        # chunk-0 min turn IS the conversation min turn:
+                        # finalize the first-role check locally (phase 2
+                        # skips chunk-0-anchored convs via skip_chunk0_checks)
+                        bad = info[~info["hit"] & (chunk_of(info["_g"]) == 0)]
+                        out.add(
+                            (
+                                conv_of(bad["_g"]).astype(str).to_numpy(dtype=object)
+                                + ":"
+                                + bad["mturn"].astype(str).to_numpy(dtype=object)
+                            ),
+                            "role",
+                            "ref",
+                            f"first_role={first}",
+                            bad["min_role"],
+                            ename,
+                        )
                 else:
                     bad = info[~info["hit"]]
                     out.add(
@@ -541,16 +577,24 @@ class BucketChecker:
                 .to_numpy(dtype=object)
             )
             conv_str = pd.Series(conv_vals).astype(str).to_numpy(dtype=object)
-            out.add(
-                conv_str + ":" + chunk_col.astype(str).to_numpy(dtype=object),
-                None,
-                "summary",
-                None,
-                None,
-                conv_vals,
-                status="summary",
-                payload=payloads,
-            )
+            eids = conv_str + ":" + chunk_col.astype(str).to_numpy(dtype=object)
+            # chunk>0 summaries get a distinct status: their conv set IS the
+            # split/skewed tail phase 2 must merge, and tagging here lets the
+            # merge task find it on the PACKED rows (no unpack of the full
+            # summary table — only hot convs' rows are ever unpacked)
+            split_m = (chunk_col > 0).to_numpy()
+            for status, m in (("summary", ~split_m), ("summary_split", split_m)):
+                if m.any():
+                    out.add(
+                        eids[m],
+                        None,
+                        "summary",
+                        None,
+                        None,
+                        conv_vals[m],
+                        status=status,
+                        payload=payloads[m],
+                    )
         return out.to_table(self.run_ts)
 
 
@@ -696,9 +740,17 @@ class _Phase2Bucket:
     old driver-side merge: at 10^12 turns the summary table (one row per
     conv × chunk) is itself corpus-scale and must never be collected."""
 
-    def __init__(self, spec: Spec, run_ts: _dt.datetime):
+    def __init__(
+        self, spec: Spec, run_ts: _dt.datetime, skip_chunk0_checks: bool = False
+    ):
         self.spec = spec
         self.run_ts = run_ts
+        # True when phase 1 ran with local_chunk0_checks: min-zero and
+        # first-role were already finalized for conversations anchored at
+        # chunk 0, so only convs starting past chunk 0 need them here — and
+        # a single-chunk-0 conversation contributes NOTHING to phase 2,
+        # letting the caller drop its summary from the phase-2 input.
+        self.skip_chunk0_checks = skip_chunk0_checks
         self.__name__ = type(self).__name__
 
     def __call__(self, df: "pd.DataFrame") -> pa.Table:
@@ -718,8 +770,13 @@ class _Phase2Bucket:
                 conv[mask] + ":" + turns[mask].astype("int64").astype(str)
             ).to_numpy(dtype=object)
 
+        past0 = (
+            (df["chunk"] > 0).to_numpy()
+            if self.skip_chunk0_checks
+            else np.ones(len(df), dtype=bool)
+        )
         if order and order.contiguous:
-            m = first & (df["min_turn"] != 0).to_numpy()
+            m = first & (df["min_turn"] != 0).to_numpy() & past0
             out.add(
                 eid(m, df["min_turn"]),
                 "turn_idx",
@@ -741,7 +798,7 @@ class _Phase2Bucket:
 
         fr = spec.table.first_role
         if fr is not None:
-            m = first & (df["first_ok"] == "0").to_numpy()
+            m = first & (df["first_ok"] == "0").to_numpy() & past0
             out.add(
                 eid(m, df["min_turn"]),
                 "role",
@@ -791,6 +848,29 @@ class _Phase2Bucket:
                 status="suspect",
             )
         return out.to_table(self.run_ts)
+
+
+class _Phase2Packed:
+    """Phase 2 over PACKED summary rows: finds the hot (split / past-chunk-0)
+    conversations via the `summary_split` status tag, unpacks ONLY their rows
+    (the expensive `str.split` runs on the skewed tail, never the full
+    summary table) and runs the `_Phase2Bucket` boundary merge. Works both
+    coalesced (one task holds all summaries) and per conv-hash bucket —
+    a conversation's chunks always co-locate either way."""
+
+    def __init__(self, spec: Spec, run_ts: _dt.datetime):
+        self.spec = spec
+        self.run_ts = run_ts
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: "pd.DataFrame") -> pa.Table:
+        hot = set(df.loc[df["status"] == "summary_split", "event_name"])
+        sub = df[df["event_name"].isin(hot)] if hot else df.iloc[0:0]
+        if not len(sub):
+            return _finish(_empty_out(), self.run_ts)
+        return _Phase2Bucket(self.spec, self.run_ts, skip_chunk0_checks=True)(
+            _unpack_summaries(sub)
+        )
 
 
 class _SuspectRescanBuckets:
@@ -904,6 +984,7 @@ def conversation_violations_salted(
                 check_min_zero=False,
                 emit_summaries=True,
                 group_cols=("conv_id", "chunk"),
+                local_chunk0_checks=True,
             ),
             batch_format="pandas",
         )
@@ -927,16 +1008,16 @@ def conversation_violations_salted(
     if driver_branch:
         pdf = phase1.to_pandas()
         is_sum = (
-            pdf["status"] == "summary"
+            pdf["status"].str.startswith("summary")
             if len(pdf)
             else pd.Series([], dtype=bool)
         )
         viol1_df = pdf[~is_sum] if len(pdf) else pdf
-        p2_tbl = (
-            _Phase2Bucket(spec, run_ts)(_unpack_summaries(pdf[is_sum]))
-            if bool(is_sum.any())
-            else None
-        )
+        p2_tbl = None
+        if bool(is_sum.any()):
+            # phase 1 finalized chunk-0-anchored convs: unpack and merge only
+            # convs that are split or start past chunk 0 (summary_split tag)
+            p2_tbl = _Phase2Packed(spec, run_ts)(pdf[is_sum])
         err2 = None
         if p2_tbl is not None and p2_tbl.num_rows:
             err2 = p2_tbl.filter(pc.equal(p2_tbl["status"], "error"))
@@ -949,26 +1030,44 @@ def conversation_violations_salted(
     else:
         viol1 = phase1.filter(expr="status == 'error'")
         out = viol1
-        structured = (
-            phase1.filter(expr="status == 'summary'")
-            .select_columns(["event_name", "event_data"])
-            .map_batches(_unpack_summaries, batch_format="pandas")
-        )
-        p2 = (
-            _with_bucket(structured, 64, cols=("conv",))
-            .groupby("bucket")
-            .map_groups(_Phase2Bucket(spec, run_ts), batch_format="pandas")
-            .materialize()
-        )
-        if p2.count() > 0:
-            out = out.union(p2.filter(expr="status == 'error'"))
-            for r in (
-                p2.filter(expr="status == 'suspect'")
-                .select_columns(["event_id", "expected"])
-                .take_all()
-            ):
-                c, ch = r["event_id"].rsplit(":", 1)
-                suspects.append((c, int(ch), int(r["expected"])))
+        # phase 1 finalized chunk-0-anchored convs, so phase 2's REAL input
+        # is only convs with a `summary_split` (chunk>0) row — the skewed /
+        # split tail, not every conversation. The merge task finds that tail
+        # on the PACKED rows and unpacks only it (`_Phase2Packed`); with a
+        # driver-bounded summary table one coalesced task beats a second
+        # shuffle, corpus-scale summaries take the conv-hash bucketed merge.
+        summaries_raw = phase1.filter(expr="status != 'error'")
+        if phase1.count() <= 2_000_000:
+            # summary rows are a subset of the (materialized, counted) phase-1
+            # output: one filter execution ships them to the driver and the
+            # boundary merge runs locally — no repartition barrier, no task
+            # round-trip for a table this small
+            sum_rows = summaries_raw.take_all()
+            p2_tbl = (
+                _Phase2Packed(spec, run_ts)(pd.DataFrame(sum_rows))
+                if sum_rows
+                else _finish(_empty_out(), run_ts)
+            )
+        else:
+            # corpus-scale summaries: conv-hash bucketed distributed merge;
+            # only its issue-bounded OUTPUT is collected
+            p2_ds = (
+                _with_bucket(summaries_raw, 64, cols=("event_name",))
+                .groupby("bucket")
+                .map_groups(_Phase2Packed(spec, run_ts), batch_format="pandas")
+            )
+            p2_tbl = pa.Table.from_pylist(
+                p2_ds.take_all(), schema=VIOLATION_SCHEMA
+            )
+        err2 = p2_tbl.filter(pc.equal(p2_tbl["status"], "error"))
+        if err2.num_rows:
+            out = out.union(_rd.from_arrow(err2))
+        sus = p2_tbl.filter(pc.equal(p2_tbl["status"], "suspect"))
+        for c_ch, pm in zip(
+            sus["event_id"].to_pylist(), sus["expected"].to_pylist()
+        ):
+            c, ch = c_ch.rsplit(":", 1)
+            suspects.append((c, int(ch), int(pm)))
     pmax = {(c, ch): pm for c, ch, pm in suspects}
     suspect_keys = frozenset(f"{c}:{ch}" for (c, ch) in pmax)
     # phase 3 owns ALL ts-order rows for suspect chunks: drop phase 1's
@@ -1032,7 +1131,11 @@ def conversation_violations_salted(
                 pc.cast(t["chunk"], pa.string()),
                 ":",
             )
-            return t.filter(pc.is_in(comp, value_set=keys))
+            # project to the rescan's columns (drops role): less payload
+            # through the repartition barrier
+            return t.filter(pc.is_in(comp, value_set=keys)).select(
+                [c for c in ("conv_id", "chunk", "turn_idx", ts_name) if c in t.column_names]
+            )
 
         rescan_src = salted.map_batches(keep_suspect, batch_format="pyarrow")
         # suspect volume is bounded by len(pmax) * chunk turns. When that fits
