@@ -817,6 +817,9 @@ NESTED_CHILD_KINDS = {
         "quantity": "number",
     },
     "meta": {"source": "string", "session_id": "string"},
+    # list<list<string>>: JS property walk; __elem__ routes the SQL twin to
+    # nested_jsarray_violations_sql with the inner element kind
+    "tags": {"__elem__": "string"},
 }
 NESTED_FLAT_KINDS = {"event_id": "number", "currency": "string", "value_cents": "number"}
 

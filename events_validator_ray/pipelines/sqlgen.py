@@ -339,6 +339,85 @@ def nested_array_violations_sql(
     return out
 
 
+def nested_jsarray_violations_sql(
+    rule: FieldRule,
+    table: str,
+    key_cols: tuple[str, ...],
+    event_name: str,
+    elem_kind: str,
+) -> list[str]:
+    """SQL twin of the JS property walk over list<list<elem>> items
+    (stages/validate.py jswalk mode): canonical index keys resolve via
+    1-based DuckDB list indexing gated on len(), 'length' is len(__item),
+    any other key is an absent property -> missing; null items walk
+    {'': null} -> required keys missing."""
+    import dataclasses as _dc
+
+    c = rule.name
+    keysel = ", ".join(key_cols)
+    out: list[str] = []
+    if not rule.optional:
+        out.append(
+            _branch(table, key_cols, f"{c} IS NULL", c, "type", "'array'", "'object'", event_name)
+        )
+    aliases: list[str] = []
+    keyinfo: list[tuple[str, FieldRule, tuple, str | None]] = []
+    for key, r in (rule.nested or {}).items():
+        if key == "length":
+            alias = "__klength"
+            aliases.append(f"len(__item) AS {alias}")
+            keyinfo.append((key, r, ("length",), alias))
+        elif key.isdigit() and str(int(key)) == key:
+            i = int(key)
+            alias = f"__k{i}"
+            aliases.append(f"__item[{i + 1}] AS {alias}")
+            keyinfo.append((key, r, ("index", i), alias))
+        else:
+            keyinfo.append((key, r, ("absent",), None))
+    alias_sel = (", " + ", ".join(aliases)) if aliases else ""
+    sub = (
+        f"(SELECT {keysel}, __ord - 1 AS __i, __item{alias_sel} "
+        f"FROM (SELECT {keysel}, unnest({c}) AS __item, generate_subscripts({c}, 1) AS __ord "
+        f"FROM {table} WHERE {c} IS NOT NULL))"
+    )
+
+    def path(key: str) -> str:
+        return f"'{c}[' || CAST(__i AS VARCHAR) || '].{key}'"
+
+    for key, r, kind, alias in keyinfo:
+        if not r.optional and key != "":
+            if kind[0] == "absent":
+                cond = "TRUE"
+            elif kind[0] == "length":
+                cond = "__item IS NULL"
+            else:
+                cond = f"(__item IS NULL OR len(__item) <= {kind[1]})"
+            out.append(
+                _branch(
+                    sub, key_cols, cond, key, "missing",
+                    "'field present'", "'field missing'", event_name,
+                    field_sql=path(key),
+                )
+            )
+        if kind[0] == "absent":
+            continue
+        present = (
+            "__item IS NOT NULL"
+            if kind[0] == "length"
+            else f"(__item IS NOT NULL AND len(__item) > {kind[1]})"
+        )
+        kkind = "number" if kind[0] == "length" else elem_kind
+        r_alias = _dc.replace(r, name=alias)
+        for cond, _f, etype, exp, act in _scalar_conditions(r_alias, kkind):
+            out.append(
+                _branch(
+                    sub, key_cols, f"{present} AND ({cond})", key, etype, exp, act,
+                    event_name, field_sql=path(key),
+                )
+            )
+    return out
+
+
 def nested_object_violations_sql(
     rule: FieldRule,
     table: str,
@@ -399,8 +478,15 @@ def nested_spec_violations_sql(
     branches: list[str] = []
     for rule in spec.fields.values():
         if rule.nested and rule.type == "array":
+            nk = nested_kinds.get(rule.name, {})
+            if "__elem__" in nk:
+                # list<list<elem>>: JS property walk (index keys / 'length')
+                branches += nested_jsarray_violations_sql(
+                    rule, table, key_cols, spec.event_name, nk["__elem__"]
+                )
+                continue
             branches += nested_array_violations_sql(
-                rule, table, key_cols, spec.event_name, nested_kinds.get(rule.name, {})
+                rule, table, key_cols, spec.event_name, nk
             )
         elif rule.nested and rule.type == "object":
             branches += nested_object_violations_sql(

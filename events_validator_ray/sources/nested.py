@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 SEED = 137
 EVENTS_PER_SF = 400_000  # sf0.01 -> 4k events, sf0.1 -> 40k
-DEFAULT_ROOT = "/tmp/graft_nested_v1"  # bump suffix when generation changes
+DEFAULT_ROOT = "/tmp/graft_nested_v2"  # bump suffix when generation changes
 
 NESTED_SPEC_JSON: dict = {
     "event_id": {"type": "number"},
@@ -52,6 +52,19 @@ NESTED_SPEC_JSON: dict = {
         "nestedSchema": {
             "source": {"type": "string", "enum": ["web", "app", "api"]},
             "session_id": {"type": "string", "regex": "^sess_[0-9]+$", "optional": True},
+        },
+    },
+    # list<list<string>>: the JS property walk over ARRAY items
+    # (validationHelpers.js:38-48 + checkWithSchema hasOwnProperty) — index
+    # keys resolve positionally, 'length' is a number property, index 2 is
+    # frequently out of range -> missing
+    "tags": {
+        "type": "array",
+        "nestedSchema": {
+            "0": {"type": "string", "regex": "^t[0-9]+$"},
+            "1": {"type": "string", "optional": True},
+            "2": {"type": "string"},
+            "length": {"type": "number", "value": 2},
         },
     },
 }
@@ -123,6 +136,40 @@ def generate_nested_events(n_events: int, seed: int = SEED) -> pa.Table:
         mask=pa.array(null_meta),
     )
 
+    # --- tags: list<list<string>>; 0..2 inner lists per event, inner length
+    # 1..3 (so index '2' is often an absent property and 'length' often != 2),
+    # with injected regex breaks, null elements and null inner lists
+    n_tags = (eid % 3).astype(np.int64)
+    null_tags = eid % 83 == 29
+    n_tags[null_tags] = 0
+    ttotal = int(n_tags.sum())
+    tparent = np.repeat(eid, n_tags)
+    tstarts = np.concatenate([[0], np.cumsum(n_tags)[:-1]])
+    tpos = np.arange(ttotal, dtype=np.int64) - np.repeat(tstarts, n_tags)
+    inner_len = ((tparent + tpos) % 3 + 1).astype(np.int64)
+    null_inner = np.arange(ttotal, dtype=np.int64) % 73 == 31
+    inner_len[null_inner] = 0
+    etotal = int(inner_len.sum())
+    ei = np.arange(etotal, dtype=np.int64)
+    estarts = np.concatenate([[0], np.cumsum(inner_len)[:-1]])
+    eparent = np.repeat(np.arange(ttotal, dtype=np.int64), inner_len)
+    epos = ei - np.repeat(estarts, inner_len)
+    elem = np.char.add(
+        "t", ((tparent[eparent] * 3 + epos) % 100).astype("U4")
+    ).astype(object)
+    elem[ei % 41 == 7] = "bad!"  # regex violation when consulted at index 0
+    elem[ei % 47 == 13] = None  # null element -> type ('string','object')
+    eoff = np.concatenate([[0], np.cumsum(inner_len)]).astype(np.int32)
+    inner = pa.ListArray.from_arrays(
+        pa.array(eoff, type=pa.int32()),
+        pa.array(elem, type=pa.string()),
+        mask=pa.array(null_inner),
+    )
+    toff = np.concatenate([[0], np.cumsum(n_tags)]).astype(np.int32)
+    tags = pa.ListArray.from_arrays(
+        pa.array(toff, type=pa.int32()), inner, mask=pa.array(null_tags)
+    )
+
     return pa.table(
         {
             "event_id": pa.array(eid),
@@ -130,6 +177,7 @@ def generate_nested_events(n_events: int, seed: int = SEED) -> pa.Table:
             "value_cents": pa.array(value_cents, type=pa.int64()),
             "items": items,
             "meta": meta,
+            "tags": tags,
         }
     )
 

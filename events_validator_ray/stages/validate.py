@@ -270,26 +270,64 @@ def _make_array_nested_check(rule: "FieldRule", schema: pa.Schema, pos: dict) ->
     Struct items walk their fields; scalar items are wrapped `{'': item}` like
     the reference (non-object items, :41-44) — compiling the nested rules
     against the single-column child schema makes keys != '' fall out as
-    per-item 'missing'. Null items walk `{'': null}`: required keys missing."""
+    per-item 'missing'. List / map items emulate the JS property walk
+    columnar per rule key (index keys + 'length' on arrays, own keys on
+    objects; anything else is an absent property). Null items walk
+    `{'': null}`: required keys missing, a '' rule checks the null value."""
     name = rule.name
     col_type = schema.field(name).type
     item_type = col_type.value_type
     p = pos["type"]
+    jswalk: str | None = None
+    child_checks: list[CheckFn] = []
+    jswalk_keys: list[tuple[str, "FieldRule", tuple, list[CheckFn] | None]] = []
     if pa.types.is_struct(item_type):
         child_schema = pa.schema([item_type.field(i) for i in range(item_type.num_fields)])
         wrapped = False
     elif _is_list_type(item_type) or pa.types.is_map(item_type):
-        # JS walks nested-array items UNWRAPPED via property lookup (index
-        # keys / 'length'); not expressible columnar — keep the fail-fast
-        raise NotImplementedError(
-            f"field {name!r}: nestedSchema over {item_type} items needs JS "
-            "property-lookup emulation; route through ValidateJsonDocs"
-        )
+        # JS walks array/object items UNWRAPPED via property lookup
+        # (validationHelpers.js:38-48 + checkWithSchema hasOwnProperty walk):
+        # canonical index keys / 'length' resolve on array items, own keys on
+        # object (map) items; any other property is absent -> 'missing'.
+        # Emulated columnar per rule key: each key compiles against its
+        # resolved value type and runs on the subset of items where the
+        # property exists; out-of-range / absent emit the missing branch.
+        jswalk = "map" if pa.types.is_map(item_type) else "list"
+        wrapped = False
+        child_schema = None
+        for key, krule in rule.nested.items():
+            if jswalk == "list":
+                if key == "length":
+                    kind: tuple = ("length",)
+                    ks = pa.schema([pa.field(key, pa.int64())])
+                elif key.isdigit() and str(int(key)) == key:
+                    # canonical JS array index ('01' is a plain — absent —
+                    # property on an array, not index 1)
+                    kind = ("index", int(key))
+                    ks = pa.schema([pa.field(key, item_type.value_type)])
+                else:
+                    kind, ks = ("absent",), None
+            else:
+                if is_string_type(item_type.key_type):
+                    kind = ("mapkey", key)
+                    ks = pa.schema([pa.field(key, item_type.item_type)])
+                else:
+                    kind, ks = ("absent",), None
+            checks_k = _compile_rules({key: krule}, ks) if ks is not None else None
+            jswalk_keys.append((key, krule, kind, checks_k))
     else:
         child_schema = pa.schema([pa.field("", item_type)])
         wrapped = True
-    child_checks = _compile_rules(rule.nested, child_schema)
+    if child_schema is not None:
+        child_checks = _compile_rules(rule.nested, child_schema)
     required_keys = [k for k, r in rule.nested.items() if k != "" and not r.optional]
+    # null items walk `{'': null}` (js:41-44): keys != '' go missing (below),
+    # but a '' rule sees a PRESENT null value — its checks run against null
+    null_item_checks = (
+        _compile_rules({"": rule.nested[""]}, pa.schema([pa.field("", pa.null())]))
+        if (not wrapped and "" in rule.nested)
+        else []
+    )
 
     def array_check(ctx: _BatchCtx) -> list[Branch]:
         out: list[Branch] = []
@@ -353,12 +391,79 @@ def _make_array_nested_check(rule: "FieldRule", schema: pa.Schema, pos: dict) ->
                         field_sort=f"{name}[].{key}",
                     )
                 )
+            if null_item_checks:
+                tbl = pa.table({"": pa.nulls(ni.size)})
+                out.extend(remap(b, ni) for b in _run_checks(null_item_checks, tbl))
         vi = np.nonzero(~item_null)[0]
-        if vi.size:
-            sub = flat.take(pa.array(vi, type=pa.int64()))
+        if not vi.size:
+            return out
+        sub = flat.take(pa.array(vi, type=pa.int64()))
+        if jswalk is None:
             out.extend(
                 remap(b, vi) for b in _run_checks(child_checks, _struct_child_table(sub))
             )
+            return out
+
+        # JS property walk over array (list) / object (map) items: each rule
+        # key runs on the subset of items owning that property; absent
+        # properties emit the checkWithSchema missing branch (js:142-146)
+        def emit_missing(sel_flat: np.ndarray, key: str) -> None:
+            out.append(
+                Branch(
+                    parent_idx[sel_flat],
+                    _concat_paths(prefix_for(sel_flat), key, sel_flat.size),
+                    "missing",
+                    "field present",
+                    "field missing",
+                    -1,
+                    field_sort=f"{name}[].{key}",
+                )
+            )
+
+        n_items = len(vi)
+        if jswalk == "list":
+            lens_np = (
+                pc.list_value_length(sub)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            flat2 = pc.list_flatten(sub)
+            if isinstance(flat2, pa.ChunkedArray):
+                flat2 = flat2.combine_chunks()
+            starts = np.zeros(n_items, dtype=np.int64)
+            if n_items > 1:
+                np.cumsum(lens_np[:-1], out=starts[1:])
+        for key, krule, kind, checks_k in jswalk_keys:
+            if kind[0] == "absent":
+                if not krule.optional:
+                    emit_missing(vi, key)
+                continue
+            if kind[0] == "length":
+                tbl = pa.table({key: pa.array(lens_np, type=pa.int64())})
+                out.extend(remap(b, vi) for b in _run_checks(checks_k, tbl))
+                continue
+            if kind[0] == "index":
+                i = kind[1]
+                present = lens_np > i
+                psel = np.nonzero(present)[0]
+                vals = flat2.take(pa.array(starts[psel] + i, type=pa.int64()))
+            else:  # mapkey: JSON duplicate keys resolve last-wins
+                qk = pa.scalar(kind[1], type=item_type.key_type)
+                hits = pc.map_lookup(sub, query_key=qk, occurrence="all")
+                hlen = pc.list_value_length(hits).to_numpy(zero_copy_only=False)
+                present = ~np.isnan(hlen.astype(np.float64)) & (hlen > 0)
+                psel = np.nonzero(present)[0]
+                vals = pc.map_lookup(sub, query_key=qk, occurrence="last").take(
+                    pa.array(psel, type=pa.int64())
+                )
+            miss = np.nonzero(~present)[0]
+            if miss.size and not krule.optional:
+                emit_missing(vi[miss], key)
+            if psel.size:
+                if isinstance(vals, pa.ChunkedArray):
+                    vals = vals.combine_chunks()
+                tbl = pa.table({key: vals})
+                out.extend(remap(b, vi[psel]) for b in _run_checks(checks_k, tbl))
         return out
 
     return array_check

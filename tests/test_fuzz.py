@@ -335,6 +335,122 @@ def test_fuzz_typed_nested_vs_oracle(seed):
     assert got == want
 
 
+def random_jswalk_spec_and_batch(seed: int):
+    """Random nestedSchema specs over TYPED list<list<..>> / list<map<..>>
+    columns — the JS property-walk emulation's input domain (index keys,
+    'length', absent properties, deep index recursion, map own-keys)."""
+    rng = np.random.default_rng(seed)
+    n = 200
+    cols: dict[str, pa.Array] = {"event_id": pa.array(np.arange(n, dtype=np.int64))}
+    spec_json: dict[str, dict] = {"event_id": {"type": "number"}}
+
+    def idx_rule():
+        rule: dict = {"type": ["string", "number", "array"][int(rng.integers(0, 3))]}
+        if rng.random() < 0.3:
+            rule["value"] = ["alpha", 2][int(rng.integers(0, 2))]
+        if rng.random() < 0.3:
+            rule["regex"] = ["^a", "[0-9]$"][int(rng.integers(0, 2))]
+        if rng.random() < 0.3:
+            rule["length"] = int(rng.integers(0, 3))
+        if rng.random() < 0.3:
+            rule["optional"] = True
+        return rule
+
+    s_pool = ["alpha", "beta", "", "a9", None]
+
+    def rand_inner():
+        if rng.random() < 0.08:
+            return None
+        return [s_pool[int(rng.integers(0, len(s_pool)))] for _ in range(int(rng.integers(0, 4)))]
+
+    # grid: list<list<string>>
+    grid = [None if rng.random() < 0.08 else [rand_inner() for _ in range(int(rng.integers(0, 3)))] for _ in range(n)]
+    cols["grid"] = pa.array(grid, type=pa.list_(pa.list_(pa.string())))
+    spec_json["grid"] = {
+        "type": "array",
+        "nestedSchema": {
+            "0": idx_rule(),
+            "2": idx_rule(),
+            "length": {"type": "number", **({"value": 2} if rng.random() < 0.5 else {})},
+            "ghost": {"type": "string", **({"optional": True} if rng.random() < 0.5 else {})},
+            "01": {"type": "string", "optional": bool(rng.random() < 0.5)},
+        },
+    }
+
+    # cube: list<list<list<int64>>> with deep index recursion a[i].0[j]...
+    def rand_l2():
+        if rng.random() < 0.1:
+            return None
+        return [
+            None if rng.random() < 0.1 else [int(x) for x in rng.integers(0, 5, int(rng.integers(0, 3)))]
+            for _ in range(int(rng.integers(0, 3)))
+        ]
+
+    cube = [None if rng.random() < 0.1 else [rand_l2() for _ in range(int(rng.integers(0, 2)))] for _ in range(n)]
+    cols["cube"] = pa.array(cube, type=pa.list_(pa.list_(pa.list_(pa.int64()))))
+    spec_json["cube"] = {
+        "type": "array",
+        "nestedSchema": {
+            "0": {
+                "type": "array",
+                "nestedSchema": {"1": {"type": "number"}, "length": {"type": "number"}},
+            },
+        },
+    }
+
+    # attrs: list<map<string,string>> (duplicate keys possible: last-wins)
+    k_pool = ["k", "req", "other"]
+
+    def rand_map():
+        if rng.random() < 0.1:
+            return None
+        return [
+            (k_pool[int(rng.integers(0, len(k_pool)))], s_pool[int(rng.integers(0, len(s_pool)))])
+            for _ in range(int(rng.integers(0, 4)))
+        ]
+
+    attrs = [None if rng.random() < 0.08 else [rand_map() for _ in range(int(rng.integers(0, 3)))] for _ in range(n)]
+    cols["attrs"] = pa.array(attrs, type=pa.list_(pa.map_(pa.string(), pa.string())))
+    spec_json["attrs"] = {
+        "type": "array",
+        "nestedSchema": {
+            "k": idx_rule(),
+            "req": {"type": "string"},
+            "ghost2": {"type": "number", "optional": bool(rng.random() < 0.5)},
+        },
+    }
+
+    # oracle-side docs: map items become JS-object dicts (dict() = last-wins)
+    docs = []
+    for i in range(n):
+        docs.append(
+            {
+                "event_id": i,
+                "grid": grid[i],
+                "cube": cube[i],
+                "attrs": None
+                if attrs[i] is None
+                else [None if m is None else dict(m) for m in attrs[i]],
+            }
+        )
+    return load_spec(spec_json, event_name="t"), pa.table(cols), docs
+
+
+@pytest.mark.parametrize("seed", [1501, 1502, 1503, 1504, 1505, 1506])
+def test_fuzz_jswalk_typed_vs_oracle(seed):
+    spec, batch, docs = random_jswalk_spec_and_batch(seed)
+    res = ValidateBatch(spec, log_valid=False, include_refs=False, id_cols=("event_id",))(batch)
+    got = {
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in res.to_pylist()
+    }
+    want = set()
+    for doc in docs:
+        for field, etype, exp, act in validate_event(spec.fields, doc):
+            want.add((str(doc["event_id"]), field, etype, exp, act))
+    assert got == want
+
+
 def random_sql_safe_spec_and_batch(seed: int):
     """Random specs over string/int/timestamp columns restricted to the
     SQL-twin-safe domain (no float-valued rules, no regex on timestamps —
@@ -507,9 +623,34 @@ def random_sql_safe_nested_spec_and_batch(seed: int):
             "ghost": {"type": "number", "optional": bool(rng.random() < 0.5)},
         },
     }
+    # grid: list<list<string>> — the jsarray property-walk twin domain
+    s_pool = ["alpha", "beta", "", "a9", None]
+    grid = [
+        None
+        if rng.random() < 0.08
+        else [
+            None
+            if rng.random() < 0.1
+            else [s_pool[int(rng.integers(0, len(s_pool)))] for _ in range(int(rng.integers(0, 4)))]
+            for _ in range(int(rng.integers(0, 3)))
+        ]
+        for _ in range(n)
+    ]
+    cols["grid"] = pa.array(grid, type=pa.list_(pa.list_(pa.string())))
+    spec_json["grid"] = {
+        "type": "array",
+        "nestedSchema": {
+            "0": child_rule("string"),
+            "2": child_rule("string"),
+            "length": {"type": "number", **({"value": 2} if rng.random() < 0.5 else {})},
+            "ghost": {"type": "string", "optional": bool(rng.random() < 0.5)},
+            "01": {"type": "string", "optional": bool(rng.random() < 0.5)},
+        },
+    }
     child_kinds = {
         "items": {"s": "string", "m": "number"},
         "meta": {"s": "string", "m": "number"},
+        "grid": {"__elem__": "string"},
     }
     return load_spec(spec_json, event_name="t"), pa.table(cols), child_kinds
 

@@ -184,18 +184,89 @@ def test_nested_rule_on_list_struct_column_is_vectorized():
     ]
 
 
-def test_nested_rule_on_list_of_list_items_fails_fast():
-    """JS walks nested-array items via property lookup — not columnar; the
-    compile keeps the fail-fast for that shape only."""
+def test_nested_rule_on_list_of_list_items_property_walk():
+    """JS walks nested-array items via property lookup (canonical index keys
+    + 'length'; anything else is an absent property) — emulated columnar."""
     spec = load_spec(
-        {"items": {"type": "array", "nestedSchema": {"id": {"type": "string"}}}}
+        {
+            "items": {
+                "type": "array",
+                "nestedSchema": {
+                    "0": {"type": "string"},
+                    "1": {"type": "array", "nestedSchema": {"id": {"type": "string"}}},
+                    "length": {"type": "number", "value": 2},
+                    "id": {"type": "string"},
+                    "01": {"type": "string", "optional": True},
+                },
+            }
+        }
+    )
+    batch = pa.table(
+        {
+            "conv_id": ["c", "d"],
+            "turn_idx": [0, 1],
+            "items": pa.array(
+                [[["x"]], [["a", "b"], None]],
+                type=pa.list_(pa.list_(pa.string())),
+            ),
+        }
+    )
+    rows = ValidateBatch(spec, log_valid=False)(batch).to_pylist()
+    got = sorted(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in rows
+    )
+    assert got == sorted(
+        [
+            # c: item ['x']: index 1 out of range, length 1 != 2, 'id' absent
+            ("c:0", "items[0].1", "missing", "field present", "field missing"),
+            ("c:0", "items[0].length", "value", "2", "1"),
+            ("c:0", "items[0].id", "missing", "field present", "field missing"),
+            # d item0 ['a','b']: '1' -> 'b' (string, not array); 'id' absent
+            ("d:1", "items[0].1", "type", "array", "string"),
+            ("d:1", "items[0].id", "missing", "field present", "field missing"),
+            # d item1 null: walks {'': null} -> required keys missing
+            ("d:1", "items[1].0", "missing", "field present", "field missing"),
+            ("d:1", "items[1].1", "missing", "field present", "field missing"),
+            ("d:1", "items[1].length", "missing", "field present", "field missing"),
+            ("d:1", "items[1].id", "missing", "field present", "field missing"),
+        ]
+    )
+
+
+def test_nested_rule_on_map_items_property_walk():
+    """Map items are JS objects: own-key lookup, absent keys missing,
+    duplicate keys resolve last-wins like JSON.parse."""
+    spec = load_spec(
+        {
+            "items": {
+                "type": "array",
+                "nestedSchema": {
+                    "k": {"type": "string", "value": "b"},
+                    "opt": {"type": "number", "optional": True},
+                    "req": {"type": "string"},
+                },
+            }
+        }
     )
     batch = pa.table(
         {
             "conv_id": ["c"],
             "turn_idx": [0],
-            "items": pa.array([[["x"]]], type=pa.list_(pa.list_(pa.string()))),
+            "items": pa.array(
+                [[[("k", "a"), ("k", "b"), ("req", "x")], [("req", "y")]]],
+                type=pa.list_(pa.map_(pa.string(), pa.string())),
+            ),
         }
     )
-    with pytest.raises(NotImplementedError, match="ValidateJsonDocs"):
-        ValidateBatch(spec)(batch)
+    rows = ValidateBatch(spec, log_valid=False)(batch).to_pylist()
+    got = sorted(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"])
+        for r in rows
+    )
+    assert got == sorted(
+        [
+            # item0: k last-wins 'b' passes value + string; item1: k missing
+            ("c:0", "items[1].k", "missing", "field present", "field missing"),
+        ]
+    )
