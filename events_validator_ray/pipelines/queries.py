@@ -1243,6 +1243,35 @@ def near_dup_pairs_oracle() -> str:
     )
 
 
+def q_jaccard_ngram_pairs(sf_dir: str):
+    """EXACT word-3-gram Jaccard similar-pair join over the documents table —
+    the hash-free ground-truth relation the minhash/simhash planes
+    approximate. Distributed inverted shingle index (postings hash-bucketed
+    by shingle), integer cross-multiplied threshold (no float channel)."""
+    from ..stages.dedup import jaccard_allpairs_join
+
+    return jaccard_allpairs_join(
+        _read_table(sf_dir, "documents"), threshold_millis=500
+    ).select_columns(["a", "b", "inter_sh", "union_sh"])
+
+
+def jaccard_ngram_pairs_oracle() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),"
+        " '[a-z0-9]+') AS w FROM documents), "
+        "pos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-2, 0)))"
+        " AS i FROM d), "
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s"
+        " FROM pos), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+        "SELECT a, b, c AS inter_sh, (sa.n + sb.n - c) AS union_sh "
+        "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+        "WHERE c * 1000 >= 500 * (sa.n + sb.n - c)"
+    )
+
+
 def q_curate_docs(sf_dir: str):
     """End-to-end curation pipeline (quality -> exact dedup -> near-dup) over
     the documents table; the SQL-expressible stage counts are the compared
@@ -1573,6 +1602,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "curate_docs": q_curate_docs,
         "near_dup_pairs": q_near_dup_pairs,
+        "jaccard_ngram_pairs": q_jaccard_ngram_pairs,
         "bloom_semi_join": q_bloom_semi_join,
         "mod_sample": q_mod_sample,
         "stratified_sample": q_stratified_sample,
@@ -1599,6 +1629,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["range_join"] = range_join_oracle()
     out["curate_docs"] = curate_oracle()
     out["near_dup_pairs"] = near_dup_pairs_oracle()
+    out["jaccard_ngram_pairs"] = jaccard_ngram_pairs_oracle()
     out["dedup_minhash"] = minhash_components_oracle()
     out["dedup_embedding"] = embedding_components_oracle()
     # simhash / fingerprints twins recompute over the engine's emitted

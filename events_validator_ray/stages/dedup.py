@@ -855,6 +855,179 @@ def ngram_jaccard_pairs(ds, pairs: list[tuple], col: str = "text", id_col: str =
     return pd.DataFrame(out)
 
 
+def jaccard_allpairs_join(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold_millis: int = 500,
+    num_buckets: int = 64,
+    broadcast_max_docs: int = 2_000_000,
+):
+    """EXACT word-n-gram Jaccard similar-pair join over the whole corpus —
+    the dedup family's hash-free ground-truth relation (dedup_minhash
+    approximates exactly this; `ngram_jaccard_pairs` above scores only
+    explicit candidate pairs).
+
+    Distributed inverted shingle index: distinct (shingle, doc) postings
+    hash-bucket BY SHINGLE, so each bucket task counts its shingles'
+    co-occurrence pairs with one vectorized self-merge (a shingle's postings
+    co-locate by construction); partial pair counts reduce in a global (a,b)
+    groupby; union sizes attach via a broadcast size map when the corpus is
+    ≤ `broadcast_max_docs` documents, else a bucketed hash join. The
+    threshold compares in exact integer cross-multiplication
+    (1000*|A∩B| >= millis*|A∪B|) — no float channel in compared output.
+
+    Scale note: a shingle shared by k docs inherently emits O(k²) pair rows
+    — the cost of the EXACT relation (the SQL twin pays the same join);
+    corpus-scale near-dup detection uses minhash_lsh_dedup / simhash_dedup,
+    whose candidate generation is capped. Tokenization is the SQL-pinned
+    kernel (functions/textkernels.tokenize ≙ regexp_extract_all lower).
+    Returns columns a, b, inter_sh, union_sh (all int64)."""
+    import ray
+
+    from ..functions.textkernels import tokenize
+
+    empty_sh = pa.table(
+        {"sh": pa.array([], type=pa.string()), "did": pa.array([], type=pa.int64())}
+    )
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not len(ids):
+            return empty_sh
+        flat, doc_idx, _ = tokenize(batch[col])
+        n = len(doc_idx)
+        if n < ngram:
+            return empty_sh
+        valid = doc_idx[: n - ngram + 1] == doc_idx[ngram - 1 :]
+        starts = np.nonzero(valid)[0]
+        if not starts.size:
+            return empty_sh
+        sh = flat.take(pa.array(starts, type=pa.int64()))
+        for j in range(1, ngram):
+            sh = pc.binary_join_element_wise(
+                sh, flat.take(pa.array(starts + j, type=pa.int64())), " "
+            )
+        df = pd.DataFrame(
+            {
+                "sh": sh.to_numpy(zero_copy_only=False),
+                "did": ids[doc_idx[starts]],
+            }
+        ).drop_duplicates()
+        return pa.table(
+            {
+                "sh": pa.array(df["sh"].to_numpy(dtype=object), type=pa.string()),
+                "did": pa.array(df["did"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    shingles = (
+        ds.select_columns([id_col, col])
+        .map_batches(shingle_rows, batch_format="pyarrow")
+        .materialize()  # consumed twice: sizes + pair counting
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column("bucket", pa.array([], type=pa.int64()))
+        b = (
+            hash64(t["sh"].to_numpy(zero_copy_only=False))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        m = df[["sh", "did"]].merge(df[["sh", "did"]], on="sh")
+        m = m[m["did_x"] < m["did_y"]]
+        c = (
+            m.groupby(["did_x", "did_y"], sort=False)
+            .size()
+            .reset_index(name="c")
+            .rename(columns={"did_x": "a", "did_y": "b"})
+        )
+        c["c"] = c["c"].astype(np.int64)
+        return c
+
+    # global pair-count reduction: hash-mix the (a,b) pair into ONE int64
+    # bucket key and sum per bucket with a vectorized pandas kernel — Ray's
+    # multi-column groupby sort path is pathologically slow at millions of
+    # rows (measured: >170s for 1.3M pair partials vs ~2s this way), and a
+    # pair key lives in exactly one bucket so per-bucket sums are exact
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t.append_column("pbucket", pa.array([], type=pa.int64()))
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+        return t.append_column(
+            "pbucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    def sum_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            df.groupby(["a", "b"], sort=False)["c"]
+            .sum()
+            .reset_index(name="inter_sh")
+        )
+        out["inter_sh"] = out["inter_sh"].astype(np.int64)
+        return out
+
+    inter = (
+        shingles.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(pair_bucket, batch_format="pyarrow")
+        .groupby("pbucket")
+        .map_groups(sum_pairs, batch_format="pandas")
+    )
+
+    from ray.data.aggregate import Count
+
+    sizes = shingles.groupby("did").aggregate(Count(alias_name="n_sh"))
+    if sizes.count() <= broadcast_max_docs:
+        size_map = {r["did"]: r["n_sh"] for r in sizes.take_all()}
+        ref = ray.put(size_map)
+
+        def attach(df: "pd.DataFrame") -> "pd.DataFrame":
+            sm = ref
+            if isinstance(sm, ray.ObjectRef):
+                sm = ray.get(sm)
+            na = df["a"].map(sm).astype(np.int64)
+            nb = df["b"].map(sm).astype(np.int64)
+            df = df.assign(union_sh=(na + nb - df["inter_sh"]).astype(np.int64))
+            keep = 1000 * df["inter_sh"] >= threshold_millis * df["union_sh"]
+            return df[keep]
+
+        return inter.map_batches(attach, batch_format="pandas")
+    # corpus-scale size table: two bucketed joins instead of a broadcast
+    from .joins import bucketed_hash_join
+
+    sz_a = sizes.map_batches(
+        lambda d: d.rename(columns={"did": "a", "n_sh": "n_a"}),
+        batch_format="pandas",
+    )
+    sz_b = sizes.map_batches(
+        lambda d: d.rename(columns={"did": "b", "n_sh": "n_b"}),
+        batch_format="pandas",
+    )
+    joined = bucketed_hash_join(
+        bucketed_hash_join(inter, sz_a, on="a", num_buckets=num_buckets),
+        sz_b,
+        on="b",
+        num_buckets=num_buckets,
+    )
+
+    def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.assign(
+            union_sh=(df["n_a"] + df["n_b"] - df["inter_sh"]).astype(np.int64)
+        )
+        keep = 1000 * df["inter_sh"] >= threshold_millis * df["union_sh"]
+        return df.loc[keep, ["a", "b", "inter_sh", "union_sh"]]
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------

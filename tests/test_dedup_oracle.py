@@ -148,3 +148,49 @@ def test_minhash_candidate_recall_is_1_on_testdata(ray_session):
     )
     cand = {(r["a"], r["b"]) for r in _bucket_pairs(sig, "doc_id").take_all()}
     assert exact <= cand  # recall 1 at the threshold
+
+
+def test_jaccard_allpairs_join_matches_duckdb_and_fallback(ray_session, tmp_path):
+    """The exact all-pairs n-gram Jaccard join must match the DuckDB twin on
+    planted dups, and the bucketed-join size-attach fallback must equal the
+    broadcast path."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.queries import jaccard_ngram_pairs_oracle
+    from events_validator_ray.stages.dedup import jaccard_allpairs_join
+
+    path = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(pa.Table.from_pandas(_planted_docs()), path)
+    ds = rd.read_parquet(path)
+
+    cols = ["a", "b", "inter_sh", "union_sh"]
+    got = (
+        jaccard_allpairs_join(ds, threshold_millis=500)
+        .to_pandas()[cols]
+        .astype("int64")
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    want = (
+        con.execute(jaccard_ngram_pairs_oracle())
+        .df()[cols]
+        .astype("int64")
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(got) and got.equals(want)
+    # planted near-dups must be found (docs 65-67 have <3 tokens -> zero
+    # 3-gram shingles on BOTH engines, so they pair with nothing)
+    pairs = set(zip(got["a"], got["b"]))
+    assert {(0, 60), (1, 61), (2, 62)} <= pairs
+
+    fallback = (
+        jaccard_allpairs_join(ds, threshold_millis=500, broadcast_max_docs=0)
+        .to_pandas()[cols]
+        .astype("int64")
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert fallback.equals(got)
