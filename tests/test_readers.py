@@ -106,3 +106,52 @@ def test_schema_markdown_export(tmp_path):
     assert "| **qty** | number | No |" in md
     paths = export_spec_dir_markdown({"purchase": spec}, str(tmp_path / "docs"))
     assert paths and open(paths[0]).read() == md
+
+
+def test_schema_pdf_export_structural_roundtrip(tmp_path):
+    """S10 real-PDF medium: the stdlib serializer must produce a structurally
+    valid PDF — exact xref offsets, Flate content streams that inflate, and
+    the document text reachable through Tj operators — including multi-page
+    layout for large schemas."""
+    import re
+    import zlib
+
+    from events_validator_ray.functions.export import (
+        export_schema_pdf,
+        export_spec_dir_pdf,
+    )
+    from events_validator_ray.spec import load_spec
+
+    big = {f"field_{i:03d}": {"type": "string", "description": f"desc {i}"} for i in range(80)}
+    big["items"] = {
+        "type": "array",
+        "nestedSchema": {"item_id": {"type": "string"}, "qty": {"type": "number", "optional": True}},
+    }
+    spec = load_spec(big, event_name="purchase (long) schema")
+    pdf = export_schema_pdf(spec)
+
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    # xref: every recorded offset must land exactly on "N 0 obj"
+    xref_at = int(pdf.rstrip().rsplit(b"startxref", 1)[1].split(b"%%EOF")[0])
+    assert pdf[xref_at : xref_at + 4] == b"xref"
+    lines = pdf[xref_at:].split(b"\n")
+    n_objs = int(lines[1].split()[1])
+    offs = [int(l.split()[0]) for l in lines[3 : 2 + n_objs]]
+    for i, off in enumerate(offs, start=1):
+        assert pdf[off:].startswith(f"{i} 0 obj".encode()), i
+    # content streams inflate and carry the text via Tj
+    texts = []
+    for m in re.finditer(rb"/FlateDecode >>\nstream\n(.*?)\nendstream", pdf, re.S):
+        content = zlib.decompress(m.group(1)).decode("latin-1")
+        texts += [t for t in re.findall(r"\((.*?)\) Tj", content)]
+    joined = " ".join(texts)
+    assert "Schema: purchase \\(long\\) schema" in joined  # escaped parens
+    assert "field_079" in joined and "item_id" in joined and "nested keys" in joined
+    # 81 fields at ~13pt leading cannot fit one letter page
+    assert pdf.count(b"/Type /Page ") >= 2
+
+    paths = export_spec_dir_pdf({"purchase": spec}, str(tmp_path / "pdf"))
+    assert len(paths) == 1 and paths[0].endswith("purchase.pdf")
+    with open(paths[0], "rb") as f:
+        assert f.read(8) == b"%PDF-1.4"
