@@ -708,6 +708,152 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read_table(sf_dir, "documents")).map_batches(to_micro, batch_format="pandas")
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition-quality signals (duplicate-line counts/chars +
+    top word-2-gram count), all-integer output. The synthetic corpus is
+    single-line, so the query measures a '\\n'-for-space rendering of each
+    doc (the SQL twin applies the identical derivation) so the
+    duplicate-line plane carries real signal."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.text import RepetitionStats
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        txt = pc.replace_substring(pc.fill_null(t["text"], ""), " ", "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return (
+        _read_table(sf_dir, "documents")
+        .map_batches(to_lines, batch_format="pyarrow")
+        .map_batches(RepetitionStats(), batch_format="pyarrow")
+    )
+
+
+def repetition_oracle() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS t FROM documents), "
+        "lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d), "
+        "lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2), "
+        "lstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines, "
+        "CAST(sum(c - 1) AS BIGINT) AS n_dup_lines, "
+        "CAST(sum((c - 1) * length(line)) AS BIGINT) AS dup_line_chars, "
+        "CAST(sum(c * length(line)) AS BIGINT) AS total_line_chars FROM lc GROUP BY 1), "
+        "w AS (SELECT doc_id, regexp_extract_all(lower(t), '[a-z0-9]+') AS ws FROM d), "
+        "pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM w), "
+        "g AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS gram FROM pos), "
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2), "
+        "gstats AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top2_count, "
+        "CAST(sum(c) AS BIGINT) AS n_2grams FROM gc GROUP BY 1) "
+        "SELECT d.doc_id, l.n_lines, l.n_dup_lines, l.dup_line_chars, l.total_line_chars, "
+        "coalesce(gs.n_2grams, 0) AS n_2grams, coalesce(gs.top2_count, 0) AS top2_count "
+        "FROM d JOIN lstats l ON l.doc_id = d.doc_id "
+        "LEFT JOIN gstats gs ON gs.doc_id = d.doc_id"
+    )
+
+
+#: deterministic pseudo-benchmark: every 37th doc stands in for the eval
+#: suite whose n-grams must not leak into training data
+CONTAMINATION_MOD = 37
+CONTAMINATION_K = 3
+
+
+def q_contamination_scan(sf_dir: str):
+    """Benchmark-decontamination scan: per-doc word-3-gram occurrences that
+    also appear in the broadcast benchmark gram set (docs with
+    doc_id % 37 == 0 stand in for the eval suite)."""
+    import pyarrow as pa
+
+    from ..stages.text import ContaminationScan, build_benchmark_grams
+
+    docs = _read_table(sf_dir, "documents")
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % CONTAMINATION_MOD == 0))
+
+    bench_ds = docs.map_batches(bench_filter, batch_format="pyarrow")
+    ref = build_benchmark_grams(bench_ds, k=CONTAMINATION_K)
+    return docs.map_batches(
+        ContaminationScan,
+        fn_constructor_kwargs={"bench_ref": ref, "k": CONTAMINATION_K},
+        batch_format="pyarrow",
+        # autoscaling pool: a fixed concurrency equal to the cluster CPU
+        # count reserves every CPU for the actors and starves the upstream
+        # read tasks (observed deadlock on a 4-CPU test cluster)
+        concurrency=(1, 4),
+    )
+
+
+def contamination_oracle() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+') AS ws FROM documents), "
+        "pos AS (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i FROM d), "
+        "grams AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram FROM pos), "
+        f"bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {CONTAMINATION_MOD} = 0), "
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1), "
+        "hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams "
+        "WHERE gram IN (SELECT gram FROM bench) GROUP BY 1) "
+        "SELECT d.doc_id, coalesce(t.n_grams, 0) AS n_grams, coalesce(h.n_hits, 0) AS n_hits "
+        "FROM d LEFT JOIN tot t ON t.doc_id = d.doc_id "
+        "LEFT JOIN hits h ON h.doc_id = d.doc_id"
+    )
+
+
+def q_pii_scan(sf_dir: str):
+    """PII detect + redact: the corpus carries no PII, so the query decorates
+    each doc with a deterministic synthetic email/URL/phone (identical
+    derivation in the SQL twin) and compares match counts plus the md5 of
+    the redacted text — RE2 on both engines, so the comparison is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.text import PiiScan
+
+    def decorate(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            "contact user",
+            ids,
+            "@mail.example.com or https://ex.org/d/",
+            ids,
+            " call 555-000-",
+            ids,
+            " ",
+            pc.fill_null(t["text"], ""),
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return (
+        _read_table(sf_dir, "documents")
+        .map_batches(decorate, batch_format="pyarrow")
+        .map_batches(PiiScan(), batch_format="pyarrow")
+    )
+
+
+def pii_oracle() -> str:
+    from ..stages.text import EMAIL_PATTERN, PHONE_PATTERN, URL_PATTERN
+
+    e = EMAIL_PATTERN.replace("'", "''")
+    u = URL_PATTERN.replace("'", "''")
+    p = PHONE_PATTERN.replace("'", "''")
+    return (
+        "WITH d AS (SELECT doc_id, 'contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example.com or https://ex.org/d/' || CAST(doc_id AS VARCHAR) || "
+        "' call 555-000-' || CAST(doc_id AS VARCHAR) || ' ' || coalesce(text, '') AS t "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(t, '{e}')) AS BIGINT) AS n_emails, "
+        f"CAST(len(regexp_extract_all(t, '{u}')) AS BIGINT) AS n_urls, "
+        f"CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT) AS n_phones, "
+        f"md5(regexp_replace(regexp_replace(t, '{e}', '<EMAIL>', 'g'), "
+        f"'{u}', '<URL>', 'g')) AS redacted_md5 "
+        "FROM d"
+    )
+
+
 def ensure_gram_hashes(sf_dir: str) -> str:
     """Emit the engine's 5-gram hash table (doc_id, pos, gh int64 bit-cast)
     for the documents corpus to a /tmp sidecar: the DuckDB twin recomputes
@@ -1611,6 +1757,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition_stats,
+        "contamination_scan": q_contamination_scan,
+        "pii_scan": q_pii_scan,
         "fingerprints": q_fingerprints,
         "turn_text_digest": q_turn_text_digest,
         "worst_offenders": q_worst_offenders,
@@ -1630,6 +1779,9 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["curate_docs"] = curate_oracle()
     out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["jaccard_ngram_pairs"] = jaccard_ngram_pairs_oracle()
+    out["repetition_stats"] = repetition_oracle()
+    out["contamination_scan"] = contamination_oracle()
+    out["pii_scan"] = pii_oracle()
     out["dedup_minhash"] = minhash_components_oracle()
     out["dedup_embedding"] = embedding_components_oracle()
     # simhash / fingerprints twins recompute over the engine's emitted

@@ -260,6 +260,218 @@ class Fingerprint:
         )
 
 
+class RepetitionStats:
+    """Gopher-style repetition-quality signals (Rae et al. 2021, appendix A1:
+    the duplicate-line and top-n-gram filters used to screen web corpora):
+    per-document duplicate-line counts/chars and the most frequent word
+    2-gram's occurrence count. ALL-INTEGER output — callers derive the
+    fractions (dup_line_frac = n_dup_lines / n_lines, ...), so the SQL twin
+    compares with no float channel.
+
+    Vectorized: one literal '\\n' split + one tokenize pass per batch; line
+    identity via exact pandas factorize (string hash table — no 64-bit-hash
+    collision channel in an oracle-checked path); per-doc reductions via
+    lexsort + run-length. No Python row loops. Map-only: scale-safe at any
+    corpus size (the reduction is within-document, never cross-block)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.textkernels import tokenize
+
+        n_docs = batch.num_rows
+        out_ids = batch[self.id_col]
+        if n_docs == 0:
+            return pa.table(
+                {
+                    self.id_col: out_ids,
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_dup_lines": pa.array([], pa.int64()),
+                    "dup_line_chars": pa.array([], pa.int64()),
+                    "total_line_chars": pa.array([], pa.int64()),
+                    "n_2grams": pa.array([], pa.int64()),
+                    "top2_count": pa.array([], pa.int64()),
+                }
+            )
+        filled = pc.fill_null(batch[self.col], "")
+        # ---- duplicate lines (literal '\n' split == SQL string_split) ----
+        lists = pc.split_pattern(filled, "\n")
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_lines = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+        line_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        # exact line identity: factorize (C hash table over the strings)
+        codes = pd.factorize(pd.Series(flat.to_pandas()))[0].astype(np.int64)
+        order = np.lexsort((codes, doc_of))
+        d_s, c_s, len_s = doc_of[order], codes[order], line_chars[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        starts = np.nonzero(first)[0]
+        run = np.diff(np.r_[starts, len(d_s)])  # occurrences per (doc, line)
+        total_line_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(total_line_chars, doc_of, line_chars)
+        n_dup_lines = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_dup_lines, d_s[starts], run - 1)
+        dup_line_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(dup_line_chars, d_s[starts], (run - 1) * len_s[starts])
+        # ---- top word-2-gram occurrence count ----
+        toks, tdoc, n_tokens = tokenize(batch[self.col])
+        n_2grams = np.maximum(n_tokens - 1, 0)
+        top2 = np.zeros(n_docs, dtype=np.int64)
+        if len(tdoc) > 1:
+            tcodes = pd.factorize(pd.Series(toks.to_pandas()))[0].astype(np.int64)
+            same_doc = tdoc[1:] == tdoc[:-1]
+            gd = tdoc[:-1][same_doc]
+            ga = tcodes[:-1][same_doc]
+            gb = tcodes[1:][same_doc]
+            o = np.lexsort((gb, ga, gd))
+            gd, ga, gb = gd[o], ga[o], gb[o]
+            new = np.r_[True, (gd[1:] != gd[:-1]) | (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])]
+            gstarts = np.nonzero(new)[0]
+            gcnt = np.diff(np.r_[gstarts, len(gd)])
+            np.maximum.at(top2, gd[gstarts], gcnt)
+        return pa.table(
+            {
+                self.id_col: out_ids,
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_dup_lines": pa.array(n_dup_lines, pa.int64()),
+                "dup_line_chars": pa.array(dup_line_chars, pa.int64()),
+                "total_line_chars": pa.array(total_line_chars, pa.int64()),
+                "n_2grams": pa.array(n_2grams, pa.int64()),
+                "top2_count": pa.array(top2, pa.int64()),
+            }
+        )
+
+
+def _gram_strings(texts, k: int):
+    """All word-k-gram strings (space-joined, lowercase [a-z0-9]+ tokens) per
+    doc -> (grams: pa.Array[str], gram_doc: np.int64[], n_grams: np.int64[]).
+    Vectorized: tokenize once, then one binary_join_element_wise over k
+    shifted slices with a doc-boundary mask — no per-gram Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.textkernels import tokenize
+
+    flat, doc_idx, n_tokens = tokenize(texts)
+    n_docs = len(n_tokens)
+    n_grams = np.maximum(n_tokens - (k - 1), 0)
+    n = len(flat)
+    if n < k:
+        return pa.array([], pa.string()), np.empty(0, dtype=np.int64), n_grams
+    m = n - k + 1
+    parts = [flat.slice(j, m) for j in range(k)]
+    joined = pc.binary_join_element_wise(*parts, " ")
+    mask = doc_idx[:m] == doc_idx[k - 1 :]
+    keep = pa.array(mask)
+    return joined.filter(keep), doc_idx[:m][mask], n_grams
+
+
+class ContaminationScan:
+    """Benchmark-decontamination scan (the GPT-3/Gopher-style n-gram overlap
+    check): count each document's word-k-gram occurrences that also appear in
+    a broadcast benchmark gram set. The benchmark set is `ray.put` once
+    (eval suites are small by nature — the broadcast is bounded by benchmark
+    size, never corpus size) and read zero-copy in every task; the scan
+    itself is map-only (`pc.is_in` against the set), so the stage streams at
+    any corpus scale with no shuffle."""
+
+    def __init__(self, bench_ref, k: int = 5, col: str = "text", id_col: str = "doc_id"):
+        import ray
+
+        self.grams = (
+            ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        )
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n_docs = batch.num_rows
+        grams, gram_doc, n_grams = _gram_strings(batch[self.col], self.k)
+        n_hits = np.zeros(n_docs, dtype=np.int64)
+        if len(grams):
+            hit = pc.is_in(grams, value_set=self.grams).to_numpy(zero_copy_only=False)
+            np.add.at(n_hits, gram_doc, hit.astype(np.int64))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+            }
+        )
+
+
+def build_benchmark_grams(bench_ds, k: int = 5, col: str = "text"):
+    """Distinct word-k-gram strings of a (small) benchmark dataset as a
+    broadcast-ready ObjectRef. Per-block distinct happens distributed; the
+    driver pull is the benchmark's distinct-gram set — bounded by the eval
+    suite, not the training corpus."""
+    import pyarrow as pa
+    import ray
+
+    def distinct_grams(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        grams, _, _ = _gram_strings(batch[col], k)
+        return pa.table({"gram": pc.unique(grams)})
+
+    parts = bench_ds.map_batches(distinct_grams, batch_format="pyarrow").take_all()
+    uniq = np.unique(np.array([r["gram"] for r in parts], dtype=object))
+    return ray.put(pa.array(uniq, type=pa.string()))
+
+
+#: RE2-compatible PII patterns (no lookahead/backrefs): both pyarrow and
+#: DuckDB run regex via RE2, so counts and replacements agree bit-for-bit.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+PHONE_PATTERN = r"\+?[0-9][0-9() .-]{6,}[0-9]"
+
+
+class PiiScan:
+    """PII detection + redaction over a text column: per-doc match counts for
+    email / URL / phone-like patterns and the md5 of the redacted text
+    (emails -> <EMAIL>, then URLs -> <URL> — application order is part of the
+    contract and mirrored in the SQL twin). Map-only RE2 kernels
+    (`count_substring_regex` / `replace_substring_regex`), compiled pattern
+    state held per actor; no shuffle, streams at any scale."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> pd.DataFrame:
+        import hashlib
+
+        import pyarrow.compute as pc
+
+        filled = pc.fill_null(batch[self.col], "")
+        n_emails = pc.count_substring_regex(filled, EMAIL_PATTERN)
+        n_urls = pc.count_substring_regex(filled, URL_PATTERN)
+        n_phones = pc.count_substring_regex(filled, PHONE_PATTERN)
+        red = pc.replace_substring_regex(filled, EMAIL_PATTERN, "<EMAIL>")
+        red = pc.replace_substring_regex(red, URL_PATTERN, "<URL>")
+        md5 = [hashlib.md5(t.encode()).hexdigest() for t in red.to_pylist()]
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy(zero_copy_only=False),
+                "n_emails": n_emails.to_numpy(zero_copy_only=False).astype("int64"),
+                "n_urls": n_urls.to_numpy(zero_copy_only=False).astype("int64"),
+                "n_phones": n_phones.to_numpy(zero_copy_only=False).astype("int64"),
+                "redacted_md5": md5,
+            }
+        )
+
+
 def token_counts(ds, col: str = "text"):
     return ds.map_batches(TokenCount(col), batch_format="pyarrow")
 
