@@ -854,6 +854,56 @@ def pii_oracle() -> str:
     )
 
 
+def q_zscore_scaled(sf_dir: str):
+    """Per-source z-score standardization of n_chars (feature scaling):
+    exact int64 moments + an IEEE-order-matched float expression on both
+    engines, so z_micro compares bit-exact (see stages/scaling.py)."""
+    from ..stages.scaling import group_zscore
+
+    return group_zscore(_read_table(sf_dir, "documents"), col="n_chars", key="source")
+
+
+def zscore_oracle() -> str:
+    return (
+        "WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_chars) AS BIGINT) AS s1, "
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS s2 FROM documents GROUP BY 1), "
+        "d AS (SELECT source, n, s1, "
+        "floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS den FROM st) "
+        "SELECT doc_id, documents.source AS source, "
+        "CAST(CASE WHEN den > 0 THEN "
+        "floor(CAST(n_chars * n - s1 AS DOUBLE) * 1000000.0 / den) "
+        "ELSE 0 END AS BIGINT) AS z_micro "
+        "FROM documents JOIN d ON d.source = documents.source"
+    )
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc most-distinctive term by tf x integer-quantized idf
+    (bitlen(N // df)) — integer/string output, exact DuckDB twin."""
+    from ..stages.text import tfidf_top_terms
+
+    docs = _read_table(sf_dir, "documents")
+    return tfidf_top_terms(docs, n_docs=docs.count())
+
+
+def tfidf_oracle() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+        "lower(coalesce(text, '')), '[a-z0-9]+')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM toks GROUP BY 1, 2), "
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+        "scored AS (SELECT tf.doc_id, tf.term, "
+        "tf.tf * length(printf('%b', n.n // df.df)) AS score "
+        "FROM tf CROSS JOIN n JOIN df ON df.term = tf.term) "
+        "SELECT doc_id, term AS top_term, CAST(score AS BIGINT) AS top_score "
+        "FROM scored QUALIFY row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, term ASC) = 1"
+    )
+
+
 def ensure_gram_hashes(sf_dir: str) -> str:
     """Emit the engine's 5-gram hash table (doc_id, pos, gh int64 bit-cast)
     for the documents corpus to a /tmp sidecar: the DuckDB twin recomputes
@@ -1760,6 +1810,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q_repetition_stats,
         "contamination_scan": q_contamination_scan,
         "pii_scan": q_pii_scan,
+        "zscore_scaled": q_zscore_scaled,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
         "turn_text_digest": q_turn_text_digest,
         "worst_offenders": q_worst_offenders,
@@ -1782,6 +1834,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["repetition_stats"] = repetition_oracle()
     out["contamination_scan"] = contamination_oracle()
     out["pii_scan"] = pii_oracle()
+    out["zscore_scaled"] = zscore_oracle()
+    out["tfidf_top_terms"] = tfidf_oracle()
     out["dedup_minhash"] = minhash_components_oracle()
     out["dedup_embedding"] = embedding_components_oracle()
     # simhash / fingerprints twins recompute over the engine's emitted

@@ -486,3 +486,178 @@ def lang_id(ds, col: str = "text"):
 
 def fingerprints(ds, col: str = "text"):
     return ds.map_batches(Fingerprint(col), batch_format="pyarrow")
+
+
+class TermFrequencies:
+    """Map-only (doc_id, term, tf) expansion: tokenize + per-doc term counts.
+    Vectorized: one tokenize pass, batch-wide factorize, lexsort + run-length
+    — no Python row loops. Each document's tf rows land in ONE output block
+    (map_batches is block-local), which the broadcast tf-idf path exploits to
+    finish the per-doc argmax without any shuffle."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        from ..functions.textkernels import tokenize
+
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, doc_idx, _ = tokenize(batch[self.col])
+        if len(doc_idx) == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        codes, uniq = pd.factorize(pd.Series(flat.to_pandas()))
+        codes = codes.astype(np.int64)
+        uniq = np.asarray(uniq, dtype=object)
+        order = np.lexsort((codes, doc_idx))
+        d_s, c_s = doc_idx[order], codes[order]
+        first = np.r_[True, (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        starts = np.nonzero(first)[0]
+        tf = np.diff(np.r_[starts, len(d_s)])
+        return pa.table(
+            {
+                self.id_col: pa.array(ids[d_s[starts]], pa.int64()),
+                "term": pa.array(uniq[c_s[starts]], pa.string()),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def term_document_frequencies(tf_ds, num_buckets: int = 64):
+    """(term, df) from a (doc_id, term, tf) Dataset — df is the number of
+    documents containing the term. Hash-bucketed exact reduction: one int64
+    bucket key shuffle (multi-key / raw-string groupby is the known Ray
+    hazard), exact per-term counts inside each bucket group. Vocabulary-scale,
+    never corpus-scale."""
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        b = (hash64(df["term"].to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return df.assign(bucket=b)[["term", "bucket"]]
+
+    def count_terms(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", sort=False).size().reset_index(name="df")
+        out["df"] = out["df"].astype("int64")
+        return out[["term", "df"]]
+
+    return (
+        tf_ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(count_terms, batch_format="pandas")
+    )
+
+
+def _bitlen_pos(m: np.ndarray) -> np.ndarray:
+    """Exact bit length of positive int64 values < 2^53: the float64
+    conversion is exact there, and frexp's exponent IS the bit length —
+    matches DuckDB's length(printf('%b', m)) with no log-rounding channel."""
+    return np.frexp(m.astype(np.float64))[1].astype(np.int64)
+
+
+def _argmax_per_doc(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
+    """One row per doc: max score, ties -> lexicographically smallest term
+    (the SQL twin's ORDER BY score DESC, term ASC). Vectorized lexsort."""
+    tcodes = pd.factorize(df["term"], sort=True)[0].astype(np.int64)
+    ids = df[id_col].to_numpy(dtype=np.int64)
+    score = df["score"].to_numpy(dtype=np.int64)
+    order = np.lexsort((tcodes, -score, ids))
+    ids_s = ids[order]
+    first = np.r_[True, ids_s[1:] != ids_s[:-1]]
+    pick = order[first]
+    return pd.DataFrame(
+        {
+            id_col: ids[pick],
+            "top_term": df["term"].to_numpy(dtype=object)[pick],
+            "top_score": score[pick],
+        }
+    )
+
+
+def tfidf_top_terms(
+    ds,
+    n_docs: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_max_terms: int = 2_000_000,
+    num_buckets: int = 64,
+):
+    """Per-document most-distinctive term by tf x integer-idf, where
+    idf_int = bitlen(n_docs // df) (an exact-integer idf quantization:
+    floor(log2) + 1 of the inverse document frequency — zero for terms in
+    every document scales up as terms get rarer). Every compared column is
+    int64/string, so the DuckDB twin is bit-exact.
+
+    Scale ladder (the dedup-plane idiom): the (term, df) table is
+    vocabulary-sized — broadcast it via `ray.put` when it fits
+    (`broadcast_max_terms`), finishing tf-idf + per-doc argmax entirely
+    map-side with ZERO extra shuffle (tf blocks are doc-local); above the
+    threshold, attach df with `bucketed_hash_join` on term and finish with a
+    per-batch partial argmax + one groupby(doc) reduction."""
+    import ray
+
+    from .joins import bucketed_hash_join
+
+    tf_ds = ds.map_batches(TermFrequencies(col, id_col), batch_format="pyarrow")
+    df_ds = term_document_frequencies(tf_ds, num_buckets=num_buckets)
+    n_terms = df_ds.count()
+
+    if n_terms <= broadcast_max_terms:
+        dfp = df_ds.to_pandas()
+        ref = ray.put(dict(zip(dfp["term"], dfp["df"].astype("int64"))))
+
+        class ScoreAndPick:
+            def __init__(self, df_ref, n: int):
+                self.df_map = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+                self.n = n
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                if len(batch) == 0:
+                    return pd.DataFrame(
+                        {id_col: pd.Series(dtype="int64"),
+                         "top_term": pd.Series(dtype=object),
+                         "top_score": pd.Series(dtype="int64")}
+                    )
+                dfv = batch["term"].map(self.df_map).to_numpy(dtype=np.int64)
+                idf = _bitlen_pos(np.int64(self.n) // dfv)
+                scored = batch.assign(score=batch["tf"].to_numpy(dtype=np.int64) * idf)
+                return _argmax_per_doc(scored, id_col)
+
+        return tf_ds.map_batches(
+            ScoreAndPick,
+            fn_constructor_kwargs={"df_ref": ref, "n": n_docs},
+            batch_format="pandas",
+            batch_size=None,  # whole doc-local blocks: in-batch argmax is final
+            concurrency=(1, 8),
+        )
+
+    joined = bucketed_hash_join(tf_ds, df_ds, on="term", num_buckets=num_buckets)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"),
+                 "top_term": pd.Series(dtype=object),
+                 "top_score": pd.Series(dtype="int64")}
+            )
+        idf = _bitlen_pos(np.int64(n_docs) // batch["df"].to_numpy(dtype=np.int64))
+        scored = batch.assign(score=batch["tf"].to_numpy(dtype=np.int64) * idf)
+        return _argmax_per_doc(scored, id_col)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        best = _argmax_per_doc(g.rename(columns={"top_score": "score", "top_term": "term"}), id_col)
+        return best
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby(id_col)
+        .map_groups(final, batch_format="pandas")
+    )

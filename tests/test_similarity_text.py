@@ -352,3 +352,50 @@ def test_multimodal_real_codec_paths(ray_session):
     )
     with pytest.raises(ValueError):
         DecodeImage(allow_fake=False)(junk)
+
+
+def test_tfidf_broadcast_and_bucketed_paths_equal(docs_ds):
+    from events_validator_ray.stages.text import tfidf_top_terms
+
+    n = docs_ds.count()
+    broad = (
+        tfidf_top_terms(docs_ds, n_docs=n)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    bucketed = (
+        tfidf_top_terms(docs_ds, n_docs=n, broadcast_max_terms=0, num_buckets=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(broad) == n
+    broad["doc_id"] = broad["doc_id"].astype("int64")
+    bucketed["doc_id"] = bucketed["doc_id"].astype("int64")
+    pd.testing.assert_frame_equal(broad, bucketed[broad.columns], check_dtype=False)
+
+
+def test_group_zscore_degenerate_and_centering(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.scaling import group_zscore
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(8),
+            "source": ["a"] * 4 + ["b"] * 4,
+            "n_chars": [7, 7, 7, 7, 1, 2, 3, 4],  # group a: zero variance
+        }
+    )
+    out = (
+        group_zscore(rd.from_pandas(df).repartition(3), col="n_chars", key="source")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out[out["source"] == "a"]["z_micro"] == 0).all()
+    zb = out[out["source"] == "b"]["z_micro"].to_numpy()
+    # population z of [1,2,3,4]: mean 2.5, std sqrt(1.25) -> symmetric
+    assert zb.sum() in (0, -1, -2, -3)  # floor() skews each negative pair by <=1
+    assert zb[0] < zb[1] < zb[2] < zb[3]
