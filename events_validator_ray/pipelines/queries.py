@@ -1545,6 +1545,25 @@ def q_turn_text_digest(sf_dir: str):
     return _read_transcripts(sf_dir).map_batches(digest, batch_format="pandas")
 
 
+def q_conversation_doc(sf_dir: str):
+    """Transcript → training-document assembly: each conversation rendered as
+    ordered 'role|text' lines and rolled up to (conv_id, n_turns, doc_md5) —
+    the 'make training docs from raw transcripts' curation step. One bucketed
+    shuffle, vectorized per-bucket kernel (stages/assembly.py)."""
+    from ..stages.assembly import conversation_docs
+
+    return conversation_docs(_read_transcripts(sf_dir))
+
+
+def q_turn_pairs(sf_dir: str):
+    """Adjacent user→assistant turn-pair mining per conversation under the
+    stable turn ordering (SFT prompt/response extraction). Emits
+    (conv_id, prompt_turn_idx, response_turn_idx, prompt_md5, response_md5)."""
+    from ..stages.assembly import turn_pairs
+
+    return turn_pairs(_read_transcripts(sf_dir))
+
+
 def q_worst_offenders(sf_dir: str):
     """Top (field, error_type) pairs by violation count (report view O5;
     rows-only: ties make LIMIT ordering engine-specific)."""
@@ -1726,6 +1745,24 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "FROM viol GROUP BY field, error_type "
             "ORDER BY n DESC, field, error_type LIMIT 20"
         ),
+        "conversation_doc": (
+            "SELECT conv_id, COUNT(*) AS n_turns, "
+            "md5(string_agg(coalesce(role, '') || '|' || coalesce(text, ''), chr(10) "
+            "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''))) AS doc_md5 "
+            f"FROM {t} GROUP BY conv_id"
+        ),
+        "turn_pairs": (
+            "WITH o AS (SELECT conv_id, turn_idx, role, text, "
+            "lead(role) OVER w AS next_role, lead(text) OVER w AS next_text, "
+            "lead(turn_idx) OVER w AS next_turn "
+            f"FROM {t} WINDOW w AS (PARTITION BY conv_id "
+            "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''))) "
+            "SELECT conv_id, CAST(turn_idx AS BIGINT) AS prompt_turn_idx, "
+            "CAST(next_turn AS BIGINT) AS response_turn_idx, "
+            "md5(text) AS prompt_md5, md5(next_text) AS response_md5 "
+            "FROM o WHERE role = 'user' AND next_role = 'assistant' "
+            "AND text IS NOT NULL AND next_text IS NOT NULL"
+        ),
         "drift_roles": drift_roles_oracle(t),
     }
 
@@ -1814,6 +1851,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
         "turn_text_digest": q_turn_text_digest,
+        "conversation_doc": q_conversation_doc,
+        "turn_pairs": q_turn_pairs,
         "worst_offenders": q_worst_offenders,
         "multimodal_decode": q_multimodal_decode,
     }

@@ -1,0 +1,132 @@
+"""Transcript assembly operators: conversation → training-document rollup and
+adjacent-turn SFT pair mining.
+
+Both are per-conversation ordered computations expressed with the repo's
+hash-bucket co-location pattern (`conversation._with_bucket`): ONE shuffle
+moves each conversation to a single task, and a vectorized pandas kernel then
+processes thousands of conversations per call. The within-conversation order
+is the stable total order (turn_idx, coalesce(text,''), coalesce(role,'')) —
+turn_idx alone is not unique (the corpus injects duplicated (conv_id,
+turn_idx) rows, sources/transcripts.py:140), and any rows that still tie
+under the full key are bit-identical in every field the output depends on, so
+the order of ties cannot change the result. This mirrors the reference's
+"stable turn ordering" contract (BASELINE.json input_hint) the way
+`turn_text_digest` evidences it row-wise.
+
+Scale shape: projection first (conv_id, turn_idx, role, text only — never the
+whole row), one bucketed exchange, then map_groups over buckets; output is one
+row per conversation (conversation_doc) / one row per adjacent pair
+(turn_pairs), both ≤ input size. No driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+
+_ORDER_COLS = ["conv_id", "turn_idx", "_text_f", "_role_f"]
+
+
+def _ordered(df: pd.DataFrame) -> pd.DataFrame:
+    """Stable total order within each conversation (see module docstring)."""
+    df = df.assign(_text_f=df["text"].fillna(""), _role_f=df["role"].fillna(""))
+    return df.sort_values(_ORDER_COLS, kind="stable").reset_index(drop=True)
+
+
+def _md5_series(s: pd.Series) -> pd.Series:
+    return s.map(lambda t: hashlib.md5(t.encode()).hexdigest() if isinstance(t, str) else None)
+
+
+class _AssembleDocsBucket:
+    """One call = one hash bucket of conversations: order, render one
+    'role|text' line per turn, concat per conversation, md5 the document."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = _ordered(df)
+        line = df["_role_f"] + "|" + df["_text_f"]
+        docs = (
+            pd.DataFrame({"conv_id": df["conv_id"], "line": line})
+            .groupby("conv_id", sort=False)
+            .agg(n_turns=("line", "size"), doc=("line", "\n".join))
+            .reset_index()
+        )
+        docs["doc_md5"] = _md5_series(docs["doc"])
+        return docs[["conv_id", "n_turns", "doc_md5"]]
+
+
+def conversation_docs(ds, num_buckets: int = 64):
+    """Assemble each conversation into one training document (ordered
+    'role|text' lines joined by newline; NULLs render as '') and emit
+    (conv_id, n_turns, doc_md5). The md5 keeps the compared column a string
+    while still pinning every byte of the assembled document.
+
+    SQL twin: string_agg(... ORDER BY turn_idx, coalesce(text,''),
+    coalesce(role,'')) GROUP BY conv_id.
+    """
+    from .conversation import _with_bucket
+
+    projected = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_AssembleDocsBucket(), batch_format="pandas")
+    )
+
+
+class _TurnPairsBucket:
+    """One call = one hash bucket of conversations: order, shift-by-1 within
+    conversation, keep user→assistant adjacencies with non-null text."""
+
+    def __init__(self, prompt_role: str, response_role: str):
+        self.prompt_role = prompt_role
+        self.response_role = response_role
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = _ordered(df)
+        same_conv = df["conv_id"].eq(df["conv_id"].shift(-1))
+        nrole = df["role"].shift(-1)
+        ntext = df["text"].shift(-1)
+        nturn = df["turn_idx"].shift(-1)
+        keep = (
+            same_conv
+            & df["role"].eq(self.prompt_role)
+            & nrole.eq(self.response_role)
+            & df["text"].notna()
+            & ntext.notna()
+        )
+        out = pd.DataFrame(
+            {
+                "conv_id": df.loc[keep, "conv_id"],
+                "prompt_turn_idx": df.loc[keep, "turn_idx"].astype("int64"),
+                "response_turn_idx": nturn[keep].astype("int64"),
+                "prompt_md5": _md5_series(df.loc[keep, "text"]),
+                "response_md5": _md5_series(ntext[keep]),
+            }
+        )
+        return out.reset_index(drop=True)
+
+
+def turn_pairs(ds, prompt_role: str = "user", response_role: str = "assistant", num_buckets: int = 64):
+    """Mine adjacent (prompt_role → response_role) turn pairs per conversation
+    under the stable turn ordering — the SFT-pair extraction a training-data
+    pipeline runs over raw transcripts. Emits (conv_id, prompt_turn_idx,
+    response_turn_idx, prompt_md5, response_md5); pairs with a NULL prompt or
+    response text are dropped (nothing to train on).
+
+    SQL twin: lead(role/text/turn_idx) OVER (PARTITION BY conv_id ORDER BY
+    turn_idx, coalesce(text,''), coalesce(role,'')).
+    """
+    from .conversation import _with_bucket
+
+    projected = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_TurnPairsBucket(prompt_role, response_role), batch_format="pandas")
+    )
