@@ -1545,6 +1545,27 @@ def q_turn_text_digest(sf_dir: str):
     return _read_transcripts(sf_dir).map_batches(digest, batch_format="pandas")
 
 
+def q_group_topk(sf_dir: str):
+    """Best-k-per-group balancing selector: the 5 longest documents per source
+    (n_chars DESC, doc_id ASC) — combiner-bounded shuffle (stages/sampling.py)."""
+    from ..stages.sampling import group_topk
+
+    docs = _read_table(sf_dir, "documents")
+    return group_topk(docs, "source", "n_chars", "doc_id", 5).select_columns(
+        ["source", "doc_id", "n_chars"]
+    )
+
+
+def q_global_rank(sf_dir: str):
+    """Global distribution rank: per-document count of docs with n_chars ≤
+    this one (cume-dist numerator) via broadcast cumulative value counts —
+    corpus never shuffles (stages/sampling.py)."""
+    from ..stages.sampling import global_rank
+
+    docs = _read_table(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return global_rank(docs, "n_chars")
+
+
 def q_conversation_doc(sf_dir: str):
     """Transcript → training-document assembly: each conversation rendered as
     ordered 'role|text' lines and rolled up to (conv_id, n_turns, doc_md5) —
@@ -1853,6 +1874,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_text_digest": q_turn_text_digest,
         "conversation_doc": q_conversation_doc,
         "turn_pairs": q_turn_pairs,
+        "group_topk": q_group_topk,
+        "global_rank": q_global_rank,
         "worst_offenders": q_worst_offenders,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1905,6 +1928,17 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), "
         f"'{BPE_SPLIT_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens "
         "FROM documents"
+    )
+    out["group_topk"] = (
+        "SELECT source, doc_id, n_chars FROM "
+        "(SELECT source, doc_id, n_chars, ROW_NUMBER() OVER "
+        "(PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+        "WHERE rn <= 5"
+    )
+    out["global_rank"] = (
+        "SELECT doc_id, n_chars, COUNT(*) OVER "
+        "(ORDER BY n_chars RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le "
+        "FROM documents WHERE n_chars IS NOT NULL"
     )
     out["quantile_filter"] = (
         "SELECT doc_id, n_chars FROM documents "

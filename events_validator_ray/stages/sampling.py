@@ -68,6 +68,76 @@ def stratified_sample(ds, key: str, order_col: str, n_per_key: int):
     )
 
 
+def group_topk(ds, key: str, score_col: str, id_col: str, k: int):
+    """Best `k` rows per `key` group by (score_col DESC, id_col ASC) — the
+    'keep the k best documents per source/cluster' balancing selector
+    (complement of stratified_sample's first-n-by-id). Deterministic: the
+    (score DESC, id ASC) pair is a total order.
+
+    Scale shape: identical to stratified_sample — a per-batch combiner keeps
+    ≤ k rows per key per block, so the single groupby(key) shuffle moves
+    O(blocks × keys × k) rows, never the corpus.
+    SQL twin: ROW_NUMBER() OVER (PARTITION BY key ORDER BY score DESC, id) <= k."""
+
+    def head_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values([key, score_col, id_col], ascending=[True, False, True], kind="stable")
+            .groupby(key, sort=False)
+            .head(k)
+        )
+
+    combiner = head_per_key
+    combiner.__name__ = "group_topk_combiner"
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        return head_per_key(g)
+
+    finish.__name__ = "group_topk_finish"
+    return (
+        ds.map_batches(combiner, batch_format="pandas")
+        .groupby(key)
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
+def global_rank(ds, col: str, out_col: str = "n_le"):
+    """Append each row's global cumulative rank `out_col` = COUNT of rows with
+    `col` ≤ this row's value (NULLs excluded from both the count and the
+    output) — the distribution-position signal behind percentile capping /
+    'drop the bottom X%' curation rules, exact and shuffle-free for the row
+    data itself.
+
+    Scale shape: ONE value-count groupby bounded by the column's CARDINALITY
+    (the documented integer/categorical use — same bound as
+    quantile_threshold_filter's integer path; continuous float columns should
+    go through that operator's histogram ladder instead), a tiny driver
+    cumsum, then a broadcast (ray.put) sorted-values + cumulative-counts pair
+    consumed by a map-only searchsorted pass. The corpus itself never
+    shuffles.
+    SQL twin: COUNT(*) OVER (ORDER BY col RANGE UNBOUNDED PRECEDING)."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+    vc = vc[vc[col].notna()].sort_values(col).reset_index(drop=True)
+    vals = vc[col].to_numpy()
+    cum = np.cumsum(vc["n"].to_numpy()).astype(np.int64)
+    ref = ray.put((vals, cum))
+
+    def attach(t: pa.Table) -> pa.Table:
+        vals_cum = ref
+        if isinstance(vals_cum, ray.ObjectRef):
+            vals_cum = ray.get(vals_cum)
+        sv, sc = vals_cum
+        t = t.filter(pc.is_valid(t[col]))
+        v = t[col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(sv, v, side="right") - 1
+        return t.append_column(out_col, pa.array(sc[idx], pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
 def _chain_mask(v, chain, bins: int):
     """Boolean mask of finite values surviving the histogram refinement chain
     [(lo, hi, j), ...]: at each level the value's bin under the SAME clipped
