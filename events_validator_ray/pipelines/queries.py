@@ -465,14 +465,14 @@ def embedding_components_oracle() -> str:
     return _components_sql(pair_sql, "SELECT vec_id, vec_id FROM embeddings", "vec_id")
 
 
-def _sidecar_path(root: str, sf_dir: str) -> str:
+def _sidecar_path(root: str, sf_dir: str, table: str = "documents") -> str:
     """Cache path for an engine-emitted sidecar, keyed on the source file's
     identity (size+mtime) so a regenerated corpus can never pair with a stale
     sidecar."""
     import os
 
-    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
-    return f"/tmp/{root}/docs_{st.st_size}_{int(st.st_mtime)}.parquet"
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"/tmp/{root}/{table[:4]}_{st.st_size}_{int(st.st_mtime)}.parquet"
 
 
 def ensure_simhash_sigs(sf_dir: str) -> str:
@@ -551,6 +551,74 @@ def q_dedup_embedding(sf_dir: str):
         n_bits=8,
         bands=8,
         include_singletons=True,
+    )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def ensure_kmeans_centroids(sf_dir: str) -> str:
+    """Emit the fitted k-means centroids (cluster_id, centroid list<double>)
+    to a /tmp sidecar for the cluster_assign twin. Fitted with the
+    deterministic driver-side replica (kmeans_fit_local — no Ray session may
+    exist at oracle-SQL-build time); the DISTRIBUTED fit (kmeans_fit) is
+    differential-tested against this replica in tests/test_similarity_text.py.
+    Correctness apparatus only: at scale the centroids are a broadcast
+    object, never a driver-side file."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import kmeans_fit_local
+
+    path = _sidecar_path("graft_kmeans_v1", sf_dir, table="embeddings")
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        C = kmeans_fit_local(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "cluster_id": pa.array(range(len(C)), pa.int64()),
+                    "centroid": pa.array([list(map(float, row)) for row in C]),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def q_cluster_assign(sf_dir: str):
+    """Topic clustering for data balancing: nearest-centroid assignment of
+    every embedding against the fitted k-means centroids — broadcast
+    centroids, map-only pass (stages/similarity.py). The hash-checked surface
+    is the distributed assignment plumbing; the fit itself is
+    differential-tested (distributed vs local replica)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import kmeans_assign
+
+    path = ensure_kmeans_centroids(sf_dir)
+    C = pq.read_table(path)["centroid"].to_pylist()
+    import numpy as np
+
+    return kmeans_assign(_read_table(sf_dir, "embeddings"), np.asarray(C, dtype=np.float64))
+
+
+def cluster_assign_oracle(sf_dir: str) -> str:
+    path = ensure_kmeans_centroids(sf_dir)
+    return (
+        f"WITH c AS (SELECT cluster_id, centroid FROM read_parquet('{path}')), "
+        "a AS (SELECT e.vec_id, c.cluster_id, "
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS d "
+        "FROM embeddings e CROSS JOIN c), "
+        "r AS (SELECT vec_id, cluster_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY d, cluster_id) AS rn FROM a) "
+        "SELECT vec_id, cluster_id FROM r WHERE rn = 1"
     )
 
 
@@ -1876,6 +1944,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_pairs": q_turn_pairs,
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
+        "cluster_assign": q_cluster_assign,
         "worst_offenders": q_worst_offenders,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -1909,6 +1978,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     if _os.path.exists(_os.path.join(_docs_dir, "documents.parquet")):
         out["dedup_simhash"] = simhash_components_oracle(_docs_dir)
         out["fingerprints"] = fingerprints_oracle(_docs_dir)
+    if _os.path.exists(_os.path.join(_docs_dir, "embeddings.parquet")):
+        out["cluster_assign"] = cluster_assign_oracle(_docs_dir)
     out["bloom_semi_join"] = (
         "SELECT o_orderkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"

@@ -224,6 +224,133 @@ def ann_topk_ivf(
     return out[["query_id", "vec_id", "rank", "score"]].reset_index(drop=True)
 
 
+# ---------------------------------------------------------------------------
+# Full-corpus k-means (topic clustering for data balancing / semantic dedup)
+# ---------------------------------------------------------------------------
+
+
+def _sq_dists(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances, elementwise ((E-C)**2).sum — the same
+    association order the DuckDB list_distance twin uses, so argmin parity
+    holds to the last ulp (the matmul expansion |E|²+|C|²-2E·C is cheaper but
+    rounds differently)."""
+    return ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    return np.stack(batch[col].to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _lloyd_step(E: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One assignment pass: per-cluster (sum vector, count) partials."""
+    a = np.argmin(_sq_dists(E, C), axis=1)
+    k = C.shape[0]
+    sums = np.zeros_like(C)
+    for j in range(k):
+        m = a == j
+        if m.any():
+            sums[j] = E[m].sum(axis=0)
+    return sums, np.bincount(a, minlength=k).astype(np.int64)
+
+
+def kmeans_fit(ds, k: int = 8, iters: int = 4, col: str = "embedding", id_col: str = "vec_id", combine_partitions: int = 4) -> np.ndarray:
+    """Distributed full-corpus Lloyd k-means (vs train_centroids' driver-side
+    SAMPLE fit): init = the k lowest-id vectors (deterministic, no RNG), then
+    `iters` rounds of map_batches assignment partials — each task emits ONE
+    pickled (k×dim sums, k counts) row — reduced behind a `repartition`
+    exchange barrier (the joins.build_bloom pattern; without it Ray fuses
+    partial→combine into one task and the driver pulls one row per block).
+    Driver pull per round: ≤ combine_partitions rows. Empty clusters keep
+    their previous centroid."""
+    import pickle
+
+    import ray
+
+    def min_ids(t: pa.Table) -> pa.Table:
+        sel = t.select([id_col, col])
+        if t.num_rows == 0:
+            return sel
+        idx = np.argsort(sel[id_col].to_numpy(zero_copy_only=False))[:k]
+        return sel.take(pa.array(idx))
+
+    rows = ds.map_batches(min_ids, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r[id_col])
+    C = np.stack([np.asarray(r[col], dtype=np.float64) for r in rows[:k]])
+
+    def merge(t: pa.Table) -> pa.Table:
+        sums = None
+        cnt = None
+        for p in t["payload"].to_pylist():
+            s, c = pickle.loads(p)
+            sums = s if sums is None else sums + s
+            cnt = c if cnt is None else cnt + c
+        return pa.table({"payload": pa.array([pickle.dumps((sums, cnt))], pa.binary())})
+
+    proj = ds.select_columns([col])
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def partial(t: pa.Table, _cref=cref) -> pa.Table:
+            Cw = ray.get(_cref) if isinstance(_cref, ray.ObjectRef) else _cref
+            if t.num_rows == 0:
+                s, c = np.zeros_like(Cw), np.zeros(Cw.shape[0], dtype=np.int64)
+            else:
+                s, c = _lloyd_step(_embedding_matrix(t, col), Cw)
+            return pa.table({"payload": pa.array([pickle.dumps((s, c))], pa.binary())})
+
+        out_rows = (
+            proj.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .repartition(combine_partitions)
+            .map_batches(merge, batch_format="pyarrow", batch_size=None)
+            .take_all()
+        )
+        sums = np.zeros_like(C)
+        cnt = np.zeros(k, dtype=np.int64)
+        for r in out_rows:
+            s, c = pickle.loads(r["payload"])
+            sums += s
+            cnt += c
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = sums[nz] / cnt[nz, None]
+    return C
+
+
+def kmeans_fit_local(table: pa.Table, k: int = 8, iters: int = 4, col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Driver-side numpy replica of kmeans_fit over one Arrow table — the
+    deterministic trainer behind the cluster_assign twin's centroid sidecar
+    (built at oracle-SQL-build time, where no Ray session may exist yet).
+    Differential-tested against the distributed fit in pytest."""
+    order = np.argsort(table[id_col].to_numpy(zero_copy_only=False))
+    E = _embedding_matrix(table, col)
+    C = E[order[:k]]
+    for _ in range(iters):
+        sums, cnt = _lloyd_step(E, C)
+        nz = cnt > 0
+        C = C.copy()
+        C[nz] = sums[nz] / cnt[nz, None]
+    return C
+
+
+def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding", id_col: str = "vec_id"):
+    """Map-only nearest-centroid assignment against broadcast centroids
+    (ray.put once, read per worker): (id_col, cluster_id). Ties break to the
+    lowest cluster_id (np.argmin), matching the twin's ORDER BY d, cluster_id."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(t: pa.Table) -> pa.Table:
+        C = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        sel = t.select([id_col])
+        if t.num_rows == 0:
+            return sel.append_column("cluster_id", pa.array([], pa.int64()))
+        a = np.argmin(_sq_dists(_embedding_matrix(t, col), C), axis=1)
+        return sel.append_column("cluster_id", pa.array(a.astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 class _CosinePairsBlock:
     """map_batches stage: each batch's vectors vs the broadcast corpus matrix;
     emits (a, b, score) for a < b with cosine >= threshold."""

@@ -399,3 +399,28 @@ def test_group_zscore_degenerate_and_centering(ray_session):
     # population z of [1,2,3,4]: mean 2.5, std sqrt(1.25) -> symmetric
     assert zb.sum() in (0, -1, -2, -3)  # floor() skews each negative pair by <=1
     assert zb[0] < zb[1] < zb[2] < zb[3]
+
+
+def test_kmeans_distributed_matches_local_replica(emb_ds):
+    """Distributed Lloyd fit (partial sums behind a repartition barrier) vs
+    the driver-side numpy replica used by the cluster_assign twin's sidecar:
+    centroids agree to float64 merge-order noise and assignments are equal."""
+    import pyarrow.parquet as pq
+
+    from events_validator_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+        kmeans_fit_local,
+    )
+
+    C_dist = kmeans_fit(emb_ds, k=8, iters=4)
+    C_local = kmeans_fit_local(pq.read_table(f"{SF_DIR}/embeddings.parquet"), k=8, iters=4)
+    np.testing.assert_allclose(C_dist, C_local, rtol=1e-9, atol=1e-12)
+    a_dist = (
+        kmeans_assign(emb_ds, C_dist).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    a_local = (
+        kmeans_assign(emb_ds, C_local).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a_dist, a_local)
+    assert a_dist["cluster_id"].nunique() > 1  # a real partition of the corpus
