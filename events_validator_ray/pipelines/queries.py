@@ -1359,6 +1359,24 @@ def q_bloom_semi_join(sf_dir: str):
     return bloom_semi_join(orders, keys, on="o_custkey").select_columns(["o_orderkey"])
 
 
+def q_anti_join_orphans(sf_dir: str):
+    """Referential-integrity orphan scan (EXACT anti-join,
+    stages/joins.py:bloom_anti_join): orders NOT placed by a BUILDING-segment
+    customer — the complement of bloom_semi_join's fixture, NOT EXISTS
+    semantics (NULL keys kept). Bloom misses stream to the output with zero
+    shuffle; only Bloom hits co-shuffle for the exact unmatched check."""
+    from ..stages.joins import bloom_anti_join
+
+    orders = _read_table(sf_dir, "orders").select_columns(["o_orderkey", "o_custkey"])
+    keys = (
+        _read_table(sf_dir, "customer")
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .map_batches(lambda t: t.rename_columns(["o_custkey"]), batch_format="pyarrow")
+    )
+    return bloom_anti_join(orders, keys, on="o_custkey").select_columns(["o_orderkey"])
+
+
 def q_mod_sample(sf_dir: str):
     """Deterministic systematic 1-in-10 sample (the reference's 'sample
     events upstream' cost mitigation, README.md:62-64, as an engine
@@ -1926,6 +1944,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pairs": q_near_dup_pairs,
         "jaccard_ngram_pairs": q_jaccard_ngram_pairs,
         "bloom_semi_join": q_bloom_semi_join,
+        "anti_join_orphans": q_anti_join_orphans,
         "mod_sample": q_mod_sample,
         "stratified_sample": q_stratified_sample,
         "token_count_bpe": q_token_count_bpe,
@@ -1983,6 +2002,11 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["bloom_semi_join"] = (
         "SELECT o_orderkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+    )
+    out["anti_join_orphans"] = (
+        "SELECT o_orderkey FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey "
+        "AND c.c_mktsegment = 'BUILDING')"
     )
     out["mod_sample"] = (
         "SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 10 < 1"

@@ -374,6 +374,85 @@ def bloom_semi_join(
     return bucketed_hash_join(survivors, distinct_keys, on=on, num_buckets=num_buckets)
 
 
+def bloom_anti_join(
+    left,
+    keys_ds,
+    on: str,
+    n_bits_log2: int = 22,
+    k: int = 4,
+    num_buckets: int = 32,
+    keys_distinct: bool = False,
+):
+    """EXACT anti-join — `left WHERE NOT EXISTS (key match)` — the orphan /
+    foreign-key-violation scan of the referential plane. NULL-key left rows
+    are KEPT (SQL: NULL never matches; NOT IN would return them differently,
+    so the twin must be written with NOT EXISTS).
+
+    Scale shape: a Bloom filter over the key set is built distributed and
+    broadcast once; left rows that MISS the Bloom are definitely unmatched and
+    stream straight to the output with ZERO shuffle, while Bloom HITS (true
+    members + false positives) co-shuffle against the distinct key set in a
+    bucketed LEFT join whose unmatched rows are kept. A mostly-orphan scan
+    shuffles almost nothing; a mostly-member scan shuffles ~the member rows
+    (the exact check is unavoidable there). The two streams are two lazy
+    passes over `left` — re-reading a streaming source twice is deliberately
+    preferred to materializing it or to shuffling the miss rows through the
+    join."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    bloom_ref = ray.put(build_bloom(keys_ds, on, n_bits_log2, k))
+    holder: dict = {}
+
+    def _mask(df: pd.DataFrame) -> pd.Series:
+        if "b" not in holder:
+            obj = bloom_ref
+            if isinstance(obj, ray.ObjectRef):
+                obj = ray.get(obj)
+            holder["b"] = obj
+        # NULL keys never match any key -> definite keeps, routed to the
+        # miss stream (the hit stream then carries no NULL keys at all)
+        return pd.Series(
+            holder["b"].contains(_canon_key_str(df[on])) & df[on].notna().to_numpy(),
+            index=df.index,
+        )
+
+    def misses_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df[~_mask(df)]
+
+    misses_fn.__name__ = "bloom_misses"
+
+    def hits_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df[_mask(df)]
+
+    hits_fn.__name__ = "bloom_hits"
+
+    misses = left.map_batches(misses_fn, batch_format="pandas")
+    hits = left.map_batches(hits_fn, batch_format="pandas")
+
+    if keys_distinct:
+        distinct_keys = keys_ds.select_columns([on])
+    else:
+        distinct_keys = (
+            keys_ds.select_columns([on])
+            .groupby(on)
+            .aggregate(Count(alias_name="_n"))
+            .select_columns([on])
+        )
+    marked = distinct_keys.map_batches(
+        lambda df: df.assign(__m=np.int8(1)), batch_format="pandas"
+    )
+    left_cols = list(left.schema().names)
+    joined = bucketed_hash_join(hits, marked, on=on, num_buckets=num_buckets, how="left")
+
+    def keep_unmatched(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__m"].isna(), left_cols]
+
+    keep_unmatched.__name__ = "keep_unmatched"
+    return misses.union(joined.map_batches(keep_unmatched, batch_format="pandas"))
+
+
 def bucketed_hash_join(
     left,
     right,

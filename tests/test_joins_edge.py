@@ -367,3 +367,44 @@ def test_null_keys_never_equi_join(ray_session):
         "SELECT lp.u, t, lv, lo, hi FROM lp JOIN rp ON lp.u = rp.u AND t BETWEEN lo AND hi ORDER BY lv"
     ).df()
     assert got_r["lv"].tolist() == want_r["lv"].tolist()
+
+
+def test_bloom_anti_join_null_keys_and_fp_pressure(ray_session):
+    """NOT EXISTS semantics: NULL-key left rows are kept; a deliberately tiny
+    Bloom (high false-positive rate) still yields the exact answer because
+    hits go through the exact unmatched check."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import bloom_anti_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "id": np.arange(3000),
+            "k": rng.integers(0, 500, 3000).astype("float64"),
+        }
+    )
+    left.loc[left.index % 37 == 5, "k"] = np.nan  # NULL keys -> kept
+    keys = pd.DataFrame({"k": np.arange(0, 500, 3).astype("float64")})
+    got = (
+        bloom_anti_join(
+            rd.from_pandas(left).repartition(6),
+            rd.from_pandas(keys).repartition(2),
+            on="k",
+            n_bits_log2=8,  # tiny: forces false positives into the exact pass
+            num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("left_t", left)
+    con.register("keys_t", keys)
+    want = con.sql(
+        "SELECT id FROM left_t l WHERE NOT EXISTS "
+        "(SELECT 1 FROM keys_t r WHERE r.k = l.k) ORDER BY id"
+    ).df()
+    assert list(got["id"].astype("int64")) == list(want["id"].astype("int64"))
+    assert left["k"].isna().sum() > 0  # fixture really exercised NULL keys
