@@ -30,11 +30,14 @@ lands in one task (within-chunk checks are exact because equal turn values
 share a chunk); phase 2 merges the per-chunk
 summaries per conversation DISTRIBUTED (hash-bucketed vectorized boundary
 carry — the summary table is conv x chunk and must never be collected) for
-the cross-boundary gaps / first-turn / alternation checks, and flags
-"suspect" chunks whose min ts undercuts an earlier chunk's prefix max; phase
-3 re-groups only those chunks and owns ALL their ts-order rows, with
-`expected` = the conversation-global prefix max. (Two-phase salting per
-DS2/ICDE'21, see PAPERS.md.)
+the cross-boundary gaps / first-turn / alternation checks. Cross-chunk ts
+ordering finalizes INSIDE phase 2: chunk>0 summaries (the split tail — the
+only possible suspects, since a chunk with no earlier chunk cannot undercut
+one) carry their per-row (turn_idx, ts) payload, and suspect chunks' ts-order
+rows are re-emitted there with `expected` = the conversation-global prefix
+max — no second corpus scan. Phase 1's within-chunk ts rows for suspect
+chunks are dropped (their expected understates the global max). (Two-phase
+salting per DS2/ICDE'21, see PAPERS.md.)
 """
 
 from __future__ import annotations
@@ -65,6 +68,15 @@ SUMMARY_FIELDS = [
     "alt_first_turn",
     "alt_first_role",
     "alt_last_role",
+    # chunk>0 groups only: per-ROW turn_idx / ts-µs CSVs ("" = null ts) in the
+    # group. Only chunk>0 groups can ever be ts-order SUSPECTS (a chunk with
+    # no earlier chunk cannot undercut one), so carrying their rows lets
+    # phase 2 emit the corrected cross-chunk ts violations directly and the
+    # old phase-3 full-corpus rescan disappears. Volume is bounded by the
+    # split tail (turns beyond each conversation's first chunk) — the rows
+    # you pay for are exactly the skew you bought insurance against.
+    "ts_turns",
+    "ts_vals",
 ]
 
 
@@ -530,6 +542,29 @@ class BucketChecker:
                 stats = stats.join(summaries)
             if alt_summary is not None:
                 stats = stats.join(alt_summary)
+            if order and order.ts_monotone and has_ts and len(gcols) > 1:
+                # chunk>0 groups (the split tail, and the only possible ts
+                # suspects) carry their per-row (turn_idx, ts) CSVs so phase 2
+                # can finalize cross-chunk ts checks without a corpus rescan
+                split_rows = df[gcols[1]].to_numpy() > 0
+                if split_rows.any():
+                    tsub = ts.to_numpy()[split_rows]
+                    vstr = np.where(
+                        np.isnan(tsub),
+                        "",
+                        np.nan_to_num(tsub).astype(np.int64).astype(str),
+                    ).astype(object)
+                    sub = pd.DataFrame(
+                        {
+                            "_g": df["_g"].to_numpy()[split_rows],
+                            "t": df["turn_idx"].to_numpy()[split_rows].astype(np.int64).astype(str),
+                            "v": vstr,
+                        }
+                    )
+                    ts_pack = sub.groupby("_g", sort=False).agg(
+                        ts_turns=("t", ",".join), ts_vals=("v", ",".join)
+                    )
+                    stats = stats.join(ts_pack)
             stats = stats.reset_index()
             n_stats = len(stats)
             gv = stats["_g"].to_numpy(dtype=np.int64)
@@ -570,6 +605,8 @@ class BucketChecker:
                 s_int("alt_first_turn"),
                 s_str("alt_first_role"),
                 s_str("alt_last_role"),
+                s_str("ts_turns"),
+                s_str("ts_vals"),
             ]
             payloads = (
                 pd.Series(cols[0])
@@ -727,6 +764,8 @@ def _unpack_summaries(df: "pd.DataFrame") -> "pd.DataFrame":
     out["first_ok"] = parts["first_ok"] if "first_ok" in parts else ""
     for c in ("min_role", "alt_first_role", "alt_last_role"):
         out[c] = parts[c].where(parts[c] != "") if c in parts else np.nan
+    for c in ("ts_turns", "ts_vals"):
+        out[c] = parts[c] if c in parts else ""
     return out
 
 
@@ -736,7 +775,9 @@ class _Phase2Bucket:
     (shift / cummax / ffill boundary carry) — cross-chunk contiguity,
     min-turn-zero, first-role and alternation-carry violations, plus
     `status='suspect'` marker rows (event_id=f"{conv}:{chunk}",
-    expected=str(prefix_max)) driving the phase-3 ts re-scan. Replaces the
+    expected=str(prefix_max)) driving the phase-1 suspect ts-row drop, plus
+    the corrected cross-chunk ts-order rows re-checked from the chunk>0
+    summaries' carried (turn_idx, ts) payloads. Replaces the
     old driver-side merge: at 10^12 turns the summary table (one row per
     conv × chunk) is itself corpus-scale and must never be collected."""
 
@@ -836,6 +877,9 @@ class _Phase2Bucket:
             prefix = cm.groupby(df["conv"], sort=False).shift(1)
             min_ts = df["min_ts"].astype("float64")
             m = (prefix.notna() & min_ts.notna() & (min_ts < prefix)).to_numpy()
+            # suspect markers: drive the drop of phase 1's within-chunk ts
+            # rows for these chunks (their `expected` understates the global
+            # prefix max)
             out.add(
                 (conv[m] + ":" + df.loc[m, "chunk"].astype("int64").astype(str)).to_numpy(
                     dtype=object
@@ -847,6 +891,47 @@ class _Phase2Bucket:
                 conv[m].to_numpy(dtype=object),
                 status="suspect",
             )
+            # ...and emit the CORRECTED ts-order rows directly from the
+            # chunk's carried (turn_idx, ts) payload — the old phase-3
+            # full-corpus rescan is gone. Semantics identical to the unsalted
+            # path: a row violates iff ts < max(within-chunk prev-turn max,
+            # earlier-chunk prefix max), expected = that effective max.
+            if m.any() and "ts_turns" in df.columns:
+                ts_name = order.ts_column or "ts"
+                for tcsv, vcsv, conv_s, P in zip(
+                    df.loc[m, "ts_turns"],
+                    df.loc[m, "ts_vals"],
+                    conv[m],
+                    prefix[m].to_numpy(dtype="float64"),
+                ):
+                    if not isinstance(tcsv, str) or not tcsv:
+                        continue
+                    turns = np.array(tcsv.split(","), dtype=np.int64)
+                    vals = np.array(
+                        [float(x) if x else np.nan for x in vcsv.split(",")],
+                        dtype=np.float64,
+                    )
+                    o = np.argsort(turns, kind="stable")
+                    st, sv = turns[o], vals[o]
+                    uturn, inv = np.unique(st, return_inverse=True)
+                    filled = np.where(np.isnan(sv), -np.inf, sv)
+                    tmax = np.full(len(uturn), -np.inf)
+                    np.maximum.at(tmax, inv, filled)
+                    run = np.maximum.accumulate(tmax)
+                    prevmax = np.concatenate(([-np.inf], run[:-1]))
+                    eff = np.maximum(prevmax[inv], P)
+                    bad = ~np.isnan(sv) & (sv < eff)
+                    if bad.any():
+                        out.add(
+                            np.array(
+                                [f"{conv_s}:{t}" for t in st[bad]], dtype=object
+                            ),
+                            ts_name,
+                            "order",
+                            eff[bad].astype(np.int64).astype(str).astype(object),
+                            sv[bad].astype(np.int64).astype(str).astype(object),
+                            ename,
+                        )
         return out.to_table(self.run_ts)
 
 
@@ -872,75 +957,6 @@ class _Phase2Packed:
             _unpack_summaries(sub)
         )
 
-
-class _SuspectRescanBuckets:
-    """Phase 3: ALL ts-order violations inside suspect chunks. Phase 1's ts
-    rows for suspect (conv, chunk) groups are dropped (see
-    `conversation_violations_salted`), so this pass owns them entirely: a row
-    violates iff ts < max(within-chunk prev-max, earlier-chunk prefix max),
-    and `expected` is that conversation-GLOBAL prefix max — identical to the
-    unsalted path / SQL oracle even when an earlier chunk holds the running
-    max (forward ts outlier).
-
-    Vectorized over MANY suspect (conv, chunk) groups per hash-bucket task
-    (mirrors BucketChecker's ts kernels) — never one Ray task per suspect
-    chunk. `prefix_max` rides in the pickled callable, bounded by suspects."""
-
-    def __init__(self, spec: Spec, run_ts: _dt.datetime, prefix_max: dict):
-        self.spec = spec
-        self.run_ts = run_ts
-        self.prefix_max = prefix_max  # (conv, chunk) -> prefix max ts_us
-        self.__name__ = type(self).__name__
-
-    def __call__(self, df) -> pa.Table:
-        import pandas as pd
-
-        order = self.spec.table.order
-        ts_name = order.ts_column if order else "ts"
-        out = _VecRows()
-        df = df.sort_values(["conv_id", "chunk", "turn_idx"], kind="stable").reset_index(
-            drop=True
-        )
-        s = pd.to_datetime(df[ts_name])
-        vals = s.astype("int64")
-        if str(s.dtype).startswith("datetime64[ns"):
-            vals = vals // 1000  # epoch MICROseconds everywhere
-        ts = vals.where(s.notna()).astype("float64")
-        key = ["conv_id", "chunk", "turn_idx"]
-        agg = (
-            pd.DataFrame({**{c: df[c] for c in key}, "_ts": ts})
-            .groupby(key, sort=True)
-            .agg(max_ts=("_ts", "max"))
-            .reset_index()
-        )
-        filled = agg["max_ts"].fillna(float("-inf"))
-        gkeys = [agg["conv_id"], agg["chunk"]]
-        cummax = filled.groupby(gkeys, sort=False).cummax()
-        agg["prevmax"] = cummax.groupby(gkeys, sort=False).shift(1)
-        joined = df.merge(agg[key + ["prevmax"]], on=key, how="left", sort=False)
-        pm_df = pd.DataFrame(
-            [(c, ch, p) for (c, ch), p in self.prefix_max.items()],
-            columns=["conv_id", "chunk", "_pmax"],
-        )
-        joined = joined.merge(pm_df, on=["conv_id", "chunk"], how="left", sort=False)
-        eff = np.maximum(
-            joined["prevmax"].fillna(float("-inf")).to_numpy(dtype="float64"),
-            joined["_pmax"].fillna(float("-inf")).to_numpy(dtype="float64"),
-        )
-        tnp = ts.to_numpy(dtype="float64")
-        m = ~np.isnan(tnp) & (tnp < eff)
-        sel = joined[m]
-        out.add(
-            (sel["conv_id"].astype(str) + ":" + sel["turn_idx"].astype(str)).to_numpy(
-                dtype=object
-            ),
-            ts_name,
-            "order",
-            pd.Series(eff[m]).astype("int64").astype(str).to_numpy(dtype=object),
-            ts[m].astype("int64").astype(str),
-            self.spec.event_name,
-        )
-        return out.to_table(self.run_ts)
 
 
 def conversation_violations_salted(
@@ -994,9 +1010,9 @@ def conversation_violations_salted(
     # conversation. The summary table is one row per (conv, chunk) — far
     # below the corpus. When the WHOLE phase-1 output is driver-sized
     # (phase1.count() bounds it, free on materialized data), pull it once:
-    # phase 2, the suspect-row drop and the violation re-emit all happen
-    # driver-side, leaving the final execution with only the rescan lineage
-    # plus one pre-built block. Corpus-scale phase-1 output (10^12 turns)
+    # phase 2 (including the payload ts re-check), the suspect-row drop and
+    # the violation re-emit all happen driver-side, leaving ONE pre-built
+    # final block. Corpus-scale phase-1 output (10^12 turns)
     # takes the distributed hash-bucketed path, where only phase 2's OUTPUT
     # (cross-chunk violations + suspect markers, bounded by actual issues)
     # is ever collected.
@@ -1068,11 +1084,11 @@ def conversation_violations_salted(
         ):
             c, ch = c_ch.rsplit(":", 1)
             suspects.append((c, int(ch), int(pm)))
-    pmax = {(c, ch): pm for c, ch, pm in suspects}
-    suspect_keys = frozenset(f"{c}:{ch}" for (c, ch) in pmax)
-    # phase 3 owns ALL ts-order rows for suspect chunks: drop phase 1's
-    # (their `expected` is only the WITHIN-chunk prefix max — wrong when an
-    # earlier chunk holds the running max).
+    suspect_keys = frozenset(f"{c}:{ch}" for (c, ch, _pm) in suspects)
+    # phase 2's payload re-check owns ALL ts-order rows for suspect chunks
+    # (emitted into err2 above): drop phase 1's (their `expected` is only the
+    # WITHIN-chunk prefix max — wrong when an earlier chunk holds the running
+    # max).
     if driver_branch:
         if suspects and len(viol1_df):
             is_ts = (viol1_df["field"] == ts_name) & (
@@ -1113,48 +1129,4 @@ def conversation_violations_salted(
             return _violation_table(df)
 
         out = out.map_batches(drop_suspect_ts, batch_format="pandas")
-    if suspects:
-        import ray as _ray
-
-        # broadcast semi-join on the COMPOSITE (conv, chunk) key (never a
-        # literal `in`-list expression), then a hash-bucketed vectorized
-        # rescan — many suspect chunks per task, not one task per chunk.
-        # Arrow-native: is_in against the broadcast key array, zero pandas.
-        key_ref = _ray.put(pa.array(sorted(suspect_keys), type=pa.string()))
-
-        def keep_suspect(t: pa.Table) -> pa.Table:
-            keys = key_ref
-            if isinstance(keys, _ray.ObjectRef):
-                keys = _ray.get(keys)
-            comp = pc.binary_join_element_wise(
-                pc.cast(t["conv_id"], pa.string()),
-                pc.cast(t["chunk"], pa.string()),
-                ":",
-            )
-            # project to the rescan's columns (drops role): less payload
-            # through the repartition barrier
-            return t.filter(pc.is_in(comp, value_set=keys)).select(
-                [c for c in ("conv_id", "chunk", "turn_idx", ts_name) if c in t.column_names]
-            )
-
-        rescan_src = salted.map_batches(keep_suspect, batch_format="pyarrow")
-        # suspect volume is bounded by len(pmax) * chunk turns. When that fits
-        # one task, coalesce instead of paying a second groupby shuffle's
-        # fixed cost (the rescan kernel handles many whole groups per batch
-        # either way); corpus-scale suspect sets take the bucketed shuffle.
-        if len(pmax) * chunk <= 2_000_000:
-            viol3 = rescan_src.repartition(1).map_batches(
-                _SuspectRescanBuckets(spec, run_ts, pmax),
-                batch_format="pandas",
-                batch_size=None,
-            )
-        else:
-            viol3 = (
-                _with_bucket(rescan_src, 64, cols=("conv_id", "chunk"))
-                .groupby("bucket")
-                .map_groups(
-                    _SuspectRescanBuckets(spec, run_ts, pmax), batch_format="pandas"
-                )
-            )
-        out = out.union(viol3)
     return out
