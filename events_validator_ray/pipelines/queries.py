@@ -1631,6 +1631,31 @@ def q_turn_text_digest(sf_dir: str):
     return _read_transcripts(sf_dir).map_batches(digest, batch_format="pandas")
 
 
+MIXTURE_RATES = {"en": 1.0, "de": 0.5, "es": 0.3, "fr": 0.2}
+PACK_BUDGET = 50_000
+
+
+def q_packing_bins(sf_dir: str):
+    """Token-budget shard packing: each document assigned a training-shard
+    bin by exclusive cumulative n_chars in doc_id order (bin = cum // budget)
+    — a distributed ordered prefix sum (one range-partition sort, per-block
+    offsets broadcast; stages/sampling.py:ordered_prefix_sum)."""
+    from ..stages.sampling import packing_bins
+
+    docs = _read_table(sf_dir, "documents").select_columns(["doc_id", "n_chars"])
+    return packing_bins(docs, "doc_id", "n_chars", PACK_BUDGET)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Deterministic training-mixture sampling by language (en 100%, de 50%,
+    es 30%, fr 20%, zh dropped) — systematic mod selection per group, map-only
+    (stages/sampling.py:mixture_sample)."""
+    from ..stages.sampling import mixture_sample
+
+    docs = _read_table(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return mixture_sample(docs, "lang", "doc_id", MIXTURE_RATES)
+
+
 def q_group_topk(sf_dir: str):
     """Best-k-per-group balancing selector: the 5 longest documents per source
     (n_chars DESC, doc_id ASC) — combiner-bounded shuffle (stages/sampling.py)."""
@@ -1964,6 +1989,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
         "cluster_assign": q_cluster_assign,
+        "mixture_sample": q_mixture_sample,
+        "packing_bins": q_packing_bins,
         "worst_offenders": q_worst_offenders,
         "multimodal_decode": q_multimodal_decode,
     }
@@ -2022,6 +2049,23 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["token_count_bpe"] = (
         "SELECT doc_id, len(regexp_extract_all(coalesce(text, ''), "
         f"'{BPE_SPLIT_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens "
+        "FROM documents"
+    )
+    from .queries import MIXTURE_RATES as _mr
+
+    _cases = " ".join(
+        f"WHEN '{g}' THEN {int(round(r * 1000))}" for g, r in sorted(_mr.items())
+    )
+    out["mixture_sample"] = (
+        f"SELECT doc_id, lang FROM documents "
+        f"WHERE doc_id % 1000 < CASE lang {_cases} ELSE 0 END"
+    )
+    from .queries import PACK_BUDGET as _pb
+
+    out["packing_bins"] = (
+        "SELECT doc_id, n_chars, "
+        "COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_pb} AS bin "
         "FROM documents"
     )
     out["group_topk"] = (

@@ -68,6 +68,26 @@ def stratified_sample(ds, key: str, order_col: str, n_per_key: int):
     )
 
 
+def mixture_sample(ds, group_col: str, id_col: str, rates: dict, scale: int = 1000):
+    """Deterministic domain-mixture sampling: keep a row iff
+    `id % scale < rates[group] * scale` — the 'reweight sources into a
+    training mixture' curation step (e.g. web 10%, books 100%). Pure function
+    of the data (systematic mod selection per group, no RNG), map-only, zero
+    shuffle; groups absent from `rates` are dropped (rate 0).
+    SQL twin: CASE over the same integer thresholds."""
+    import numpy as np
+
+    thresholds = {g: int(round(r * scale)) for g, r in rates.items()}
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        thr = df[group_col].map(thresholds).fillna(0).to_numpy(dtype=np.int64)
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        return df[np.fmod(ids, scale) < thr]
+
+    flt.__name__ = "mixture_sample"
+    return ds.map_batches(flt, batch_format="pandas")
+
+
 def group_topk(ds, key: str, score_col: str, id_col: str, k: int):
     """Best `k` rows per `key` group by (score_col DESC, id_col ASC) — the
     'keep the k best documents per source/cluster' balancing selector
@@ -136,6 +156,76 @@ def global_rank(ds, col: str, out_col: str = "n_le"):
         return t.append_column(out_col, pa.array(sc[idx], pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def ordered_prefix_sum(ds, order_col: str, val_col: str, out_col: str = "cum_prev"):
+    """Distributed EXCLUSIVE prefix sum of `val_col` under the global total
+    order of a UNIQUE `order_col` — the primitive behind sequential curation
+    ops (token-budget packing, ordered quota cuts). SQL twin:
+    SUM(val) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING AND 1 PRECEDING).
+
+    Scale shape: ONE range-partitioning sort (the unavoidable all-to-all for
+    a global order), materialized once so the two passes share it; pass 1
+    pulls one (block-min-key, block-sum) row PER BLOCK (driver pull = block
+    count, never rows); pass 2 broadcasts the exclusive per-block offsets via
+    ray.put and each block adds its internal exclusive cumsum — map-only.
+    Unique order keys make block-min keys unique, so the offset lookup is
+    exact. NULL vals count as 0."""
+    import numpy as np
+    import ray
+
+    sorted_ds = ds.sort(order_col).materialize()
+
+    def block_stat(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], t.schema.field(order_col).type), "s": pa.array([], pa.int64())}
+            )
+        v = pc.fill_null(pc.cast(t[val_col], pa.int64()), 0)
+        return pa.table(
+            {"k": t[order_col].slice(0, 1), "s": pa.array([pc.sum(v).as_py() or 0], pa.int64())}
+        )
+
+    stats = sorted_ds.map_batches(block_stat, batch_format="pyarrow", batch_size=None).take_all()
+    stats.sort(key=lambda r: r["k"])
+    offsets: dict = {}
+    run = 0
+    for r in stats:
+        offsets[r["k"]] = run
+        run += int(r["s"])
+    ref = ray.put(offsets)
+
+    def attach(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        offs = ref
+        if isinstance(offs, ray.ObjectRef):
+            offs = ray.get(offs)
+        base = offs[t[order_col][0].as_py()]
+        v = (
+            pc.fill_null(pc.cast(t[val_col], pa.int64()), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        cum_prev = base + np.cumsum(v) - v
+        return t.append_column(out_col, pa.array(cum_prev, pa.int64()))
+
+    return sorted_ds.map_batches(attach, batch_format="pyarrow", batch_size=None)
+
+
+def packing_bins(ds, order_col: str, val_col: str, budget: int):
+    """Assign each row a training-shard bin by cumulative budget in
+    `order_col` order: bin = (exclusive prefix sum of val_col) // budget —
+    the 'pack documents into ~budget-sized shards in a stable reading order'
+    curation step. Built on ordered_prefix_sum; output adds int64 `bin`."""
+
+    def binify(t: pa.Table) -> pa.Table:
+        b = pc.divide(t["cum_prev"], budget)  # int64 // int -> floor for >=0
+        return t.drop_columns(["cum_prev"]).append_column("bin", pc.cast(b, pa.int64()))
+
+    return ordered_prefix_sum(ds, order_col, val_col).map_batches(
+        binify, batch_format="pyarrow"
+    )
 
 
 def _chain_mask(v, chain, bins: int):

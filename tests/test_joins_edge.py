@@ -408,3 +408,32 @@ def test_bloom_anti_join_null_keys_and_fp_pressure(ray_session):
     ).df()
     assert list(got["id"].astype("int64")) == list(want["id"].astype("int64"))
     assert left["k"].isna().sum() > 0  # fixture really exercised NULL keys
+
+
+def test_ordered_prefix_sum_multiblock(ray_session):
+    """Exclusive prefix sum across many blocks equals the single-process
+    cumsum (block offsets really exchanged, not same-task fused)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import ordered_prefix_sum, packing_bins
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.permutation(5000), "v": rng.integers(0, 100, 5000)})
+    df.loc[df.index % 11 == 3, "v"] = None  # NULLs count as 0
+    got = (
+        ordered_prefix_sum(rd.from_pandas(df).repartition(13), "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ordered = df.sort_values("k").reset_index(drop=True)
+    want = ordered["v"].fillna(0).cumsum() - ordered["v"].fillna(0)
+    np.testing.assert_array_equal(got["cum_prev"].to_numpy(), want.to_numpy().astype("int64"))
+    bins = (
+        packing_bins(rd.from_pandas(df).repartition(13), "k", "v", budget=1000)
+        .to_pandas()
+        .sort_values("k")["bin"]
+        .to_numpy()
+    )
+    np.testing.assert_array_equal(bins, (want.to_numpy().astype("int64") // 1000))
+    assert bins.max() > 10  # many shards -> the offsets really mattered
