@@ -1677,6 +1677,35 @@ def q_global_rank(sf_dir: str):
     return global_rank(docs, "n_chars")
 
 
+def q_cross_conv_dups(sf_dir: str):
+    """Template/canned-response detection: texts appearing verbatim in >= 2
+    DISTINCT conversations (stages/assembly.py:cross_conv_duplicate_texts) —
+    md5-projected shuffle, per-batch distinct-pair combiner, one single-key
+    groupby."""
+    from ..stages.assembly import cross_conv_duplicate_texts
+
+    return cross_conv_duplicate_texts(_read_transcripts(sf_dir))
+
+
+def q_conversation_stats(sf_dir: str):
+    """Per-conversation curation features: role turn counts, tool calls,
+    wall-clock duration — one single-key groupby with additive aggregates
+    (stages/assembly.py:conversation_stats)."""
+    from ..stages.assembly import conversation_stats
+
+    return conversation_stats(_read_transcripts(sf_dir))
+
+
+def q_embedding_checks(sf_dir: str):
+    """Vector-column validation (the embedding analog of the scalar
+    validator): per-vector dimension, NaN count and zero-norm flag — the
+    gates an embedding pipeline needs before ANN/dedup
+    (stages/similarity.py:vector_checks, map-only)."""
+    from ..stages.similarity import vector_checks
+
+    return vector_checks(_read_table(sf_dir, "embeddings"))
+
+
 def q_conversation_doc(sf_dir: str):
     """Transcript → training-document assembly: each conversation rendered as
     ordered 'role|text' lines and rolled up to (conv_id, n_turns, doc_md5) —
@@ -1883,6 +1912,19 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''))) AS doc_md5 "
             f"FROM {t} GROUP BY conv_id"
         ),
+        "cross_conv_dups": (
+            "SELECT md5(text) AS text_md5, COUNT(DISTINCT conv_id) AS n_convs "
+            f"FROM {t} WHERE text IS NOT NULL "
+            "GROUP BY md5(text) HAVING COUNT(DISTINCT conv_id) >= 2"
+        ),
+        "conversation_stats": (
+            "SELECT conv_id, COUNT(*) AS n_turns, "
+            "SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user, "
+            "SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant, "
+            "SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool, "
+            "MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us "
+            f"FROM {t} GROUP BY conv_id"
+        ),
         "turn_pairs": (
             "WITH o AS (SELECT conv_id, turn_idx, role, text, "
             "lead(role) OVER w AS next_role, lead(text) OVER w AS next_text, "
@@ -1986,6 +2028,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_text_digest": q_turn_text_digest,
         "conversation_doc": q_conversation_doc,
         "turn_pairs": q_turn_pairs,
+        "cross_conv_dups": q_cross_conv_dups,
+        "conversation_stats": q_conversation_stats,
+        "embedding_checks": q_embedding_checks,
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
         "cluster_assign": q_cluster_assign,
@@ -2055,6 +2100,13 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
 
     _cases = " ".join(
         f"WHEN '{g}' THEN {int(round(r * 1000))}" for g, r in sorted(_mr.items())
+    )
+    out["embedding_checks"] = (
+        "SELECT vec_id, COALESCE(len(embedding), 0) AS dim, "
+        "COALESCE(len(list_filter(embedding, x -> isnan(x))), 0) AS n_nan, "
+        "CAST(COALESCE(list_sum(list_transform(embedding, "
+        "x -> CASE WHEN isnan(x) THEN 0 ELSE CAST(x AS DOUBLE) * CAST(x AS DOUBLE) END"
+        ")), 0) = 0 AS BIGINT) AS zero_norm FROM embeddings"
     )
     out["mixture_sample"] = (
         f"SELECT doc_id, lang FROM documents "

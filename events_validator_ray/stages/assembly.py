@@ -78,6 +78,94 @@ def conversation_docs(ds, num_buckets: int = 64):
     )
 
 
+def cross_conv_duplicate_texts(ds, min_convs: int = 2):
+    """Template / canned-response detection: texts that appear (verbatim) in
+    at least `min_convs` DISTINCT conversations → (text_md5, n_convs). A core
+    transcript-curation signal (boilerplate answers inflate a training set).
+
+    Scale shape: project to (conv_id, text), md5 the text (the md5 — not the
+    raw text — is what shuffles), per-batch DISTINCT (text_md5, conv_id)
+    combiner, then ONE single-key groupby(text_md5) counting distinct convs
+    per group. SQL twin: GROUP BY md5(text) HAVING COUNT(DISTINCT conv_id)
+    >= min_convs."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.loc[df["text"].notna(), ["conv_id", "text"]]
+        out = pd.DataFrame(
+            {"text_md5": _md5_series(df["text"]), "conv_id": df["conv_id"]}
+        )
+        return out.drop_duplicates()
+
+    pairs.__name__ = "distinct_pairs_combiner"
+
+    def count_convs(g: pd.DataFrame) -> pd.DataFrame:
+        res = (
+            g.groupby("text_md5", sort=False)["conv_id"]
+            .nunique()
+            .rename("n_convs")
+            .reset_index()
+        )
+        return res[res["n_convs"] >= min_convs]
+
+    count_convs.__name__ = "count_distinct_convs"
+    return (
+        ds.select_columns(["conv_id", "text"])
+        .map_batches(pairs, batch_format="pandas")
+        .groupby("text_md5")
+        .map_groups(count_convs, batch_format="pandas")
+    )
+
+
+def conversation_stats(ds):
+    """Per-conversation feature rollup for curation filters: turn counts by
+    role, tool-call count, and wall-clock duration (max ts − min ts, µs;
+    NULL when the conversation has no timestamps). ONE single-key groupby
+    with additive aggregates — map-side pre-aggregation is Ray's, shuffle
+    volume is one row per (block, conv)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def derive(t: pa.Table) -> pa.Table:
+        role = t["role"]
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "is_user": pc.cast(
+                    pc.fill_null(pc.equal(role, "user"), False), pa.int64()
+                ),
+                "is_assistant": pc.cast(
+                    pc.fill_null(pc.equal(role, "assistant"), False), pa.int64()
+                ),
+                "has_tool": pc.cast(pc.is_valid(t["tool"]), pa.int64()),
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns(["conv_id", "role", "tool", "ts"])
+        .map_batches(derive, batch_format="pyarrow")
+        .groupby("conv_id")
+        .aggregate(
+            Count(alias_name="n_turns"),
+            Sum("is_user", alias_name="n_user"),
+            Sum("is_assistant", alias_name="n_assistant"),
+            Sum("has_tool", alias_name="n_tool"),
+            Min("ts_us", alias_name="_min_ts"),
+            Max("ts_us", alias_name="_max_ts"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t["_max_ts"], t["_min_ts"])
+        return t.drop_columns(["_min_ts", "_max_ts"]).append_column(
+            "duration_us", pc.cast(dur, pa.int64())
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 class _TurnPairsBucket:
     """One call = one hash bucket of conversations: order, shift-by-1 within
     conversation, keep user→assistant adjacencies with non-null text."""

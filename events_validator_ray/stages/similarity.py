@@ -224,6 +224,42 @@ def ann_topk_ivf(
     return out[["query_id", "vec_id", "rank", "score"]].reset_index(drop=True)
 
 
+def vector_checks(ds, col: str = "embedding", id_col: str = "vec_id"):
+    """Schema/constraint validation for vector columns (the embedding-table
+    analog of the scalar validator): per row emit (id, dim, n_nan, zero_norm)
+    — dimension drift, NaN poisoning and zero-norm (undefined-cosine) vectors
+    are the three failure modes an embedding pipeline must gate on before
+    ANN/dedup. Map-only, zero shuffle; list offsets are consumed zero-copy
+    (flatten + cumsum segment sums, never a per-row Python loop)."""
+
+    def check(t: pa.Table) -> pa.Table:
+        sel = t.select([id_col])
+        if t.num_rows == 0:
+            for name in ("dim", "n_nan", "zero_norm"):
+                sel = sel.append_column(name, pa.array([], pa.int64()))
+            return sel
+        lv = t[col].combine_chunks()
+        if isinstance(lv, pa.ChunkedArray):
+            lv = lv.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(lv), 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lv).to_numpy(zero_copy_only=False).astype(np.float64)
+        ends = np.cumsum(lengths)
+        starts = ends - lengths
+        nan_cum = np.concatenate(([0.0], np.cumsum(np.isnan(flat))))
+        n_nan = (nan_cum[ends] - nan_cum[starts]).astype(np.int64)
+        sq = np.where(np.isnan(flat), 0.0, flat) ** 2
+        sq_cum = np.concatenate(([0.0], np.cumsum(sq)))
+        norms = sq_cum[ends] - sq_cum[starts]
+        zero = (norms == 0.0).astype(np.int64)
+        return (
+            sel.append_column("dim", pa.array(lengths))
+            .append_column("n_nan", pa.array(n_nan))
+            .append_column("zero_norm", pa.array(zero))
+        )
+
+    return ds.map_batches(check, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Full-corpus k-means (topic clustering for data balancing / semantic dedup)
 # ---------------------------------------------------------------------------

@@ -424,3 +424,37 @@ def test_kmeans_distributed_matches_local_replica(emb_ds):
     )
     pd.testing.assert_frame_equal(a_dist, a_local)
     assert a_dist["cluster_id"].nunique() > 1  # a real partition of the corpus
+
+
+def test_vector_checks_detects_corruption(ray_session):
+    """vector_checks flags NaN poisoning, zero-norm and dimension drift on a
+    deliberately corrupted embedding table (clean rows stay clean)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from events_validator_ray.stages.similarity import vector_checks
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [
+                    [1.0, 2.0, 3.0],          # clean
+                    [0.0, 0.0, 0.0],          # zero norm
+                    [float("nan"), 1.0, 2.0], # one NaN
+                    [1.0, 2.0],               # dimension drift
+                    [],                        # empty -> dim 0, zero norm
+                ],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    got = (
+        vector_checks(rd.from_arrow(tbl).repartition(3))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["dim"]) == [3, 3, 3, 2, 0]
+    assert list(got["n_nan"]) == [0, 0, 1, 0, 0]
+    assert list(got["zero_norm"]) == [0, 1, 0, 0, 1]
