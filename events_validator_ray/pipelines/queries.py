@@ -1019,12 +1019,11 @@ def ensure_gram_hashes(sf_dir: str) -> str:
 _SIGNBIT = "(-9223372036854775808)::BIGINT"
 
 
-def fingerprints_oracle(sf_dir: str, w: int = 8) -> str:
-    """Winnowing selection in SQL over the emitted gram-hash table: distinct
-    per-window minima for docs with > w grams (full windows only), the
-    whole-doc min for docs with 1..w grams, empty fingerprint for gramless
-    docs. MIN uses the sign-flip trick so the selection is by UNSIGNED hash
-    order, matching the engine's uint64 min."""
+def _winnow_cte(sf_dir: str, w: int = 8) -> str:
+    """Shared winnowing-selection CTE over the emitted gram-hash table, up to
+    `d` = DISTINCT (doc_id, flipped-min) selected fingerprints. MIN uses the
+    sign-flip trick so the selection is by UNSIGNED hash order, matching the
+    engine's uint64 min."""
     path = ensure_gram_hashes(sf_dir)
     return (
         f"WITH g AS (SELECT doc_id, pos, gh FROM read_parquet('{path}')), "
@@ -1034,12 +1033,74 @@ def fingerprints_oracle(sf_dir: str, w: int = 8) -> str:
         f"ORDER BY pos ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m FROM f), "
         f"sel AS (SELECT doc_id, m FROM wm WHERE n > {w} AND pos <= n - {w} "
         f"UNION ALL SELECT doc_id, MIN(fv) FROM f WHERE n <= {w} GROUP BY doc_id), "
-        "d AS (SELECT DISTINCT doc_id, m FROM sel), "
+        "d AS (SELECT DISTINCT doc_id, m FROM sel)"
+    )
+
+
+def fingerprints_oracle(sf_dir: str, w: int = 8) -> str:
+    """Winnowing selection in SQL over the emitted gram-hash table: distinct
+    per-window minima for docs with > w grams (full windows only), the
+    whole-doc min for docs with 1..w grams, empty fingerprint for gramless
+    docs."""
+    return (
+        f"{_winnow_cte(sf_dir, w)}, "
         "agg AS (SELECT doc_id, COUNT(*) AS n_fp, "
         f"xor(MIN(m), {_SIGNBIT}) AS fp_min FROM d GROUP BY doc_id) "
         "SELECT dd.doc_id, CAST(coalesce(agg.n_fp, 0) AS BIGINT) AS n_fp, "
         "CAST(coalesce(agg.fp_min, 0) AS BIGINT) AS fp_min "
         "FROM documents dd LEFT JOIN agg ON agg.doc_id = dd.doc_id"
+    )
+
+
+def fingerprint_dups_oracle(sf_dir: str, w: int = 8) -> str:
+    """MOSS-style collision report over the same winnowing selection:
+    fingerprints shared by >= 2 distinct documents."""
+    return (
+        f"{_winnow_cte(sf_dir, w)} "
+        f"SELECT xor(m, {_SIGNBIT}) AS fp, COUNT(DISTINCT doc_id) AS n_docs "
+        "FROM d GROUP BY m HAVING COUNT(DISTINCT doc_id) >= 2"
+    )
+
+
+def q_fingerprint_dups(sf_dir: str):
+    """Cross-document fingerprint collisions (MOSS-style shared-content
+    triage): winnowing fingerprints shared by >= 2 distinct docs →
+    (fp, n_docs). Scale shape: explode per-doc fingerprint lists to
+    (fp int64, doc_id) pairs (already distinct within a doc), per-batch
+    distinct combiner, ONE single-key groupby(fp) distinct-doc count —
+    fingerprints shuffle, documents never do."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.text import fingerprints
+
+    ensure_gram_hashes(sf_dir)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        reps = df["fingerprint"].map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(), reps)
+        if reps.sum():
+            h = np.concatenate(
+                [np.asarray(l, dtype=np.uint64) for l in df["fingerprint"] if len(l)]
+            )
+        else:
+            h = np.array([], dtype=np.uint64)
+        return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
+
+    explode.__name__ = "explode_fingerprints"
+
+    def cnt(g: pd.DataFrame) -> pd.DataFrame:
+        res = (
+            g.groupby("fp", sort=False)["doc_id"].nunique().rename("n_docs").reset_index()
+        )
+        return res[res["n_docs"] >= 2]
+
+    cnt.__name__ = "count_distinct_docs"
+    return (
+        fingerprints(_read_table(sf_dir, "documents"))
+        .map_batches(explode, batch_format="pandas")
+        .groupby("fp")
+        .map_groups(cnt, batch_format="pandas")
     )
 
 
@@ -2025,6 +2086,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "zscore_scaled": q_zscore_scaled,
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
+        "fingerprint_dups": q_fingerprint_dups,
         "turn_text_digest": q_turn_text_digest,
         "conversation_doc": q_conversation_doc,
         "turn_pairs": q_turn_pairs,
@@ -2069,6 +2131,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     if _os.path.exists(_os.path.join(_docs_dir, "documents.parquet")):
         out["dedup_simhash"] = simhash_components_oracle(_docs_dir)
         out["fingerprints"] = fingerprints_oracle(_docs_dir)
+        out["fingerprint_dups"] = fingerprint_dups_oracle(_docs_dir)
     if _os.path.exists(_os.path.join(_docs_dir, "embeddings.parquet")):
         out["cluster_assign"] = cluster_assign_oracle(_docs_dir)
     out["bloom_semi_join"] = (
