@@ -1738,6 +1738,20 @@ def q_global_rank(sf_dir: str):
     return global_rank(docs, "n_chars")
 
 
+OOV_VOCAB_K = 12
+
+
+def q_oov_stats(sf_dir: str):
+    """Vocabulary-coverage quality gate: per-doc token count + OOV-token count
+    vs the corpus top-K terms by document frequency (K=12 here so the corpus'
+    31-token vocabulary yields a real ~59% OOV share and the df tie-break
+    order is genuinely exercised; integer-exact; stages/text.py:oov_stats —
+    broadcast vocab, map-only corpus pass)."""
+    from ..stages.text import oov_stats
+
+    return oov_stats(_read_table(sf_dir, "documents"), vocab_k=OOV_VOCAB_K)
+
+
 def q_cross_conv_dups(sf_dir: str):
     """Template/canned-response detection: texts appearing verbatim in >= 2
     DISTINCT conversations (stages/assembly.py:cross_conv_duplicate_texts) —
@@ -2093,6 +2107,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "cross_conv_dups": q_cross_conv_dups,
         "conversation_stats": q_conversation_stats,
         "embedding_checks": q_embedding_checks,
+        "oov_stats": q_oov_stats,
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
         "cluster_assign": q_cluster_assign,
@@ -2163,6 +2178,20 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
 
     _cases = " ".join(
         f"WHEN '{g}' THEN {int(round(r * 1000))}" for g, r in sorted(_mr.items())
+    )
+    from .queries import OOV_VOCAB_K as _ok
+
+    out["oov_stats"] = (
+        "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+')) AS tok FROM documents), "
+        "dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok), "
+        f"vocab AS (SELECT tok FROM dft ORDER BY df DESC, tok LIMIT {_ok}), "
+        "oov AS (SELECT t.doc_id, COUNT(*) AS n_oov FROM toks t "
+        "WHERE t.tok NOT IN (SELECT tok FROM vocab) GROUP BY t.doc_id) "
+        "SELECT d.doc_id, "
+        "len(regexp_extract_all(lower(coalesce(d.text, '')), '[a-z0-9]+')) AS n_tokens, "
+        "COALESCE(o.n_oov, 0) AS n_oov "
+        "FROM documents d LEFT JOIN oov o ON o.doc_id = d.doc_id"
     )
     out["embedding_checks"] = (
         "SELECT vec_id, COALESCE(len(embedding), 0) AS dim, "

@@ -531,6 +531,49 @@ class TermFrequencies:
         )
 
 
+def oov_stats(ds, vocab_k: int = 64, col: str = "text", id_col: str = "doc_id"):
+    """Vocabulary-coverage quality gate: per-document token count and
+    out-of-vocabulary token count against the corpus' top-`vocab_k` terms by
+    document frequency (ties broken by term ASC — a total order both engines
+    reproduce). High OOV share flags gibberish / non-prose documents without
+    any float scoring — integer-exact end to end.
+
+    Scale shape: one map-only tf expansion feeds the vocabulary-scale df
+    reduction (never corpus-scale rows); the top-k is a k-row driver pull off
+    a sorted vocab table; the corpus pass is map-only against the broadcast
+    (ray.put) vocab with vectorized `pc.is_in`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.textkernels import tokenize
+
+    tf = ds.map_batches(TermFrequencies(col, id_col), batch_format="pyarrow")
+    dfs = term_document_frequencies(tf)
+    top = dfs.sort(["df", "term"], descending=[True, False]).limit(vocab_k).take_all()
+    vocab_ref = ray.put(pa.array([r["term"] for r in top], pa.string()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab = vocab_ref
+        if isinstance(vocab, ray.ObjectRef):
+            vocab = ray.get(vocab)
+        sel = batch.select([id_col])
+        if batch.num_rows == 0:
+            return sel.append_column("n_tokens", pa.array([], pa.int64())).append_column(
+                "n_oov", pa.array([], pa.int64())
+            )
+        flat, doc_idx, n_tokens = tokenize(batch[col])
+        inv = pc.fill_null(pc.is_in(flat, value_set=vocab), False).to_numpy(
+            zero_copy_only=False
+        )
+        n_oov = np.bincount(doc_idx[~inv], minlength=batch.num_rows).astype(np.int64)
+        return sel.append_column("n_tokens", pa.array(n_tokens)).append_column(
+            "n_oov", pa.array(n_oov)
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def term_document_frequencies(tf_ds, num_buckets: int = 64):
     """(term, df) from a (doc_id, term, tf) Dataset — df is the number of
     documents containing the term. Hash-bucketed exact reduction: one int64
