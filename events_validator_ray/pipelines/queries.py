@@ -1066,12 +1066,14 @@ def q_fingerprint_dups(sf_dir: str):
     """Cross-document fingerprint collisions (MOSS-style shared-content
     triage): winnowing fingerprints shared by >= 2 distinct docs →
     (fp, n_docs). Scale shape: explode per-doc fingerprint lists to
-    (fp int64, doc_id) pairs (already distinct within a doc), per-batch
-    distinct combiner, ONE single-key groupby(fp) distinct-doc count —
-    fingerprints shuffle, documents never do."""
+    (fp int64, doc_id) pairs (already distinct within a doc), then the
+    skew-safe distinct_count_per_key reduction (assembly.py) — a fingerprint
+    shared by most of the corpus never collapses into one task; fingerprints
+    shuffle, documents never do."""
     import numpy as np
     import pandas as pd
 
+    from ..stages.assembly import distinct_count_per_key
     from ..stages.text import fingerprints
 
     ensure_gram_hashes(sf_dir)
@@ -1088,20 +1090,10 @@ def q_fingerprint_dups(sf_dir: str):
         return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
 
     explode.__name__ = "explode_fingerprints"
-
-    def cnt(g: pd.DataFrame) -> pd.DataFrame:
-        res = (
-            g.groupby("fp", sort=False)["doc_id"].nunique().rename("n_docs").reset_index()
-        )
-        return res[res["n_docs"] >= 2]
-
-    cnt.__name__ = "count_distinct_docs"
-    return (
-        fingerprints(_read_table(sf_dir, "documents"))
-        .map_batches(explode, batch_format="pandas")
-        .groupby("fp")
-        .map_groups(cnt, batch_format="pandas")
+    pair_ds = fingerprints(_read_table(sf_dir, "documents")).map_batches(
+        explode, batch_format="pandas"
     )
+    return distinct_count_per_key(pair_ds, "fp", "doc_id", "n_docs", min_count=2)
 
 
 def q_fingerprints(sf_dir: str):

@@ -17,6 +17,13 @@ Scale shape: projection first (conv_id, turn_idx, role, text only — never the
 whole row), one bucketed exchange, then map_groups over buckets; output is one
 row per conversation (conversation_doc) / one row per adjacent pair
 (turn_pairs), both ≤ input size. No driver materialization anywhere.
+
+Partitioning assumption: a whole conversation lands in one task — INHERENT to
+these semantics (the assembled document IS the conversation; adjacency needs
+both neighbours), unlike the checks plane where the salted path can split
+groups. A pathological 10^8-turn conversation therefore costs one
+10^8-row task here; gate such conversations upstream with
+`conversation_stats` / `detect_skew` before assembly.
 """
 
 from __future__ import annotations
@@ -78,6 +85,50 @@ def conversation_docs(ds, num_buckets: int = 64):
     )
 
 
+def distinct_count_per_key(pairs_ds, key_col: str, val_col: str, out_col: str, min_count: int = 1, num_buckets: int = 256):
+    """EXACT COUNT(DISTINCT val) GROUP BY key over a (key, val) pair Dataset
+    that may contain duplicates — skew-safe: a hot key (one value shared by
+    most of the corpus) never lands in a single task.
+
+    Shape: bucket by hash(key:val) so duplicate pairs co-locate (dedup inside
+    a bucket is globally exact) while a hot KEY's values spread across many
+    buckets; per-bucket drop_duplicates + partial per-key counts; then a
+    groupby(key).Sum whose map-side combining absorbs the hot key. Shuffle =
+    distinct pairs once + (key × buckets) partial rows."""
+    import numpy as np
+
+    from .sketches import hash64
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        pair = df[key_col].astype(str).str.cat(df[val_col].astype(str), sep=":")
+        b = (hash64(pair.to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(
+            np.int64
+        )
+        return df.assign(_b=b).drop_duplicates([key_col, val_col])
+
+    bucketize.__name__ = "pair_bucket_combiner"
+
+    def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates([key_col, val_col])
+        out = d.groupby(key_col, sort=False).size().rename("_n").reset_index()
+        out["_n"] = out["_n"].astype("int64")
+        return out
+
+    partial_counts.__name__ = "partial_distinct_counts"
+    from ray.data.aggregate import Sum
+
+    counts = (
+        pairs_ds.map_batches(bucketize, batch_format="pandas")
+        .groupby("_b")
+        .map_groups(partial_counts, batch_format="pandas")
+        .groupby(key_col)
+        .aggregate(Sum("_n", alias_name=out_col))
+    )
+    if min_count > 1:
+        counts = counts.filter(expr=f"{out_col} >= {min_count}")
+    return counts
+
+
 def cross_conv_duplicate_texts(ds, min_convs: int = 2):
     """Template / canned-response detection: texts that appear (verbatim) in
     at least `min_convs` DISTINCT conversations → (text_md5, n_convs). A core
@@ -85,8 +136,9 @@ def cross_conv_duplicate_texts(ds, min_convs: int = 2):
 
     Scale shape: project to (conv_id, text), md5 the text (the md5 — not the
     raw text — is what shuffles), per-batch DISTINCT (text_md5, conv_id)
-    combiner, then ONE single-key groupby(text_md5) counting distinct convs
-    per group. SQL twin: GROUP BY md5(text) HAVING COUNT(DISTINCT conv_id)
+    combiner, then the skew-safe distinct_count_per_key reduction (a
+    boilerplate text shared by most conversations must never collapse into
+    one task). SQL twin: GROUP BY md5(text) HAVING COUNT(DISTINCT conv_id)
     >= min_convs."""
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -97,22 +149,11 @@ def cross_conv_duplicate_texts(ds, min_convs: int = 2):
         return out.drop_duplicates()
 
     pairs.__name__ = "distinct_pairs_combiner"
-
-    def count_convs(g: pd.DataFrame) -> pd.DataFrame:
-        res = (
-            g.groupby("text_md5", sort=False)["conv_id"]
-            .nunique()
-            .rename("n_convs")
-            .reset_index()
-        )
-        return res[res["n_convs"] >= min_convs]
-
-    count_convs.__name__ = "count_distinct_convs"
-    return (
-        ds.select_columns(["conv_id", "text"])
-        .map_batches(pairs, batch_format="pandas")
-        .groupby("text_md5")
-        .map_groups(count_convs, batch_format="pandas")
+    pair_ds = ds.select_columns(["conv_id", "text"]).map_batches(
+        pairs, batch_format="pandas"
+    )
+    return distinct_count_per_key(
+        pair_ds, "text_md5", "conv_id", "n_convs", min_count=min_convs
     )
 
 
