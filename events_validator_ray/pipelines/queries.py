@@ -1744,6 +1744,25 @@ def q_oov_stats(sf_dir: str):
     return oov_stats(_read_table(sf_dir, "documents"), vocab_k=OOV_VOCAB_K)
 
 
+def q_role_transitions(sf_dir: str):
+    """Role-transition profile (protocol-drift signal): corpus counts of
+    (from_role → to_role) adjacencies within conversations under the stable
+    order (stages/assembly.py:role_transitions — bucketed partial counts,
+    roles²-bounded final reduction)."""
+    from ..stages.assembly import role_transitions
+
+    return role_transitions(_read_transcripts(sf_dir))
+
+
+def q_conv_segments(sf_dir: str):
+    """Gap-based conversation segmentation: per-conversation count of >30min
+    ts-gap segments (null-ts turns neither break nor extend; the
+    transcripts-axis sessionizer — stages/assembly.py:conv_segments)."""
+    from ..stages.assembly import conv_segments
+
+    return conv_segments(_read_transcripts(sf_dir), gap_s=1800)
+
+
 def q_cross_conv_dups(sf_dir: str):
     """Template/canned-response detection: texts appearing verbatim in >= 2
     DISTINCT conversations (stages/assembly.py:cross_conv_duplicate_texts) —
@@ -1979,6 +1998,24 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''))) AS doc_md5 "
             f"FROM {t} GROUP BY conv_id"
         ),
+        "role_transitions": (
+            "WITH o AS (SELECT conv_id, role, lead(role) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, '')) AS nxt "
+            f"FROM {t}) "
+            "SELECT role AS from_role, nxt AS to_role, COUNT(*) AS n FROM o "
+            "WHERE role IS NOT NULL AND nxt IS NOT NULL GROUP BY role, nxt"
+        ),
+        "conv_segments": (
+            f"WITH v AS (SELECT conv_id, turn_idx, text, role, epoch_us(ts) AS us "
+            f"FROM {t} WHERE ts IS NOT NULL), "
+            "o AS (SELECT conv_id, us, lag(us) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''), us) AS prev FROM v), "
+            "segs AS (SELECT conv_id, SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 "
+            "THEN 1 ELSE 0 END) AS n_segments FROM o GROUP BY conv_id) "
+            f"SELECT c.conv_id, COALESCE(s.n_segments, 0) AS n_segments "
+            f"FROM (SELECT DISTINCT conv_id FROM {t}) c "
+            "LEFT JOIN segs s ON s.conv_id = c.conv_id"
+        ),
         "cross_conv_dups": (
             "SELECT md5(text) AS text_md5, COUNT(DISTINCT conv_id) AS n_convs "
             f"FROM {t} WHERE text IS NOT NULL "
@@ -2097,6 +2134,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "conversation_doc": q_conversation_doc,
         "turn_pairs": q_turn_pairs,
         "cross_conv_dups": q_cross_conv_dups,
+        "role_transitions": q_role_transitions,
+        "conv_segments": q_conv_segments,
         "conversation_stats": q_conversation_stats,
         "embedding_checks": q_embedding_checks,
         "oov_stats": q_oov_stats,

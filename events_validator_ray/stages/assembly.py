@@ -207,6 +207,135 @@ def conversation_stats(ds):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+class _RoleTransitionsBucket:
+    """One call = one bucket of conversations: count (role → next-role)
+    adjacencies under the stable order; partial counts per bucket."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = _ordered(df)
+        same_conv = df["conv_id"].eq(df["conv_id"].shift(-1))
+        cur = df["role"]
+        nxt = df["role"].shift(-1)
+        keep = same_conv & cur.notna() & nxt.notna()
+        out = (
+            pd.DataFrame({"from_role": cur[keep], "to_role": nxt[keep]})
+            .groupby(["from_role", "to_role"], sort=False)
+            .size()
+            .rename("_n")
+            .reset_index()
+        )
+        out["_n"] = out["_n"].astype("int64")
+        return out
+
+
+def role_transitions(ds, num_buckets: int = 64):
+    """Role-transition profile: corpus-wide counts of (from_role → to_role)
+    over consecutive turns within each conversation (stable order; NULL roles
+    skipped) — the protocol-drift signal for agent transcripts (a spike in
+    assistant→assistant adjacency means broken alternation upstream).
+
+    Scale shape: one bucketed conversation shuffle produces per-bucket
+    PARTIAL counts (≤ roles² rows per bucket); the final reduction sums a
+    roles²×buckets table. The mixed (from,to) pair is combined into one
+    string key for the last groupby — multi-key groupby at scale is the
+    documented Ray hazard."""
+    from .conversation import _with_bucket
+    from ray.data.aggregate import Sum
+
+    projected = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    partials = (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_RoleTransitionsBucket(), batch_format="pandas")
+    )
+
+    def mix(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(_k=df["from_role"].str.cat(df["to_role"], sep="\x1f"))
+
+    mix.__name__ = "mix_pair_key"
+
+    def unmix(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["_k"].str.split("\x1f", expand=True)
+        return pd.DataFrame(
+            {"from_role": parts[0], "to_role": parts[1], "n": df["n"].astype("int64")}
+        )
+
+    unmix.__name__ = "unmix_pair_key"
+    return (
+        partials.map_batches(mix, batch_format="pandas")
+        .groupby("_k")
+        .aggregate(Sum("_n", alias_name="n"))
+        .map_batches(unmix, batch_format="pandas")
+    )
+
+
+class _ConvSegmentsBucket:
+    """One call = one bucket of conversations: count ts-gap segments per
+    conversation (gap > gap_s between consecutive non-null-ts turns under the
+    stable order starts a new segment; null-ts turns don't break or extend
+    segments; a conversation with no timestamps has 0 segments)."""
+
+    def __init__(self, gap_s: int):
+        self.gap_s = gap_s
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = _ordered(df)
+        ts = pd.to_datetime(df["ts"])
+        us = ts.astype("int64")
+        if str(ts.dtype).startswith("datetime64[ns"):
+            us = us // 1000
+        valid = ts.notna()
+        sub = pd.DataFrame(
+            {
+                "conv_id": df["conv_id"][valid],
+                "turn_idx": df["turn_idx"][valid],
+                "_text_f": df["_text_f"][valid],
+                "_role_f": df["_role_f"][valid],
+                "us": us[valid],
+            }
+        )
+        # `us` as the FINAL sort key: rows tied on (turn, text, role) may
+        # still differ in ts, and segmentation reads consecutive diffs — the
+        # extra key makes the order total on both engines
+        sub = sub.sort_values(
+            ["conv_id", "turn_idx", "_text_f", "_role_f", "us"], kind="stable"
+        ).reset_index(drop=True)
+        new_conv = sub["conv_id"].ne(sub["conv_id"].shift(1))
+        gap = (sub["us"] - sub["us"].shift(1)) > self.gap_s * 1_000_000
+        seg_start = (new_conv | gap).astype("int64")
+        segs = (
+            pd.DataFrame({"conv_id": sub["conv_id"], "s": seg_start})
+            .groupby("conv_id", sort=False)["s"]
+            .sum()
+            .rename("n_segments")
+            .reset_index()
+        )
+        all_convs = df[["conv_id"]].drop_duplicates()
+        out = all_convs.merge(segs, on="conv_id", how="left")
+        out["n_segments"] = out["n_segments"].fillna(0).astype("int64")
+        return out
+
+
+def conv_segments(ds, gap_s: int = 1800, num_buckets: int = 64):
+    """Gap-based conversation segmentation: per conversation, the number of
+    ts-gap segments (> gap_s between consecutive timestamped turns under the
+    stable order starts a new one) — the transcripts-axis sessionizer
+    (window_session's per-key analog where the key IS the conversation).
+    One bucketed shuffle, whole conversations co-located."""
+    from .conversation import _with_bucket
+
+    projected = ds.select_columns(["conv_id", "turn_idx", "role", "text", "ts"])
+    return (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_ConvSegmentsBucket(gap_s), batch_format="pandas")
+    )
+
+
 class _TurnPairsBucket:
     """One call = one hash bucket of conversations: order, shift-by-1 within
     conversation, keep user→assistant adjacencies with non-null text."""
