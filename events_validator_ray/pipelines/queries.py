@@ -399,6 +399,37 @@ def q_dedup_exact(sf_dir: str):
     return exact_dedup(_read_table(sf_dir, "documents"))
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Priority dedup keepers: one (doc_id, source) per exact content group,
+    chosen by (source ASC, doc_id ASC) — corpus-union precedence
+    (stages/dedup.py:keep_best_dedup; one content-hash groupby, packed
+    priority key Min)."""
+    from ..stages.dedup import keep_best_dedup
+
+    return keep_best_dedup(_read_table(sf_dir, "documents"))
+
+
+def q_funnel_counts(sf_dir: str):
+    """Ordered signup→click→purchase funnel over the event stream: users
+    reaching each stage strictly after the previous stage's earliest
+    qualifying event (stages/windows.py:funnel_counts — one bucketed user
+    shuffle, len(stages)-row result)."""
+    from ..stages.windows import funnel_counts
+
+    return funnel_counts(
+        _read_table(sf_dir, "events"), stages=["signup", "click", "purchase"]
+    )
+
+
+def q_ngram_topk(sf_dir: str):
+    """Corpus top-50 word bigrams by count, ties broken on the gram
+    (stages/text.py:ngram_topk — per-batch count combiner, vocabulary-sized
+    sort)."""
+    from ..stages.text import ngram_topk
+
+    return ngram_topk(_read_table(sf_dir, "documents"), n=2, k=50)
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clustering (full labeling incl. singletons).
     Verified-pair semantics are EXACT n-gram Jaccard >= 0.8 among LSH
@@ -2095,6 +2126,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_failures_by_day": q_events_failures_by_day,
         "events_error_rate": q_events_error_rate,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_best": q_dedup_keep_best,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -2104,6 +2136,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "validate_json_props": q_validate_json_props,
         "validate_nested": q_validate_nested,
         "validate_dispatch": q_validate_dispatch,
+        "funnel_counts": q_funnel_counts,
+        "ngram_topk": q_ngram_topk,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
@@ -2263,6 +2297,33 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         f"CAST(floor(quantile_disc(o_totalprice, {q}) * 100 + 0.5) AS BIGINT) AS value_cents "
         "FROM orders GROUP BY o_orderpriority"
         for q in (0.5, 0.9, 0.99)
+    )
+    out["dedup_keep_best"] = (
+        "SELECT doc_id, source FROM "
+        "(SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY text "
+        "ORDER BY coalesce(source, ''), doc_id) AS rn FROM documents) "
+        "WHERE rn = 1"
+    )
+    out["funnel_counts"] = (
+        "WITH s0 AS (SELECT user_id, MIN(ts) AS ts FROM events "
+        "WHERE event_type = 'signup' GROUP BY user_id), "
+        "s1 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e "
+        "JOIN s0 ON e.user_id = s0.user_id "
+        "WHERE e.event_type = 'click' AND e.ts > s0.ts GROUP BY e.user_id), "
+        "s2 AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e "
+        "JOIN s1 ON e.user_id = s1.user_id "
+        "WHERE e.event_type = 'purchase' AND e.ts > s1.ts GROUP BY e.user_id) "
+        "SELECT 0 AS stage_idx, 'signup' AS stage, (SELECT COUNT(*) FROM s0) AS n_users "
+        "UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1) "
+        "UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)"
+    )
+    out["ngram_topk"] = (
+        "WITH w AS (SELECT regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+') AS ws FROM documents), "
+        "pos AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM w), "
+        "g AS (SELECT ws[i] || ' ' || ws[i + 1] AS gram FROM pos) "
+        "SELECT gram, COUNT(*) AS n FROM g GROUP BY gram "
+        "ORDER BY n DESC, gram LIMIT 50"
     )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()

@@ -69,6 +69,56 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def keep_best_dedup(ds, col: str = "text", id_col: str = "doc_id", pref_col: str = "source"):
+    """Priority dedup (corpus-union precedence): one keeper per exact content
+    group, chosen by (pref_col ASC, id_col ASC) — the 'merge N crawls, prefer
+    the most-trusted source's copy' curation op. Returns (id_col, pref_col)
+    keeper rows.
+
+    Scale shape: identical to exact_dedup's ONE groupby on the 64-bit content
+    hash; the selection rides the shuffle as a packed `pref\\x1f
+    zero-padded-id` string Min-aggregated per group (min lexicographic =
+    min (pref, id)) — no map_groups, no second pass, shuffle volume is
+    hash + ~30 bytes/row. NULL preference packs as '' (sorts FIRST; the SQL
+    twin mirrors with coalesce(pref, ''))."""
+    from ray.data.aggregate import Min
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        h = hash64(df[col].fillna("").to_numpy(dtype=object))
+        pk = (
+            df[pref_col].fillna("").astype(str)
+            + "\x1f"
+            + df[id_col].astype("int64").astype(str).str.zfill(20)
+        )
+        return pd.DataFrame(
+            {"content_hash": h.astype(np.uint64).view(np.int64), "_pk": pk}
+        )
+
+    pack.__name__ = "pack_priority_key"
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype="int64"), pref_col: pd.Series(dtype=object)}
+            )
+        pk = df["_pk"].astype(str)
+        return pd.DataFrame(
+            {
+                id_col: pk.str[-20:].astype("int64"),
+                pref_col: pk.str[:-21],
+            }
+        )
+
+    unpack.__name__ = "unpack_priority_key"
+    return (
+        ds.select_columns([id_col, col, pref_col])
+        .map_batches(pack, batch_format="pandas")
+        .groupby("content_hash")
+        .aggregate(Min("_pk", alias_name="_pk"))
+        .map_batches(unpack, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + minhash
 # ---------------------------------------------------------------------------

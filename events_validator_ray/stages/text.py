@@ -704,3 +704,55 @@ def tfidf_top_terms(
         .groupby(id_col)
         .map_groups(final, batch_format="pandas")
     )
+
+
+def ngram_topk(ds, n: int = 2, k: int = 50, col: str = "text"):
+    """Corpus-wide top-k word n-grams with counts — the vocabulary/boilerplate
+    census a training-data pipeline runs before choosing dedup shingles and
+    decontamination n-grams. Shares the engine's canonical tokenizer
+    (functions/textkernels.py:tokenize — lower, split [^a-z0-9]+, drop '').
+
+    Scale shape: per-batch tokenize → adjacent-join n-grams (windows never
+    cross a document) → per-batch value_counts COMBINER, so the shuffle
+    carries one row per (block, distinct gram); single-key groupby Sum; the
+    final sort runs over the distinct-gram table (vocabulary-sized, not
+    corpus-sized) with ties broken on the gram so the LIMIT boundary is
+    engine-independent."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.textkernels import tokenize
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], type=pa.string()), "_n": pa.array([], type=pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        flat, doc_idx, _ = tokenize(t[col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) < n:
+            return empty
+        grams = pd.Series(toks[: len(toks) - n + 1], dtype=object)
+        for j in range(1, n):
+            grams = grams.str.cat(
+                pd.Series(toks[j : len(toks) - n + 1 + j], dtype=object), sep=" "
+            )
+        valid = doc_idx[: len(toks) - n + 1] == doc_idx[n - 1 :]
+        counts = grams[valid].value_counts()
+        return pa.table(
+            {
+                "gram": pa.array(counts.index, type=pa.string()),
+                "_n": pa.array(counts.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    partial_counts.__name__ = f"ngram{n}_partial_counts"
+    return (
+        ds.select_columns([col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("_n", alias_name="n"))
+        .sort(["n", "gram"], descending=[True, False])
+        .limit(k)
+    )

@@ -15,6 +15,7 @@ tumbling / session windows, expressed Dataset-first.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -133,4 +134,99 @@ def session_window_agg(ds, key: str, ts_col: str, gap_s: int, num_buckets: int =
         _with_bucket(projected, num_buckets, cols=(key,))
         .groupby("bucket")
         .map_groups(_SessionizeBucket(key, ts_col, gap_s), batch_format="pandas")
+    )
+
+
+class _FunnelBucket:
+    """One call = one hash bucket of users: per-user strict-order funnel.
+    Stage 0 time = MIN(ts) over that user's stage-0 events (a user whose
+    stage-0 events are all NULL-ts still enters the funnel with an unknown
+    time, matching SQL MIN-over-NULLs — they can never advance, since
+    `ts > NULL` is never true on either engine). Stage i time = MIN(ts) of
+    stage-i events STRICTLY after the stage-(i-1) time. Emits per-bucket
+    PARTIAL counts (stage_idx, _n)."""
+
+    def __init__(self, stages: list[str], user_col: str, type_col: str, ts_col: str):
+        self.stages = list(stages)
+        self.user_col, self.type_col, self.ts_col = user_col, type_col, ts_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        u, ty, ts = self.user_col, self.type_col, self.ts_col
+        reached = (
+            df.loc[df[ty] == self.stages[0]]
+            .groupby(u, sort=False)[ts]
+            .min()
+            .rename("_t")
+            .reset_index()
+        )
+        counts = [len(reached)]
+        for stage in self.stages[1:]:
+            ev = df.loc[df[ty] == stage, [u, ts]].merge(reached, on=u, how="inner")
+            ev = ev.loc[ev[ts] > ev["_t"]]
+            reached = ev.groupby(u, sort=False)[ts].min().rename("_t").reset_index()
+            counts.append(len(reached))
+        return pd.DataFrame(
+            {
+                "stage_idx": np.arange(len(self.stages), dtype=np.int64),
+                "_n": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+
+def funnel_counts(
+    ds,
+    stages: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    num_buckets: int = 64,
+):
+    """Ordered-sequence funnel over an event stream: how many users performed
+    stage₀, then stage₁ strictly after it, then stage₂ strictly after that…
+    (each stage time = earliest qualifying event). The classic product-
+    analytics query, and an ordered-pattern shape Ray Data has no native
+    operator for.
+
+    Scale shape: project to 3 columns, pre-filter to the funnel's event
+    types at the read side of the shuffle, ONE bucketed hash shuffle
+    co-locating each user's events, vectorized per-bucket pandas funnel,
+    then a stages×buckets-row Sum reduce — the final table is len(stages)
+    rows regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    from .conversation import _with_bucket
+
+    wanted = pa.array(sorted(set(stages)), type=pa.string())
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[type_col], value_set=wanted))
+
+    prefilter.__name__ = "funnel_type_prefilter"
+    projected = ds.select_columns([user_col, type_col, ts_col]).map_batches(
+        prefilter, batch_format="pyarrow"
+    )
+    partials = (
+        _with_bucket(projected, num_buckets, cols=(user_col,))
+        .groupby("bucket")
+        .map_groups(
+            _FunnelBucket(stages, user_col, type_col, ts_col), batch_format="pandas"
+        )
+    )
+    stage_names = list(stages)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "stage_idx": df["stage_idx"].astype("int64"),
+                "stage": df["stage_idx"].map(dict(enumerate(stage_names))),
+                "n_users": df["n_users"].astype("int64"),
+            }
+        )
+
+    finish.__name__ = "name_stages"
+    return (
+        partials.groupby("stage_idx")
+        .aggregate(Sum("_n", alias_name="n_users"))
+        .map_batches(finish, batch_format="pandas")
     )
