@@ -686,6 +686,30 @@ def q_ann_topk_ivf(sf_dir: str):
     return df[["query_id", "vec_id", "rank", "score_micro"]]
 
 
+KNN_K = 5
+
+
+def q_knn_graph(sf_dir: str):
+    """EXACT all-pairs kNN graph: top-5 cosine neighbors per vector (self
+    excluded, neighbor_id tie-break) — the similarity-graph construction
+    baseline (stages/similarity.py:knn_graph; corpus broadcast once, one
+    matmul per block, block outputs are final)."""
+    from ..stages.similarity import knn_graph
+
+    return knn_graph(_read_table(sf_dir, "embeddings"), k=KNN_K)
+
+
+def q_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed kNN graph (scale path — approximate; recall vs the exact
+    graph asserted in tests/test_similarity.py): per-bucket exact kNN behind
+    one groupby shuffle, corpus never broadcast."""
+    from ..stages.similarity import knn_graph_ivf
+
+    return knn_graph_ivf(
+        _read_table(sf_dir, "embeddings"), k=KNN_K, n_centroids=16, nprobe=8
+    )
+
+
 def q_text_stats(sf_dir: str):
     """Integer text statistics (token/char/punct/stopword counts) — the
     SQL-exact slice of the quality-scoring stage."""
@@ -1876,9 +1900,12 @@ def q_multimodal_decode(sf_dir: str):
 
 def _ann_exact_sql(ids: str) -> str:
     return (
-        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ({ids})), "
-        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS sim "
-        "FROM q CROSS JOIN embeddings e), "
+        # float64 throughout (list_cosine_similarity on FLOAT lists runs in
+        # float32; the engine computes in float64 — same fix as knn_graph)
+        "WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        f"q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id IN ({ids})), "
+        "s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(q.qe, e.e) AS sim "
+        "FROM q CROSS JOIN d e), "
         "r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER "
         "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank FROM s) "
         f"SELECT query_id, vec_id, rank, CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS score_micro "
@@ -2132,6 +2159,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
         "text_stats": q_text_stats,
         "validate_json_props": q_validate_json_props,
         "validate_nested": q_validate_nested,
@@ -2297,6 +2326,22 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         f"CAST(floor(quantile_disc(o_totalprice, {q}) * 100 + 0.5) AS BIGINT) AS value_cents "
         "FROM orders GROUP BY o_orderpriority"
         for q in (0.5, 0.9, 0.99)
+    )
+    from .queries import KNN_K as _kk
+
+    out["knn_graph"] = (
+        # float64 throughout: list_cosine_similarity on FLOAT lists runs in
+        # float32 and flips ~5% of micro-roundings vs the engine's float64
+        "WITH d AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "list_cosine_similarity(a.e, b.e) AS sim "
+        "FROM d a CROSS JOIN d b WHERE a.vec_id <> b.vec_id), "
+        "r AS (SELECT vec_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+        "SELECT vec_id, neighbor_id, rank, "
+        "CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS score_micro "
+        f"FROM r WHERE rank <= {_kk}"
     )
     out["dedup_keep_best"] = (
         "SELECT doc_id, source FROM "

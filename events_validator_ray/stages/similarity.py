@@ -449,3 +449,250 @@ def exact_cosine_pairs(ds, threshold: float, col: str = "embedding", id_col: str
     return ds.map_batches(
         _CosinePairsBlock(ref, threshold, col, id_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# all-pairs kNN graph
+# ---------------------------------------------------------------------------
+
+
+class _KnnGraphBlock:
+    """map_batches stage: each block's rows × the broadcast corpus matrix →
+    that block's FINAL top-k neighbor rows (the broadcast side is complete,
+    so no cross-block reduction is needed). Fully vectorized: one matmul,
+    argpartition to k+1, a single flat lexsort for the (-score, neighbor_id)
+    tie-break, boolean-cumsum self-exclusion — no per-row Python loop."""
+
+    def __init__(self, corpus_ref, k: int, col: str, id_col: str):
+        self.corpus_ref = corpus_ref
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+        self._c = None
+
+    def _corpus(self):
+        if self._c is None:
+            obj = self.corpus_ref
+            try:
+                import ray
+
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            self._c = obj
+        return self._c
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        all_ids, M = self._corpus()
+        idt = batch.schema.field(self.id_col).type
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], idt),
+                "neighbor_id": pa.array([], idt),
+                "rank": pa.array([], pa.int64()),
+                "score_micro": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        E = _normalize(
+            np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        sims = E @ M.T  # (n, corpus)
+        n, m = sims.shape
+        kk = min(self.k + 1, m)  # +1: the self column is dropped below
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(sims, part, axis=1)
+        pid = all_ids[part]
+        row = np.repeat(np.arange(n, dtype=np.int64), kk)
+        order = np.lexsort((pid.ravel(), -ps.ravel(), row))
+        ps_s = ps.ravel()[order].reshape(n, kk)
+        pid_s = pid.ravel()[order].reshape(n, kk)
+        keep = pid_s != ids[:, None]
+        take = keep & (np.cumsum(keep, axis=1) <= self.k)
+        ranks = np.cumsum(keep, axis=1)[take]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, take.sum(axis=1))),
+                "neighbor_id": pa.array(pid_s[take]),
+                "rank": pa.array(ranks.astype(np.int64)),
+                "score_micro": pa.array(
+                    np.floor(ps_s[take] * 1_000_000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+
+def knn_graph(ds, k: int = 5, col: str = "embedding", id_col: str = "vec_id"):
+    """EXACT all-pairs kNN graph: every vector's top-k cosine neighbors
+    (self excluded, ties broken by neighbor_id) → (vec_id, neighbor_id,
+    rank, score_micro). The brute-force baseline behind embedding-cluster /
+    near-dup graph construction: corpus matrix broadcast ONCE via ray.put,
+    one matmul per block, each block's output is final (no shuffle, no
+    reduction). O(n²) compute spread across blocks; use when the embedding
+    table fits the object store — knn_graph_ivf is the bucketed scale path."""
+    import ray
+
+    rows = ds.select_columns([id_col, col]).take_all()
+    ids = np.array([r[id_col] for r in rows])
+    M = _normalize(np.stack([np.asarray(r[col], dtype=np.float64) for r in rows]))
+    ref = ray.put((ids, M))
+    return ds.select_columns([id_col, col]).map_batches(
+        _KnnGraphBlock(ref, k, col, id_col), batch_format="pyarrow"
+    )
+
+
+class _IVFProbeReplicate:
+    """map_batches stage: replicate each vector to its `nprobe` nearest
+    coarse buckets as a QUERY row; exactly one of those rows (the nearest
+    bucket) is also flagged `is_home` — the vector serves as a CANDIDATE
+    only there, so a neighbor is scored at most once per query. Bounded
+    ×nprobe replication instead of a corpus broadcast."""
+
+    def __init__(self, centroids_ref, nprobe: int, col: str, id_col: str):
+        self.centroids_ref = centroids_ref
+        self.nprobe = nprobe
+        self.col = col
+        self.id_col = id_col
+        self._C = None
+
+    def _c(self):
+        if self._C is None:
+            obj = self.centroids_ref
+            try:
+                import ray
+
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            self._C = np.asarray(obj, dtype=np.float64)
+        return self._C
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        C = self._c()
+        idt = batch.schema.field(self.id_col).type
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    self.id_col: pa.array([], idt),
+                    self.col: pa.array([], batch.schema.field(self.col).type),
+                    "ivf_bucket": pa.array([], pa.int32()),
+                    "is_home": pa.array([], pa.bool_()),
+                }
+            )
+        E = _normalize(
+            np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        sims = E @ C.T
+        p = min(self.nprobe, C.shape[0])
+        probe = np.argpartition(-sims, p - 1, axis=1)[:, :p]  # (n, p)
+        # the home bucket = argmax; mark it among the probed columns
+        best = np.argmax(sims, axis=1)
+        n = len(E)
+        rep = np.repeat(np.arange(n), p)
+        buckets = probe.ravel().astype(np.int32)
+        is_home = probe.ravel() == np.repeat(best, p)
+        return pa.table(
+            {
+                self.id_col: pa.array(
+                    batch[self.id_col].to_numpy(zero_copy_only=False)[rep]
+                ),
+                self.col: batch[self.col].take(pa.array(rep)),
+                "ivf_bucket": pa.array(buckets),
+                "is_home": pa.array(is_home),
+            }
+        )
+
+
+class _KnnBucketPartials:
+    """map_groups stage: within one probed bucket, score every QUERY row
+    against the bucket's CANDIDATE (home) rows and keep each query's local
+    top-k → partial (vec_id, neighbor_id, score_micro) rows."""
+
+    def __init__(self, k: int, col: str, id_col: str):
+        self.k = k
+        self.col = col
+        self.id_col = id_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df):
+        import pandas as pd
+
+        home = df.loc[df["is_home"]]
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "score_micro": pd.Series(dtype="int64"),
+            }
+        )
+        if len(home) == 0 or len(df) == 0:
+            return empty
+        cand_ids = home[self.id_col].to_numpy()
+        Mc = _normalize(np.stack(home[self.col].to_numpy()).astype(np.float64))
+        blk = _KnnGraphBlock(None, self.k, self.col, self.id_col)
+        blk._c = (cand_ids, Mc)
+        t = blk(
+            pa.table(
+                {
+                    self.id_col: pa.array(df[self.id_col].to_numpy()),
+                    self.col: pa.array(list(df[self.col])),
+                }
+            )
+        )
+        out = t.to_pandas()
+        return out[["vec_id", "neighbor_id", "score_micro"]]
+
+
+class _KnnFinalTopK:
+    """map_groups stage over vec_id: merge the ≤ nprobe×k partial candidate
+    rows per vector into the final top-k with the (score DESC, neighbor_id)
+    tie-break and 1-based ranks."""
+
+    def __init__(self, k: int):
+        self.k = k
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df):
+        df = df.sort_values(
+            ["vec_id", "score_micro", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = df.groupby("vec_id", sort=False).head(self.k).copy()
+        out["rank"] = (out.groupby("vec_id", sort=False).cumcount() + 1).astype("int64")
+        return out[["vec_id", "neighbor_id", "rank", "score_micro"]]
+
+
+def knn_graph_ivf(
+    ds,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF-bucketed kNN graph (the scale path): each vector is a CANDIDATE in
+    its nearest coarse bucket and a QUERY in its `nprobe` nearest buckets —
+    the corpus never broadcasts; every bucket's queries×candidates matmul
+    runs in its own task behind ONE groupby shuffle (replication bounded by
+    ×nprobe), then a per-vector groupby merges the ≤ nprobe×k partials.
+    Approximate by construction (a true neighbor outside all probed buckets
+    is missed); recall vs knn_graph is asserted in tests, mirroring
+    ann_topk_ivf."""
+    import ray
+
+    C = train_centroids(ds, n_centroids=n_centroids, col=col)
+    cref = ray.put(C)
+    probed = ds.select_columns([id_col, col]).map_batches(
+        _IVFProbeReplicate(cref, nprobe, col, id_col), batch_format="pyarrow"
+    )
+    partials = probed.groupby("ivf_bucket").map_groups(
+        _KnnBucketPartials(k, col, id_col), batch_format="pandas"
+    )
+    return partials.groupby("vec_id").map_groups(
+        _KnnFinalTopK(k), batch_format="pandas"
+    )

@@ -458,3 +458,50 @@ def test_vector_checks_detects_corruption(ray_session):
     assert list(got["dim"]) == [3, 3, 3, 2, 0]
     assert list(got["n_nan"]) == [0, 0, 1, 0, 0]
     assert list(got["zero_norm"]) == [0, 1, 0, 0, 1]
+
+
+def test_knn_graph_matches_numpy(emb_ds):
+    """Exact all-pairs graph vs a local numpy replica (self excluded,
+    (score DESC, neighbor_id) tie-break)."""
+    from events_validator_ray.stages.similarity import knn_graph
+
+    k = 3
+    got = (
+        knn_graph(emb_ds, k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    df = emb_ds.to_pandas()
+    E = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    S = E @ E.T
+    for i, v in enumerate(ids):
+        order = sorted((-S[i, j], int(ids[j])) for j in range(len(ids)) if ids[j] != v)
+        want = [nid for _, nid in order[:k]]
+        rows = got[got.vec_id == v]
+        assert list(rows.neighbor_id) == want, f"vec {v}"
+        assert list(rows["rank"]) == list(range(1, len(want) + 1))
+        np.testing.assert_array_equal(
+            rows.score_micro.to_numpy(),
+            np.floor(np.array([-s for s, _ in order[:k]]) * 1_000_000 + 0.5).astype(
+                np.int64
+            ),
+        )
+
+
+def test_knn_graph_ivf_recall_and_shape(emb_ds):
+    """Multi-probe bucketed graph: per-vector row count == k, ranks 1..k,
+    and pair recall vs the exact graph >= 0.6 at (16 centroids, 8 probes)
+    (measured 0.84 at sf0.01; margin for sampling jitter in train_centroids)."""
+    from events_validator_ray.stages.similarity import knn_graph, knn_graph_ivf
+
+    k = 5
+    exact = knn_graph(emb_ds, k=k).to_pandas()
+    approx = knn_graph_ivf(emb_ds, k=k, n_centroids=16, nprobe=8).to_pandas()
+    per_vec = approx.groupby("vec_id").size()
+    assert (per_vec == k).all()
+    assert set(approx["rank"]) == set(range(1, k + 1))
+    key = lambda d: set(zip(d.vec_id, d.neighbor_id))  # noqa: E731
+    assert len(key(approx) & key(exact)) / len(key(exact)) >= 0.6
