@@ -80,7 +80,9 @@ def keep_best_dedup(ds, col: str = "text", id_col: str = "doc_id", pref_col: str
     zero-padded-id` string Min-aggregated per group (min lexicographic =
     min (pref, id)) — no map_groups, no second pass, shuffle volume is
     hash + ~30 bytes/row. NULL preference packs as '' (sorts FIRST; the SQL
-    twin mirrors with coalesce(pref, ''))."""
+    twin mirrors with coalesce(pref, '')). Assumes non-negative ids (zfill
+    packing is lexicographic == numeric only then), like every id column in
+    the corpus."""
     from ray.data.aggregate import Min
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:

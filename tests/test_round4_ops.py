@@ -1,0 +1,132 @@
+"""Edge semantics for the round-4 operator additions: strict-order funnel,
+priority dedup, n-gram census, and conversation segmentation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_funnel_strict_order_and_ties(ray_session):
+    """B before A never counts; B at the SAME ts as A never counts (strict >);
+    the earliest qualifying event is what the next stage must beat."""
+    from events_validator_ray.stages.windows import funnel_counts
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = [
+        # u1: clean A -> B -> C
+        (1, "A", t0), (1, "B", t0 + s), (1, "C", t0 + 2 * s),
+        # u2: B before A only -> stops at A
+        (2, "B", t0), (2, "A", t0 + s),
+        # u3: B at the same ts as A -> strict > excludes it
+        (3, "A", t0), (3, "B", t0),
+        # u4: two A's; B after the FIRST A counts even though it precedes the second A
+        (4, "A", t0), (4, "B", t0 + s), (4, "A", t0 + 5 * s),
+        # u5: noise event types are prefiltered
+        (5, "X", t0),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    got = (
+        funnel_counts(_ds(df), stages=["A", "B", "C"], num_buckets=4)
+        .to_pandas()
+        .sort_values("stage_idx")
+        .reset_index(drop=True)
+    )
+    assert list(got["stage"]) == ["A", "B", "C"]
+    assert list(got["n_users"]) == [4, 2, 1]  # A: u1-u4; B: u1,u4; C: u1
+
+
+def test_keep_best_priority_and_null_pref(ray_session):
+    """Keeper = (source ASC, doc_id ASC) per exact text; NULL source packs as
+    '' and wins over any named source (mirrors the twin's coalesce)."""
+    from events_validator_ray.stages.dedup import keep_best_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": ["x", "x", "x", "y", "y", "z"],
+            "source": ["b", "a", "a", "c", None, "d"],
+        }
+    )
+    got = (
+        keep_best_dedup(_ds(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # x: source a ties -> min doc_id 2; y: NULL ('') beats 'c' -> doc 5; z: doc 6
+    assert list(got["doc_id"]) == [2, 5, 6]
+    assert list(got["source"]) == ["a", "", "d"]
+
+
+def test_ngram_topk_doc_boundary_and_ties(ray_session):
+    """Bigrams never cross documents; the k-boundary tie is broken on the
+    gram ascending."""
+    from events_validator_ray.stages.text import ngram_topk
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c", "c a b", "zz a"],
+        }
+    )
+    got = ngram_topk(_ds(df), n=2, k=2).to_pandas()
+    # counts: 'a b' 2; 'b c', 'c a', 'zz a' 1 each. No 'c c' (doc boundary).
+    assert list(got["gram"]) == ["a b", "b c"]  # tie at n=1 -> gram asc
+    assert list(got["n"]) == [2, 1]
+
+
+def test_conv_segments_null_ts_neither_breaks_nor_extends(ray_session):
+    """A >gap hole bridged only by null-ts turns still splits; a conversation
+    with no timestamps has 0 segments."""
+    from events_validator_ray.stages.assembly import conv_segments
+
+    t0 = pd.Timestamp("2024-01-01")
+    m = pd.Timedelta(minutes=1)
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 2,
+            "turn_idx": [0, 1, 2, 3, 0, 1],
+            "role": ["user", "assistant", "user", "assistant", "user", "assistant"],
+            "text": ["a", "b", "c", "d", "e", "f"],
+            "ts": [t0, None, t0 + 60 * m, t0 + 61 * m, None, None],
+        }
+    )
+    got = (
+        conv_segments(_ds(df), gap_s=1800, num_buckets=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["conv_id"]) == ["c1", "c2"]
+    assert list(got["n_segments"]) == [2, 0]
+
+
+def test_role_transitions_skips_nulls_and_conv_boundaries(ray_session):
+    from events_validator_ray.stages.assembly import role_transitions
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c1", "c2", "c2"],
+            "turn_idx": [0, 1, 2, 0, 1],
+            "role": ["user", None, "assistant", "assistant", "user"],
+            "text": ["a", "b", "c", "d", "e"],
+        }
+    )
+    got = (
+        role_transitions(_ds(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["from_role", "to_role"])
+        .reset_index(drop=True)
+    )
+    # c1: user->None skipped, None->assistant skipped; c2: assistant->user.
+    # No cross-conversation (assistant->assistant) edge.
+    assert got.to_dict("records") == [
+        {"from_role": "assistant", "to_role": "user", "n": 1}
+    ]
