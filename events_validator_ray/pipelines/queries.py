@@ -700,13 +700,18 @@ def q_knn_graph(sf_dir: str):
 
 
 def q_knn_graph_ivf(sf_dir: str):
-    """IVF-bucketed kNN graph (scale path — approximate; recall vs the exact
-    graph asserted in tests/test_similarity.py): per-bucket exact kNN behind
-    one groupby shuffle, corpus never broadcast."""
+    """Bucketed-graph machinery in its FULL-PROBE configuration (nprobe =
+    n_centroids): every vector queries every bucket, so the merged result is
+    exact by construction and hash-checks against the same cross-join SQL as
+    `knn_graph` — what gets verified is the multi-probe plumbing itself
+    (probe replication, home-bucket candidacy, per-bucket partial top-k, the
+    raw-float-ordered per-vector merge). The APPROXIMATE configuration
+    (nprobe < n_centroids) keeps its recall bound in
+    tests/test_similarity_text.py (mirrors the ann_topk_ivf precedent)."""
     from ..stages.similarity import knn_graph_ivf
 
     return knn_graph_ivf(
-        _read_table(sf_dir, "embeddings"), k=KNN_K, n_centroids=16, nprobe=8
+        _read_table(sf_dir, "embeddings"), k=KNN_K, n_centroids=16, nprobe=16
     )
 
 
@@ -2343,6 +2348,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS score_micro "
         f"FROM r WHERE rank <= {_kk}"
     )
+    # full-probe bucketed graph is exact by construction -> shares the twin
+    out["knn_graph_ivf"] = out["knn_graph"]
     out["dedup_keep_best"] = (
         "SELECT doc_id, source FROM "
         "(SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY text "

@@ -463,11 +463,15 @@ class _KnnGraphBlock:
     argpartition to k+1, a single flat lexsort for the (-score, neighbor_id)
     tie-break, boolean-cumsum self-exclusion — no per-row Python loop."""
 
-    def __init__(self, corpus_ref, k: int, col: str, id_col: str):
+    def __init__(self, corpus_ref, k: int, col: str, id_col: str, emit_raw: bool = False):
         self.corpus_ref = corpus_ref
         self.k = k
         self.col = col
         self.id_col = id_col
+        # emit_raw: also emit the float64 `_score` so a downstream merge can
+        # order by the SAME key as this block (micro-quantized ties would
+        # otherwise re-break differently at the merge)
+        self.emit_raw = emit_raw
         self._c = None
 
     def _corpus(self):
@@ -486,16 +490,16 @@ class _KnnGraphBlock:
     def __call__(self, batch: pa.Table) -> pa.Table:
         all_ids, M = self._corpus()
         idt = batch.schema.field(self.id_col).type
-        empty = pa.table(
-            {
-                "vec_id": pa.array([], idt),
-                "neighbor_id": pa.array([], idt),
-                "rank": pa.array([], pa.int64()),
-                "score_micro": pa.array([], pa.int64()),
-            }
-        )
+        empty_cols = {
+            "vec_id": pa.array([], idt),
+            "neighbor_id": pa.array([], idt),
+            "rank": pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+        }
+        if self.emit_raw:
+            empty_cols["_score"] = pa.array([], pa.float64())
         if batch.num_rows == 0:
-            return empty
+            return pa.table(empty_cols)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         E = _normalize(
             np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64)
@@ -513,16 +517,17 @@ class _KnnGraphBlock:
         keep = pid_s != ids[:, None]
         take = keep & (np.cumsum(keep, axis=1) <= self.k)
         ranks = np.cumsum(keep, axis=1)[take]
-        return pa.table(
-            {
-                "vec_id": pa.array(np.repeat(ids, take.sum(axis=1))),
-                "neighbor_id": pa.array(pid_s[take]),
-                "rank": pa.array(ranks.astype(np.int64)),
-                "score_micro": pa.array(
-                    np.floor(ps_s[take] * 1_000_000 + 0.5).astype(np.int64)
-                ),
-            }
-        )
+        out_cols = {
+            "vec_id": pa.array(np.repeat(ids, take.sum(axis=1))),
+            "neighbor_id": pa.array(pid_s[take]),
+            "rank": pa.array(ranks.astype(np.int64)),
+            "score_micro": pa.array(
+                np.floor(ps_s[take] * 1_000_000 + 0.5).astype(np.int64)
+            ),
+        }
+        if self.emit_raw:
+            out_cols["_score"] = pa.array(ps_s[take])
+        return pa.table(out_cols)
 
 
 def knn_graph(ds, k: int = 5, col: str = "embedding", id_col: str = "vec_id"):
@@ -610,7 +615,8 @@ class _IVFProbeReplicate:
 class _KnnBucketPartials:
     """map_groups stage: within one probed bucket, score every QUERY row
     against the bucket's CANDIDATE (home) rows and keep each query's local
-    top-k → partial (vec_id, neighbor_id, score_micro) rows."""
+    top-k → partial (vec_id, neighbor_id, _score) rows (raw float64 score:
+    the merge re-orders by the same key, so full probe == brute exactly)."""
 
     def __init__(self, k: int, col: str, id_col: str):
         self.k = k
@@ -626,14 +632,16 @@ class _KnnBucketPartials:
             {
                 "vec_id": pd.Series(dtype="int64"),
                 "neighbor_id": pd.Series(dtype="int64"),
-                "score_micro": pd.Series(dtype="int64"),
+                "_score": pd.Series(dtype="float64"),
             }
         )
         if len(home) == 0 or len(df) == 0:
             return empty
         cand_ids = home[self.id_col].to_numpy()
         Mc = _normalize(np.stack(home[self.col].to_numpy()).astype(np.float64))
-        blk = _KnnGraphBlock(None, self.k, self.col, self.id_col)
+        # emit_raw: the merge must order by the SAME float64 key this block
+        # used — micro-quantized scores would re-break ties differently
+        blk = _KnnGraphBlock(None, self.k, self.col, self.id_col, emit_raw=True)
         blk._c = (cand_ids, Mc)
         t = blk(
             pa.table(
@@ -644,7 +652,7 @@ class _KnnBucketPartials:
             )
         )
         out = t.to_pandas()
-        return out[["vec_id", "neighbor_id", "score_micro"]]
+        return out[["vec_id", "neighbor_id", "_score"]]
 
 
 class _KnnFinalTopK:
@@ -658,12 +666,15 @@ class _KnnFinalTopK:
 
     def __call__(self, df):
         df = df.sort_values(
-            ["vec_id", "score_micro", "neighbor_id"],
+            ["vec_id", "_score", "neighbor_id"],
             ascending=[True, False, True],
             kind="stable",
         )
         out = df.groupby("vec_id", sort=False).head(self.k).copy()
         out["rank"] = (out.groupby("vec_id", sort=False).cumcount() + 1).astype("int64")
+        out["score_micro"] = np.floor(
+            out["_score"].to_numpy() * 1_000_000 + 0.5
+        ).astype("int64")
         return out[["vec_id", "neighbor_id", "rank", "score_micro"]]
 
 
