@@ -430,6 +430,35 @@ def q_ngram_topk(sf_dir: str):
     return ngram_topk(_read_table(sf_dir, "documents"), n=2, k=50)
 
 
+PMI_MIN_COUNT = 5
+
+
+def q_ngram_pmi(sf_dir: str):
+    """Collocation extraction: integer-exact PMI components (w1, w2, n_xy,
+    n_x, n_y) for bigrams with count >= 5 (stages/text.py:ngram_pmi —
+    combiner-bounded count tables + two bucketed hash joins)."""
+    from ..stages.text import ngram_pmi
+
+    return ngram_pmi(_read_table(sf_dir, "documents"), min_count=PMI_MIN_COUNT)
+
+
+def q_window_distinct(sf_dir: str):
+    """Sliding-window distinct actives: COUNT(DISTINCT user_id) per
+    (event_type, 24h window hopping by 12h) — bounded window replication +
+    the skew-safe distinct-count reduction
+    (stages/windows.py:sliding_window_distinct)."""
+    from ..stages.windows import sliding_window_distinct
+
+    return sliding_window_distinct(
+        _read_table(sf_dir, "events"),
+        key="event_type",
+        val="user_id",
+        ts_col="ts",
+        window_s=86400,
+        slide_s=43200,
+    )
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash-LSH near-dup clustering (full labeling incl. singletons).
     Verified-pair semantics are EXACT n-gram Jaccard >= 0.8 among LSH
@@ -2172,6 +2201,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "validate_dispatch": q_validate_dispatch,
         "funnel_counts": q_funnel_counts,
         "ngram_topk": q_ngram_topk,
+        "ngram_pmi": q_ngram_pmi,
+        "window_distinct": q_window_distinct,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
         "window_session": q_window_session,
@@ -2376,6 +2407,28 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "g AS (SELECT ws[i] || ' ' || ws[i + 1] AS gram FROM pos) "
         "SELECT gram, COUNT(*) AS n FROM g GROUP BY gram "
         "ORDER BY n DESC, gram LIMIT 50"
+    )
+    from .queries import PMI_MIN_COUNT as _pmc
+
+    out["ngram_pmi"] = (
+        "WITH w AS (SELECT regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+') AS ws FROM documents), "
+        "pos AS (SELECT ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i FROM w), "
+        "bgc AS (SELECT ws[i] AS w1, ws[i + 1] AS w2, COUNT(*) AS n_xy FROM pos GROUP BY 1, 2), "
+        "toks AS (SELECT unnest(ws) AS tok FROM w), "
+        "uni AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok) "
+        "SELECT b.w1, b.w2, b.n_xy, x.n AS n_x, y.n AS n_y "
+        "FROM bgc b JOIN uni x ON x.tok = b.w1 JOIN uni y ON y.tok = b.w2 "
+        f"WHERE b.n_xy >= {_pmc}"
+    )
+    out["window_distinct"] = (
+        "WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tsu FROM events), "
+        "x AS (SELECT event_type, user_id, unnest(range("
+        "GREATEST(((tsu - 86400000000) // 43200000000 + 1) * 43200000000, 0), "
+        "(tsu // 43200000000) * 43200000000 + 43200000000, 43200000000)) AS ws_us FROM e) "
+        "SELECT event_type, ws_us // 1000000 AS window_start, "
+        "COUNT(DISTINCT user_id) AS n_distinct "
+        "FROM x GROUP BY event_type, ws_us"
     )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()

@@ -756,3 +756,114 @@ def ngram_topk(ds, n: int = 2, k: int = 50, col: str = "text"):
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
+
+
+def ngram_pmi(ds, min_count: int = 5, col: str = "text"):
+    """Collocation extraction (PMI components): for every word bigram with
+    corpus count >= min_count, emit (w1, w2, n_xy, n_x, n_y) — INTEGER-EXACT
+    association-strength components (the consumer computes
+    PMI = log(n_xy·N / (n_x·n_y)); emitting the log itself would open a
+    float-rounding channel against the SQL twin).
+
+    Scale shape: bigram and unigram count tables are built with per-batch
+    value_counts combiners (one row per block × distinct gram on the
+    shuffle), single-key groupby Sums; the bigram table is then min_count-
+    filtered (small) and enriched with the two unigram counts via TWO
+    bucketed hash joins (stages/joins.py:bucketed_hash_join) — the unigram
+    table is vocabulary-sized and never broadcast."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.textkernels import tokenize
+    from .joins import bucketed_hash_join
+
+    def bigram_partials(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"_g": pa.array([], type=pa.string()), "_n": pa.array([], type=pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        flat, doc_idx, _ = tokenize(t[col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return empty
+        # tokens are [a-z0-9]+ so ' ' is a safe pair separator
+        grams = pd.Series(toks[:-1], dtype=object).str.cat(
+            pd.Series(toks[1:], dtype=object), sep=" "
+        )
+        valid = doc_idx[:-1] == doc_idx[1:]
+        counts = grams[valid].value_counts()
+        return pa.table(
+            {
+                "_g": pa.array(counts.index, type=pa.string()),
+                "_n": pa.array(counts.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    bigram_partials.__name__ = "bigram_partial_counts"
+
+    def unigram_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"tok": pa.array([], type=pa.string()), "_n": pa.array([], type=pa.int64())}
+            )
+        flat, _, _ = tokenize(t[col])
+        counts = pd.Series(flat.to_numpy(zero_copy_only=False), dtype=object).value_counts()
+        return pa.table(
+            {
+                "tok": pa.array(counts.index, type=pa.string()),
+                "_n": pa.array(counts.to_numpy(dtype=np.int64)),
+            }
+        )
+
+    unigram_partials.__name__ = "unigram_partial_counts"
+    docs = ds.select_columns([col])
+    bg = (
+        docs.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby("_g")
+        .aggregate(Sum("_n", alias_name="n_xy"))
+        .filter(expr=f"n_xy >= {int(min_count)}")
+    )
+    uni = (
+        docs.map_batches(unigram_partials, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("_n", alias_name="_n_tok"))
+    )
+
+    def split_gram(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series(dtype=object),
+                    "w2": pd.Series(dtype=object),
+                    "n_xy": pd.Series(dtype="int64"),
+                }
+            )
+        parts = df["_g"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame(
+            {"w1": parts[0], "w2": parts[1], "n_xy": df["n_xy"].astype("int64")}
+        )
+
+    split_gram.__name__ = "split_gram"
+
+    def rename(cols: dict):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=cols)
+
+        fn.__name__ = "rename_" + "_".join(cols.values())
+        return fn
+
+    pairs = bg.map_batches(split_gram, batch_format="pandas")
+    uni1 = uni.map_batches(rename({"tok": "w1", "_n_tok": "n_x"}), batch_format="pandas")
+    joined1 = bucketed_hash_join(pairs, uni1, on="w1")
+    uni2 = uni.map_batches(rename({"tok": "w2", "_n_tok": "n_y"}), batch_format="pandas")
+    joined2 = bucketed_hash_join(joined1, uni2, on="w2")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["w1", "w2", "n_xy", "n_x", "n_y"]].copy()
+        for c in ("n_xy", "n_x", "n_y"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    finish.__name__ = "pmi_components"
+    return joined2.map_batches(finish, batch_format="pandas")

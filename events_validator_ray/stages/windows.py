@@ -230,3 +230,81 @@ def funnel_counts(
         .aggregate(Sum("_n", alias_name="n_users"))
         .map_batches(finish, batch_format="pandas")
     )
+
+
+def sliding_window_distinct(
+    ds,
+    key: str,
+    val: str,
+    ts_col: str,
+    window_s: int,
+    slide_s: int,
+    num_buckets: int = 256,
+):
+    """Per (key, sliding window): EXACT COUNT(DISTINCT val) — e.g. distinct
+    active users per event_type per hopping window, the dashboard query
+    COUNT can't answer. Same bounded ×(window/slide) replication as
+    sliding_window_agg, then the skew-safe distinct-count reduction
+    (assembly.distinct_count_per_key): duplicate (window,key,val) triples
+    collapse in per-batch combiners and a hot window never lands in one
+    task. The (key, window_start) pair rides the reduce as ONE packed key —
+    multi-key groupby at scale is the documented Ray hazard."""
+    from .assembly import distinct_count_per_key
+
+    w_us = window_s * 1_000_000
+    s_us = slide_s * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t[key].to_numpy(zero_copy_only=False)
+        vals = t[val].to_numpy(zero_copy_only=False)
+        first = ((epoch - w_us) // s_us + 1) * s_us
+        first = np.maximum(first, 0)
+        last = (epoch // s_us) * s_us
+        counts = np.maximum(0, (last - first) // s_us + 1).astype(np.int64)
+        starts = np.repeat(first, counts)
+        run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            run_starts, counts
+        )
+        wstart = (starts + offs * s_us) // 1_000_000
+        kcol = pd.Series(np.repeat(keys, counts), dtype=object)
+        packed = kcol.str.cat(pd.Series(wstart).astype(str), sep="\x1f")
+        return pa.table(
+            {
+                "_k": pa.array(packed, type=pa.string()),
+                val: pa.array(np.repeat(vals, counts)),
+            }
+        )
+
+    explode.__name__ = "window_replicate_pack"
+    counts = distinct_count_per_key(
+        ds.select_columns([key, val, ts_col]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        "_k",
+        val,
+        "n_distinct",
+        num_buckets=num_buckets,
+    )
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    key: pd.Series(dtype=object),
+                    "window_start": pd.Series(dtype="int64"),
+                    "n_distinct": pd.Series(dtype="int64"),
+                }
+            )
+        parts = df["_k"].str.rsplit("\x1f", n=1, expand=True)
+        return pd.DataFrame(
+            {
+                key: parts[0],
+                "window_start": parts[1].astype("int64"),
+                "n_distinct": df["n_distinct"].astype("int64"),
+            }
+        )
+
+    unpack.__name__ = "unpack_window_key"
+    return counts.map_batches(unpack, batch_format="pandas")
