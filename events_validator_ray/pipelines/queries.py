@@ -1461,6 +1461,55 @@ def q_broadcast_join(sf_dir: str):
     )
 
 
+def q_left_join_enrich(sf_dir: str):
+    """LEFT OUTER enrichment through the partitioned hash join: every event
+    keeps its row whether or not its user ever signed up; the signup dim is
+    built distributed (per-batch distinct + groupby Max — never a driver
+    pull) and unmatched rows surface as NULL marks. Exercises
+    bucketed_hash_join(how='left') as a registered, twin-checked surface
+    (the internal users: curate's drop filter, dedup label attach)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..stages.joins import bucketed_hash_join
+
+    ev = _read_table(sf_dir, "events").select_columns(["event_type", "user_id"])
+
+    def mark(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.loc[df["event_type"] == "signup", ["user_id"]].drop_duplicates()
+        return pa.table(
+            {"user_id": pa.array(df["user_id"]), "_signed": pa.array([1] * len(df), type=pa.int64())}
+        )
+
+    mark.__name__ = "signup_dim_combiner"
+    dim = (
+        ev.map_batches(mark, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("_signed", alias_name="_signed"))
+    )
+    joined = bucketed_hash_join(ev, dim, on="user_id", num_buckets=16, how="left")
+
+    def flag(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "_m": df["_signed"].notna().astype("int64"),
+            }
+        )
+
+    flag.__name__ = "matched_flag"
+    return (
+        joined.map_batches(flag, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("_m", alias_name="n_signed_up"))
+    )
+
+
 def q_bucketed_join(sf_dir: str):
     """Explicit partitioned hash join (both sides 'large'): orders ⨝ customer
     on custkey, one tagged-union shuffle, per-bucket pandas merge."""
@@ -2208,6 +2257,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "window_session": q_window_session,
         "broadcast_join": q_broadcast_join,
         "bucketed_join": q_bucketed_join,
+        "left_join_enrich": q_left_join_enrich,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "curate_docs": q_curate_docs,
@@ -2429,6 +2479,13 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "SELECT event_type, ws_us // 1000000 AS window_start, "
         "COUNT(DISTINCT user_id) AS n_distinct "
         "FROM x GROUP BY event_type, ws_us"
+    )
+    out["left_join_enrich"] = (
+        "WITH su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') "
+        "SELECT e.event_type, COUNT(*) AS n_events, "
+        "SUM(CASE WHEN su.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up "
+        "FROM events e LEFT JOIN su ON su.user_id = e.user_id "
+        "GROUP BY e.event_type"
     )
     out["window_tumbling"] = tumbling_oracle()
     out["window_sliding"] = sliding_oracle()
