@@ -744,6 +744,16 @@ def q_knn_graph_ivf(sf_dir: str):
     )
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: each vector's top-5 cosine neighbors carrying a
+    DIFFERENT label — the close-but-wrong pairs a contrastive loss trains on
+    (stages/similarity.py:hard_negatives — exact kNN graph + two bucketed
+    label joins + vectorized mismatch filter)."""
+    from ..stages.similarity import hard_negatives
+
+    return hard_negatives(_read_table(sf_dir, "embeddings"), k=KNN_K)
+
+
 def q_text_stats(sf_dir: str):
     """Integer text statistics (token/char/punct/stopword counts) — the
     SQL-exact slice of the quality-scoring stage."""
@@ -2244,6 +2254,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "knn_graph": q_knn_graph,
         "knn_graph_ivf": q_knn_graph_ivf,
+        "hard_negatives": q_hard_negatives,
         "text_stats": q_text_stats,
         "validate_json_props": q_validate_json_props,
         "validate_nested": q_validate_nested,
@@ -2431,6 +2442,21 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     )
     # full-probe bucketed graph is exact by construction -> shares the twin
     out["knn_graph_ivf"] = out["knn_graph"]
+    out["hard_negatives"] = (
+        "WITH d AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings), "
+        "s AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, "
+        "list_cosine_similarity(a.e, b.e) AS sim "
+        "FROM d a CROSS JOIN d b WHERE a.vec_id <> b.vec_id), "
+        "r AS (SELECT vec_id, neighbor_id, sim, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+        "SELECT r.vec_id, r.neighbor_id, r.rank, "
+        "CAST(floor(r.sim * 1000000 + 0.5) AS BIGINT) AS score_micro, "
+        "CAST(la.label AS BIGINT) AS label, CAST(lb.label AS BIGINT) AS neighbor_label "
+        "FROM r JOIN embeddings la ON la.vec_id = r.vec_id "
+        "JOIN embeddings lb ON lb.vec_id = r.neighbor_id "
+        f"WHERE r.rank <= {_kk} AND la.label <> lb.label"
+    )
     out["dedup_keep_best"] = (
         "SELECT doc_id, source FROM "
         "(SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY text "

@@ -707,3 +707,44 @@ def knn_graph_ivf(
     return partials.groupby("vec_id").map_groups(
         _KnnFinalTopK(k), batch_format="pandas"
     )
+
+
+def hard_negatives(ds, k: int = 5, col: str = "embedding", id_col: str = "vec_id", label_col: str = "label"):
+    """Hard-negative mining for contrastive training: each vector's top-k
+    cosine neighbors that carry a DIFFERENT label — the close-but-wrong
+    pairs a metric-learning loss needs. Composes the exact kNN graph with
+    two bucketed label joins (the label table is corpus-sized — it shuffles,
+    never broadcasts) and a vectorized label-mismatch filter.
+    Returns (vec_id, neighbor_id, rank, score_micro, label, neighbor_label)."""
+    import pandas as pd
+
+    from .joins import bucketed_hash_join
+
+    graph = knn_graph(ds, k=k, col=col, id_col=id_col)
+    labels = ds.select_columns([id_col, label_col])
+
+    def rename(cols: dict):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=cols)
+
+        fn.__name__ = "rename_" + "_".join(str(v) for v in cols.values())
+        return fn
+
+    lab_a = labels.map_batches(rename({label_col: "label"}), batch_format="pandas")
+    j1 = bucketed_hash_join(graph, lab_a, on=id_col)
+    lab_b = labels.map_batches(
+        rename({id_col: "neighbor_id", label_col: "neighbor_label"}),
+        batch_format="pandas",
+    )
+    j2 = bucketed_hash_join(j1, lab_b, on="neighbor_id")
+
+    def mismatch(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["label"].ne(df["neighbor_label"])].copy()
+        for c in ("rank", "score_micro", "label", "neighbor_label"):
+            out[c] = out[c].astype("int64")
+        return out[
+            ["vec_id", "neighbor_id", "rank", "score_micro", "label", "neighbor_label"]
+        ]
+
+    mismatch.__name__ = "label_mismatch_filter"
+    return j2.map_batches(mismatch, batch_format="pandas")
