@@ -33,7 +33,9 @@ def tumbling_window_agg(
     from ray.data.aggregate import Count, Sum
 
     def add_window(t: pa.Table) -> pa.Table:
-        epoch = pc.cast(t[ts_col], pa.int64())  # µs
+        # unit-safe: normalize to µs before the int64 view (from_pandas
+        # corpora arrive as timestamp[ns]; parquet corpora as timestamp[us])
+        epoch = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
         win = pc.multiply(
             pc.cast(pc.floor(pc.divide(epoch, float(window_s * 1_000_000))), pa.int64()),
             window_s,
@@ -74,7 +76,9 @@ def sliding_window_agg(
     s_us = slide_s * 1_000_000
 
     def explode(t: pa.Table) -> pa.Table:
-        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        epoch = pc.cast(
+            pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         keys = t[key].to_numpy(zero_copy_only=False)
         # windows with w_start in (epoch - window, epoch], aligned to slide
         first = ((epoch - w_us) // s_us + 1) * s_us
@@ -255,7 +259,9 @@ def sliding_window_distinct(
     s_us = slide_s * 1_000_000
 
     def explode(t: pa.Table) -> pa.Table:
-        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        epoch = pc.cast(
+            pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
         keys = t[key].to_numpy(zero_copy_only=False)
         vals = t[val].to_numpy(zero_copy_only=False)
         first = ((epoch - w_us) // s_us + 1) * s_us

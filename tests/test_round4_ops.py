@@ -130,3 +130,103 @@ def test_role_transitions_skips_nulls_and_conv_boundaries(ray_session):
     assert got.to_dict("records") == [
         {"from_role": "assistant", "to_role": "user", "n": 1}
     ]
+
+
+def _local_funnel(df: pd.DataFrame, stages):
+    """Row-at-a-time reference: stage-0 time = min ts of stage-0 events;
+    stage-i time = min ts of stage-i events strictly after stage-(i-1)."""
+    counts = []
+    reached = {}
+    for u, g in df[df.event_type == stages[0]].groupby("user_id"):
+        reached[u] = g.ts.min()
+    counts.append(len(reached))
+    for stage in stages[1:]:
+        nxt = {}
+        for u, g in df[df.event_type == stage].groupby("user_id"):
+            if u in reached:
+                after = g.ts[g.ts > reached[u]]
+                if len(after):
+                    nxt[u] = after.min()
+        reached = nxt
+        counts.append(len(reached))
+    return counts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_funnel_fuzz_vs_local(ray_session, seed):
+    """Randomized streams with ts ties, duplicate events and null
+    timestamps: the distributed funnel equals the per-user reference."""
+    from events_validator_ray.stages.windows import funnel_counts
+
+    rng = np.random.default_rng(seed)
+    n = 600
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    ts_us = t0 + rng.integers(0, 50, size=n) * 1_000_000  # coarse -> many ties
+    ts = pd.Series(pd.to_datetime(ts_us, unit="us"))
+    ts[rng.random(n) < 0.05] = pd.NaT
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, size=n),
+            "event_type": rng.choice(["A", "B", "C", "X"], size=n),
+            "ts": ts,
+        }
+    )
+    got = (
+        funnel_counts(_ds(df), stages=["A", "B", "C"], num_buckets=8)
+        .to_pandas()
+        .sort_values("stage_idx")
+    )
+    assert list(got["n_users"]) == _local_funnel(df, ["A", "B", "C"])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_window_distinct_fuzz_vs_local(ray_session, seed):
+    """Randomized event streams: the skew-safe distinct reduction equals a
+    local replicate-and-nunique reference."""
+    from events_validator_ray.stages.windows import sliding_window_distinct
+
+    rng = np.random.default_rng(100 + seed)
+    n = 500
+    w_s, s_s = 20, 10
+    t0 = pd.Timestamp("2024-01-01").value // 1000
+    ts_us = t0 + rng.integers(0, 200, size=n) * 1_000_000
+    df = pd.DataFrame(
+        {
+            "event_type": rng.choice(["a", "b"], size=n),
+            "user_id": rng.integers(0, 15, size=n),
+            # timestamp[us] like the events corpus: the window math (shared
+            # with sliding_window_agg / the epoch_us SQL twins) casts the
+            # Arrow timestamp to int64 and treats it as MICROseconds
+            "ts": pd.to_datetime(ts_us, unit="us").astype("datetime64[us]"),
+        }
+    )
+    got = (
+        sliding_window_distinct(
+            _ds(df), key="event_type", val="user_id", ts_col="ts",
+            window_s=w_s, slide_s=s_s, num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    # local reference: replicate each event to its covering windows
+    rows = []
+    w_us, s_us = w_s * 1_000_000, s_s * 1_000_000
+    for _, r in df.iterrows():
+        e = r.ts.value // 1000
+        first = max(((e - w_us) // s_us + 1) * s_us, 0)
+        last = (e // s_us) * s_us
+        w = first
+        while w <= last:
+            rows.append((r.event_type, w // 1_000_000, r.user_id))
+            w += s_us
+    ref = (
+        pd.DataFrame(rows, columns=["event_type", "window_start", "user_id"])
+        .groupby(["event_type", "window_start"])["user_id"]
+        .nunique()
+        .rename("n_distinct")
+        .reset_index()
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
