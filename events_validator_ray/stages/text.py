@@ -758,7 +758,7 @@ def ngram_topk(ds, n: int = 2, k: int = 50, col: str = "text"):
     )
 
 
-def ngram_pmi(ds, min_count: int = 5, col: str = "text"):
+def ngram_pmi(ds, min_count: int = 5, col: str = "text", broadcast_max_terms: int = 200_000):
     """Collocation extraction (PMI components): for every word bigram with
     corpus count >= min_count, emit (w1, w2, n_xy, n_x, n_y) — INTEGER-EXACT
     association-strength components (the consumer computes
@@ -768,9 +768,11 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text"):
     Scale shape: bigram and unigram count tables are built with per-batch
     value_counts combiners (one row per block × distinct gram on the
     shuffle), single-key groupby Sums; the bigram table is then min_count-
-    filtered (small) and enriched with the two unigram counts via TWO
-    bucketed hash joins (stages/joins.py:bucketed_hash_join) — the unigram
-    table is vocabulary-sized and never broadcast."""
+    filtered (small) and enriched with the two unigram counts. The unigram
+    attach is GATED like tfidf's: a vocabulary ≤ broadcast_max_terms is
+    ray.put once and mapped in (two shuffle-free lookups); above the gate it
+    takes TWO bucketed hash joins (stages/joins.py:bucketed_hash_join) —
+    tested path-equal."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
@@ -828,6 +830,10 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text"):
         docs.map_batches(unigram_partials, batch_format="pyarrow")
         .groupby("tok")
         .aggregate(Sum("_n", alias_name="_n_tok"))
+        # materialize ONCE: both joins consume this table, and a lazy plan
+        # would re-run the whole corpus tokenization per join. The table is
+        # vocabulary-sized (never corpus-sized) — a bounded materialization
+        .materialize()
     )
 
     def split_gram(df: pd.DataFrame) -> pd.DataFrame:
@@ -845,19 +851,7 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text"):
         )
 
     split_gram.__name__ = "split_gram"
-
-    def rename(cols: dict):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            return df.rename(columns=cols)
-
-        fn.__name__ = "rename_" + "_".join(cols.values())
-        return fn
-
     pairs = bg.map_batches(split_gram, batch_format="pandas")
-    uni1 = uni.map_batches(rename({"tok": "w1", "_n_tok": "n_x"}), batch_format="pandas")
-    joined1 = bucketed_hash_join(pairs, uni1, on="w1")
-    uni2 = uni.map_batches(rename({"tok": "w2", "_n_tok": "n_y"}), batch_format="pandas")
-    joined2 = bucketed_hash_join(joined1, uni2, on="w2")
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         out = df[["w1", "w2", "n_xy", "n_x", "n_y"]].copy()
@@ -866,4 +860,48 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text"):
         return out
 
     finish.__name__ = "pmi_components"
+
+    if uni.count() <= broadcast_max_terms:
+        # vocabulary fits comfortably: ship it once, attach with two
+        # shuffle-free map lookups (the normal regime for natural language —
+        # vocab grows ~log corpus)
+        import ray
+
+        udf = uni.to_pandas()
+        ref = ray.put(pd.Series(udf["_n_tok"].to_numpy(), index=udf["tok"]))
+
+        class AttachUnigrams:
+            def __init__(self, counts_ref):
+                obj = counts_ref
+                try:
+                    if isinstance(obj, ray.ObjectRef):
+                        obj = ray.get(obj)
+                except Exception:
+                    pass
+                self.counts = obj
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                df = df.assign(
+                    n_x=df["w1"].map(self.counts), n_y=df["w2"].map(self.counts)
+                )
+                return finish(df)
+
+        return pairs.map_batches(
+            AttachUnigrams,
+            fn_constructor_kwargs={"counts_ref": ref},
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
+
+    def rename(cols: dict):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns=cols)
+
+        fn.__name__ = "rename_" + "_".join(cols.values())
+        return fn
+
+    uni1 = uni.map_batches(rename({"tok": "w1", "_n_tok": "n_x"}), batch_format="pandas")
+    joined1 = bucketed_hash_join(pairs, uni1, on="w1")
+    uni2 = uni.map_batches(rename({"tok": "w2", "_n_tok": "n_y"}), batch_format="pandas")
+    joined2 = bucketed_hash_join(joined1, uni2, on="w2")
     return joined2.map_batches(finish, batch_format="pandas")

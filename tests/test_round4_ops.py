@@ -230,3 +230,31 @@ def test_window_distinct_fuzz_vs_local(ray_session, seed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_ngram_pmi_paths_equal(ray_session):
+    """Broadcast and bucketed-join unigram attach produce identical rows
+    (same gate-equality discipline as tfidf/curate)."""
+    from events_validator_ray.stages.text import ngram_pmi
+
+    df = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "text": ["a b c a b", "b c d", "a b", "c d a b", "d d d", "a c", "b a", "x y"] ,
+        }
+    )
+    kw = dict(min_count=2)
+    a = (
+        ngram_pmi(_ds(df), broadcast_max_terms=1_000_000, **kw)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_pmi(_ds(df), broadcast_max_terms=0, **kw)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
