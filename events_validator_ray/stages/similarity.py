@@ -709,12 +709,21 @@ def knn_graph_ivf(
     )
 
 
-def hard_negatives(ds, k: int = 5, col: str = "embedding", id_col: str = "vec_id", label_col: str = "label"):
+def hard_negatives(
+    ds,
+    k: int = 5,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    broadcast_max_labels: int = 2_000_000,
+):
     """Hard-negative mining for contrastive training: each vector's top-k
     cosine neighbors that carry a DIFFERENT label — the close-but-wrong
-    pairs a metric-learning loss needs. Composes the exact kNN graph with
-    two bucketed label joins (the label table is corpus-sized — it shuffles,
-    never broadcasts) and a vectorized label-mismatch filter.
+    pairs a metric-learning loss needs. Composes the exact kNN graph with a
+    label attach and a vectorized label-mismatch filter. The attach is GATED
+    like dedup's label attach: an id→label table ≤ broadcast_max_labels is
+    ray.put once and mapped in (two shuffle-free lookups); above the gate it
+    takes two bucketed hash joins — tested path-equal.
     Returns (vec_id, neighbor_id, rank, score_micro, label, neighbor_label)."""
     import pandas as pd
 
@@ -722,6 +731,45 @@ def hard_negatives(ds, k: int = 5, col: str = "embedding", id_col: str = "vec_id
 
     graph = knn_graph(ds, k=k, col=col, id_col=id_col)
     labels = ds.select_columns([id_col, label_col])
+    out_cols = ["vec_id", "neighbor_id", "rank", "score_micro", "label", "neighbor_label"]
+
+    def mismatch(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["label"].ne(df["neighbor_label"])].copy()
+        for c in ("rank", "score_micro", "label", "neighbor_label"):
+            out[c] = out[c].astype("int64")
+        return out[out_cols]
+
+    mismatch.__name__ = "label_mismatch_filter"
+
+    if labels.count() <= broadcast_max_labels:
+        import ray
+
+        ldf = labels.to_pandas()
+        ref = ray.put(pd.Series(ldf[label_col].to_numpy(), index=ldf[id_col]))
+
+        class AttachLabels:
+            def __init__(self, labels_ref):
+                obj = labels_ref
+                try:
+                    if isinstance(obj, ray.ObjectRef):
+                        obj = ray.get(obj)
+                except Exception:
+                    pass
+                self.labels = obj
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                df = df.assign(
+                    label=df["vec_id"].map(self.labels),
+                    neighbor_label=df["neighbor_id"].map(self.labels),
+                )
+                return mismatch(df)
+
+        return graph.map_batches(
+            AttachLabels,
+            fn_constructor_kwargs={"labels_ref": ref},
+            batch_format="pandas",
+            concurrency=(1, 8),
+        )
 
     def rename(cols: dict):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -737,14 +785,4 @@ def hard_negatives(ds, k: int = 5, col: str = "embedding", id_col: str = "vec_id
         batch_format="pandas",
     )
     j2 = bucketed_hash_join(j1, lab_b, on="neighbor_id")
-
-    def mismatch(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.loc[df["label"].ne(df["neighbor_label"])].copy()
-        for c in ("rank", "score_micro", "label", "neighbor_label"):
-            out[c] = out[c].astype("int64")
-        return out[
-            ["vec_id", "neighbor_id", "rank", "score_micro", "label", "neighbor_label"]
-        ]
-
-    mismatch.__name__ = "label_mismatch_filter"
     return j2.map_batches(mismatch, batch_format="pandas")

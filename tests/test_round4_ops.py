@@ -258,3 +258,26 @@ def test_ngram_pmi_paths_equal(ray_session):
     )
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_hard_negatives_paths_equal(ray_session):
+    """Broadcast and bucketed-join label attach produce identical rows."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.similarity import hard_negatives
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = (
+        hard_negatives(emb, k=3, broadcast_max_labels=1_000_000)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        hard_negatives(emb, k=3, broadcast_max_labels=0)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
