@@ -585,6 +585,19 @@ def simhash_components_oracle(sf_dir: str) -> str:
     return _components_sql(pair_sql, "SELECT doc_id, doc_id FROM sig", "doc_id")
 
 
+def q_dup_cluster_stats(sf_dir: str):
+    """Dedup report: cluster-size histogram of the MinHash-LSH labeling
+    (cluster_size, n_clusters) — sum(size×n)=corpus; the dup-rate view every
+    dedup run ends with (stages/dedup.py:dup_cluster_stats — two additive
+    single-key groupbys over the label table)."""
+    from ..stages.dedup import dup_cluster_stats, minhash_lsh_dedup
+
+    labels = minhash_lsh_dedup(
+        _read_table(sf_dir, "documents"), threshold=0.8, include_singletons=True
+    )
+    return dup_cluster_stats(labels)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup full labeling. Emits the signature sidecar first so
     the DuckDB twin (simhash_components_oracle) sees identical signatures;
@@ -2248,6 +2261,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_minhash": q_dedup_minhash,
+        "dup_cluster_stats": q_dup_cluster_stats,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "ann_topk": q_ann_topk,
@@ -2327,6 +2341,12 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["zscore_scaled"] = zscore_oracle()
     out["tfidf_top_terms"] = tfidf_oracle()
     out["dedup_minhash"] = minhash_components_oracle()
+    out["dup_cluster_stats"] = (
+        "SELECT cluster_size, COUNT(*) AS n_clusters FROM "
+        "(SELECT cluster, COUNT(*) AS cluster_size FROM "
+        f"({minhash_components_oracle()}) GROUP BY cluster) "
+        "GROUP BY cluster_size"
+    )
     out["dedup_embedding"] = embedding_components_oracle()
     # simhash / fingerprints twins recompute over the engine's emitted
     # signature / gram-hash sidecars; generated at SQL-build time because the

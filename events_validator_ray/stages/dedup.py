@@ -1219,3 +1219,15 @@ def embedding_dedup(
     verified = cosine_verify_pairs(pairs, threshold).materialize()
     labels_obj = _assemble_labels(verified, assembly, driver_max_pairs)
     return _finish_from_assembly(ds, labels_obj, id_col, include_singletons, broadcast_max_labels)
+
+
+def dup_cluster_stats(labels_ds, label_col: str = "cluster"):
+    """Cluster-size histogram of a dedup labeling — the dup-rate report every
+    dedup run ends with: (cluster_size, n_clusters). Size-1 clusters are the
+    unique docs; sum(cluster_size × n_clusters) = corpus. Two single-key
+    additive groupbys (label → size, size → count): map-side combining
+    absorbs both, nothing driver-side."""
+    from ray.data.aggregate import Count
+
+    sizes = labels_ds.groupby(label_col).aggregate(Count(alias_name="cluster_size"))
+    return sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
