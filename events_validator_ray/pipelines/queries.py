@@ -1208,6 +1208,57 @@ def q_fingerprint_dups(sf_dir: str):
     return distinct_count_per_key(pair_ds, "fp", "doc_id", "n_docs", min_count=2)
 
 
+def q_split_leakage(sf_dir: str):
+    """Train/test split leakage guard: split docs deterministically
+    (doc_id % 10 — 8 train : 2 test) and report, per TEST doc, how many of
+    its winnowing fingerprints also occur in ANY train doc → (doc_id,
+    n_leaked_fps) for leaked docs. The own-splits analog of benchmark
+    decontamination. Scale shape: fingerprints explode to distinct (fp,
+    doc_id) pairs; the train fp set is NEVER broadcast or pulled — the test
+    pairs go through joins.bloom_semi_join (distributed Bloom prefilter +
+    exact survivor pass) and a single additive groupby(doc_id)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import bloom_semi_join
+    from ..stages.text import fingerprints
+
+    ensure_gram_hashes(sf_dir)
+    import numpy as np
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        reps = df["fingerprint"].map(len).to_numpy(dtype=np.int64)
+        doc = np.repeat(df["doc_id"].to_numpy(), reps)
+        if reps.sum():
+            h = np.concatenate(
+                [np.asarray(l, dtype=np.uint64) for l in df["fingerprint"] if len(l)]
+            )
+        else:
+            h = np.array([], dtype=np.uint64)
+        return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
+
+    explode.__name__ = "explode_fingerprints"
+    pairs = fingerprints(_read_table(sf_dir, "documents")).map_batches(
+        explode, batch_format="pandas"
+    )
+
+    def side(test: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["doc_id"] % 10 >= 8
+            return df.loc[m if test else ~m]
+
+        fn.__name__ = "test_split" if test else "train_split"
+        return fn
+
+    train_fps = pairs.map_batches(side(False), batch_format="pandas").select_columns(
+        ["fp"]
+    )
+    test_pairs = pairs.map_batches(side(True), batch_format="pandas")
+    leaked = bloom_semi_join(test_pairs, train_fps, on="fp")
+    return leaked.groupby("doc_id").aggregate(Count(alias_name="n_leaked_fps"))
+
+
 def q_fingerprints(sf_dir: str):
     """Winnowing fingerprints reduced to comparable scalars (distinct-count
     + unsigned-min, bit-cast to int64). Emits the gram-hash sidecar first so
@@ -2304,6 +2355,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
         "fingerprint_dups": q_fingerprint_dups,
+        "split_leakage": q_split_leakage,
         "turn_text_digest": q_turn_text_digest,
         "conversation_doc": q_conversation_doc,
         "turn_pairs": q_turn_pairs,
@@ -2358,6 +2410,14 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         out["dedup_simhash"] = simhash_components_oracle(_docs_dir)
         out["fingerprints"] = fingerprints_oracle(_docs_dir)
         out["fingerprint_dups"] = fingerprint_dups_oracle(_docs_dir)
+        out["split_leakage"] = (
+            f"{_winnow_cte(_docs_dir)}, "
+            f"p AS (SELECT DISTINCT doc_id, xor(m, {_SIGNBIT}) AS fp FROM d), "
+            "tr AS (SELECT DISTINCT fp FROM p WHERE doc_id % 10 < 8) "
+            "SELECT doc_id, COUNT(*) AS n_leaked_fps FROM p "
+            "WHERE doc_id % 10 >= 8 AND fp IN (SELECT fp FROM tr) "
+            "GROUP BY doc_id"
+        )
     if _os.path.exists(_os.path.join(_docs_dir, "embeddings.parquet")):
         out["cluster_assign"] = cluster_assign_oracle(_docs_dir)
     out["bloom_semi_join"] = (
