@@ -442,6 +442,21 @@ def q_ngram_pmi(sf_dir: str):
     return ngram_pmi(_read_table(sf_dir, "documents"), min_count=PMI_MIN_COUNT)
 
 
+HH_PERMILLE = 8
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Frequent items, exactly: users with >= 0.8% of all events
+    (stages/sketches.py:heavy_hitters_exact — pigeonhole local-frequency
+    candidates + broadcast exact verify, two linear passes, no corpus
+    shuffle)."""
+    from ..stages.sketches import heavy_hitters_exact
+
+    return heavy_hitters_exact(
+        _read_table(sf_dir, "events"), col="user_id", threshold_permille=HH_PERMILLE
+    )
+
+
 def q_window_distinct(sf_dir: str):
     """Sliding-window distinct actives: COUNT(DISTINCT user_id) per
     (event_type, 24h window hopping by 12h) — bounded window replication +
@@ -2327,6 +2342,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q_funnel_counts,
         "ngram_topk": q_ngram_topk,
         "ngram_pmi": q_ngram_pmi,
+        "heavy_hitters": q_heavy_hitters,
         "window_distinct": q_window_distinct,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2576,6 +2592,13 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "SELECT b.w1, b.w2, b.n_xy, x.n AS n_x, y.n AS n_y "
         "FROM bgc b JOIN uni x ON x.tok = b.w1 JOIN uni y ON y.tok = b.w2 "
         f"WHERE b.n_xy >= {_pmc}"
+    )
+    from .queries import HH_PERMILLE as _hh
+
+    out["heavy_hitters"] = (
+        # c >= ceil(n*t/1000)  <=>  c*1000 >= n*t (integers)
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
+        f"HAVING COUNT(*) * 1000 >= (SELECT COUNT(*) FROM events) * {_hh}"
     )
     out["window_distinct"] = (
         "WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS tsu FROM events), "

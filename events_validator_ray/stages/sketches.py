@@ -523,3 +523,92 @@ def drift_report(
             }
         )
     return pd.DataFrame(rows)
+
+
+def heavy_hitters_exact(ds, col: str, threshold_permille: int = 8):
+    """Distributed frequent-items with an EXACT answer in two linear passes
+    (the space-saving/Misra-Gries pipeline with the exact verify that makes
+    it oracle-checkable):
+
+    - Pass 1 (candidates): per-batch value_counts emits items whose LOCAL
+      frequency ≥ threshold. Pigeonhole guarantees a superset: an item with
+      global frequency ≥ t has frequency ≥ t in at least one batch. The
+      candidate set is bounded by blocks × 1000/threshold_permille — a
+      documented bounded driver pull, independent of corpus size.
+    - Pass 2 (exact verify): candidates broadcast once via ray.put; each
+      batch counts ONLY candidate occurrences (vectorized pc.is_in +
+      value_counts); one additive groupby(col).Sum; keep
+      count ≥ ceil(n × t).
+
+    No corpus shuffle — only candidate-count rows move. Returns (col, n)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    thr = int(threshold_permille)
+    n_total = ds.count()
+    support = (n_total * thr + 999) // 1000
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        vals = t[col]
+        nb = len(t)
+        out_type = t.schema.field(col).type
+        if nb == 0:
+            return pa.table({col: pa.array([], type=out_type)})
+        counts = pd.Series(vals.to_numpy(zero_copy_only=False)).value_counts()
+        # ceil(nb * thr / 1000) occurrences = local frequency >= threshold
+        need = (nb * thr + 999) // 1000
+        cand = counts.index[counts.to_numpy() >= max(need, 1)]
+        return pa.table({col: pa.array(cand, type=out_type)})
+
+    local_candidates.__name__ = "local_frequency_candidates"
+    cand_rows = (
+        ds.select_columns([col])
+        .map_batches(local_candidates, batch_format="pyarrow")
+        .take_all()
+    )
+    cand = sorted({r[col] for r in cand_rows})
+    if not cand:
+        import ray.data as rd
+
+        return rd.from_items([]).map_batches(lambda b: b)
+    ref = ray.put(set(cand))
+
+    class CountCandidates:
+        def __init__(self, cand_ref):
+            obj = cand_ref
+            try:
+                if isinstance(obj, ray.ObjectRef):
+                    obj = ray.get(obj)
+            except Exception:
+                pass
+            self.cand = pa.array(sorted(obj))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_type = t.schema.field(col).type
+            if len(t) == 0:
+                return pa.table(
+                    {col: pa.array([], type=out_type), "_n": pa.array([], pa.int64())}
+                )
+            import pyarrow.compute as pc
+
+            kept = t.filter(pc.fill_null(pc.is_in(t[col], value_set=self.cand), False))
+            counts = pd.Series(kept[col].to_numpy(zero_copy_only=False)).value_counts()
+            return pa.table(
+                {
+                    col: pa.array(counts.index, type=out_type),
+                    "_n": pa.array(counts.to_numpy(dtype=np.int64)),
+                }
+            )
+
+    return (
+        ds.select_columns([col])
+        .map_batches(
+            CountCandidates,
+            fn_constructor_kwargs={"cand_ref": ref},
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+        .groupby(col)
+        .aggregate(Sum("_n", alias_name="n"))
+        .filter(expr=f"n >= {int(support)}")
+    )
