@@ -1990,6 +1990,15 @@ def q_conv_segments(sf_dir: str):
     return conv_segments(_read_transcripts(sf_dir), gap_s=1800)
 
 
+def q_response_variants(sf_dir: str):
+    """DPO-precursor mining: user prompts with >= 2 DISTINCT assistant
+    responses corpus-wide (stages/assembly.py:response_variants — turn_pairs
+    adjacency + skew-safe distinct-count reduction)."""
+    from ..stages.assembly import response_variants
+
+    return response_variants(_read_transcripts(sf_dir))
+
+
 def q_cross_conv_dups(sf_dir: str):
     """Template/canned-response detection: texts appearing verbatim in >= 2
     DISTINCT conversations (stages/assembly.py:cross_conv_duplicate_texts) —
@@ -2271,6 +2280,17 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "FROM o WHERE role = 'user' AND next_role = 'assistant' "
             "AND text IS NOT NULL AND next_text IS NOT NULL"
         ),
+        "response_variants": (
+            "WITH o AS (SELECT conv_id, role, text, "
+            "lead(role) OVER w AS next_role, lead(text) OVER w AS next_text "
+            f"FROM {t} WINDOW w AS (PARTITION BY conv_id "
+            "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''))), "
+            "p AS (SELECT md5(text) AS prompt_md5, md5(next_text) AS response_md5 "
+            "FROM o WHERE role = 'user' AND next_role = 'assistant' "
+            "AND text IS NOT NULL AND next_text IS NOT NULL) "
+            "SELECT prompt_md5, COUNT(DISTINCT response_md5) AS n_variants "
+            "FROM p GROUP BY prompt_md5 HAVING COUNT(DISTINCT response_md5) >= 2"
+        ),
         "drift_roles": drift_roles_oracle(t),
     }
 
@@ -2375,6 +2395,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_text_digest": q_turn_text_digest,
         "conversation_doc": q_conversation_doc,
         "turn_pairs": q_turn_pairs,
+        "response_variants": q_response_variants,
         "cross_conv_dups": q_cross_conv_dups,
         "role_transitions": q_role_transitions,
         "conv_segments": q_conv_segments,

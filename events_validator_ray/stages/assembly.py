@@ -388,3 +388,21 @@ def turn_pairs(ds, prompt_role: str = "user", response_role: str = "assistant", 
         .groupby("bucket")
         .map_groups(_TurnPairsBucket(prompt_role, response_role), batch_format="pandas")
     )
+
+
+def response_variants(ds, min_variants: int = 2, num_buckets: int = 64):
+    """Preference-pair mining precursor (DPO-style): user prompts that
+    received >= min_variants DISTINCT assistant responses anywhere in the
+    corpus → (prompt_md5, n_variants). The turn after a verbatim-repeated
+    prompt diverging is exactly where chosen/rejected pairs come from.
+
+    Scale shape: the turn_pairs adjacency kernel (one bucketed conversation
+    shuffle, md5s projected before anything else moves) feeding the
+    skew-safe distinct_count_per_key reduction — a prompt repeated across
+    most of the corpus never collapses into one task."""
+    pairs = turn_pairs(ds, num_buckets=num_buckets).select_columns(
+        ["prompt_md5", "response_md5"]
+    )
+    return distinct_count_per_key(
+        pairs, "prompt_md5", "response_md5", "n_variants", min_count=min_variants
+    )

@@ -570,7 +570,11 @@ def heavy_hitters_exact(ds, col: str, threshold_permille: int = 8):
     if not cand:
         import ray.data as rd
 
-        return rd.from_items([]).map_batches(lambda b: b)
+        sch = ds.schema()
+        col_type = dict(zip(sch.names, sch.types))[col]
+        return rd.from_arrow(
+            pa.table({col: pa.array([], type=col_type), "n": pa.array([], pa.int64())})
+        )
     ref = ray.put(set(cand))
 
     class CountCandidates:
