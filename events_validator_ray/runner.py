@@ -46,6 +46,13 @@ def main(argv: list[str] | None = None) -> int:
         "table (doc_id, text)",
     )
     p.add_argument(
+        "--pairs",
+        action="store_true",
+        help="export SFT training pairs instead of validating: mine adjacent "
+        "user→assistant turn pairs (assembly.turn_pairs) and write them as "
+        "partitioned parquet under OUT/pairs with a resumable summary marker",
+    )
+    p.add_argument(
         "--reference-profile",
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
@@ -91,6 +98,31 @@ def main(argv: list[str] | None = None) -> int:
 
         summary = curate_documents(args.input, args.out, resume=not args.no_resume)
         print(json.dumps(summary, default=str))
+        ray.shutdown()
+        return 0
+
+    if args.pairs:
+        import os as _os
+
+        from .stages.assembly import turn_pairs
+
+        marker = _os.path.join(args.out, "pairs_summary.json")
+        if not args.no_resume and _os.path.exists(marker):
+            with open(marker) as f:
+                done = json.load(f)
+            done["skipped"] = True
+            print(json.dumps(done))
+            ray.shutdown()
+            return 0
+        outdir = _os.path.join(args.out, "pairs")
+        pairs = turn_pairs(rd.read_parquet(args.input))
+        pairs.write_parquet(outdir)
+        # count from the SINK (lineage check: what landed is what we report)
+        n_pairs = rd.read_parquet(outdir).count()
+        summary = {"skipped": False, "output_path": outdir, "n_pairs": n_pairs}
+        with open(marker, "w") as f:
+            json.dump(summary, f)
+        print(json.dumps(summary))
         ray.shutdown()
         return 0
 

@@ -196,3 +196,26 @@ def test_runner_curate_cli(tmp_path):
     assert summary["n_after_quality"] == 31  # 'short' dropped
     assert summary["n_after_exact"] == 30  # exact dup dropped
     assert (out / "manifest.jsonl").exists()
+
+
+def test_runner_pairs_cli(tmp_path):
+    """--pairs exports turn pairs as partitioned parquet with a resumable
+    summary marker (second invocation skips)."""
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    tdir = ensure_transcripts(0.001)
+    out = tmp_path / "out"
+    out.mkdir()
+    cmd = [
+        sys.executable, "-m", "events_validator_ray.runner",
+        "--pairs", "--input", tdir, "--out", str(out), "--num-cpus", "4",
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["skipped"] is False and summary["n_pairs"] > 0
+    assert (out / "pairs").exists()
+    res2 = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    summary2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert summary2["skipped"] is True and summary2["n_pairs"] == summary["n_pairs"]
