@@ -903,6 +903,15 @@ def q_lang_id(sf_dir: str):
     return lang_id(_read_table(sf_dir, "documents")).map_batches(to_micro, batch_format="pandas")
 
 
+def q_lang_mix(sf_dir: str):
+    """Corpus language composition by source: per-(source, lang_pred) doc
+    counts (stages/text.py:lang_mix — map-only partials, one packed-key
+    groupby, ≤ sources×languages result)."""
+    from ..stages.text import lang_mix
+
+    return lang_mix(_read_table(sf_dir, "documents"))
+
+
 def q_repetition_stats(sf_dir: str):
     """Gopher-style repetition-quality signals (duplicate-line counts/chars +
     top word-2-gram count), all-integer output. The synthetic corpus is
@@ -2384,6 +2393,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "lang_mix": q_lang_mix,
         "repetition_stats": q_repetition_stats,
         "contamination_scan": q_contamination_scan,
         "pii_scan": q_pii_scan,
@@ -2540,6 +2550,11 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         f"CAST(floor(quantile_disc(o_totalprice, {q}) * 100 + 0.5) AS BIGINT) AS value_cents "
         "FROM orders GROUP BY o_orderpriority"
         for q in (0.5, 0.9, 0.99)
+    )
+    # language mix wraps the lang_id twin (same vectorized scorer semantics)
+    out["lang_mix"] = (
+        f"SELECT d.source, q.lang_pred, COUNT(*) AS n FROM ({out['lang_id']}) q "
+        "JOIN documents d ON d.doc_id = q.doc_id GROUP BY d.source, q.lang_pred"
     )
     from .queries import KNN_K as _kk
 

@@ -905,3 +905,45 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text", broadcast_max_terms: in
     uni2 = uni.map_batches(rename({"tok": "w2", "_n_tok": "n_y"}), batch_format="pandas")
     joined2 = bucketed_hash_join(joined1, uni2, on="w2")
     return joined2.map_batches(finish, batch_format="pandas")
+
+
+def lang_mix(ds, col: str = "text", by: str = "source"):
+    """Corpus language composition by segment: per-(by, lang_pred) doc counts
+    — the mixture report a multilingual curation run starts from. Map-only
+    partial counts per batch (LangId is vectorized and row-aligned, so the
+    segment column attaches positionally — no join), then ONE packed-key
+    groupby Sum (≤ segments × languages rows after map-side combining)."""
+    from ray.data.aggregate import Sum
+
+    lid = LangId(col)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0:
+            return pd.DataFrame({"_k": pd.Series(dtype=object), "_n": pd.Series(dtype="int64")})
+        pred = lid(batch)["lang_pred"]
+        seg = pd.Series(batch[by].to_numpy(zero_copy_only=False), dtype=object).fillna("")
+        key = seg.str.cat(pd.Series(pred, dtype=object), sep="\x1f")
+        c = key.value_counts()
+        return pd.DataFrame({"_k": c.index, "_n": c.to_numpy(dtype=np.int64)})
+
+    partial.__name__ = "lang_mix_partials"
+
+    def unpack(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {by: pd.Series(dtype=object), "lang_pred": pd.Series(dtype=object),
+                 "n": pd.Series(dtype="int64")}
+            )
+        parts = df["_k"].str.split("\x1f", n=1, expand=True)
+        return pd.DataFrame(
+            {by: parts[0], "lang_pred": parts[1], "n": df["n"].astype("int64")}
+        )
+
+    unpack.__name__ = "unpack_lang_mix"
+    return (
+        ds.select_columns(["doc_id", by, col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_k")
+        .aggregate(Sum("_n", alias_name="n"))
+        .map_batches(unpack, batch_format="pandas")
+    )
