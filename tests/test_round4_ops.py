@@ -281,3 +281,46 @@ def test_hard_negatives_paths_equal(ray_session):
     )
     assert len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_validate_mixed_schema_files(ray_session, tmp_path):
+    """Schema evolution: a corpus where one file predates the `tool` column
+    validates without crashing — Ray's parquet union null-fills the missing
+    column and the validator treats it as absent (same as an all-null
+    column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.queries import transcript_spec
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    def table(conv: str, with_tool: bool) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": [conv, conv],
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "role": ["user", "assistant"],
+                "text": ["hi", "hello"],
+                "ts": pa.array([1, 2], pa.timestamp("us")),
+            }
+        )
+        if with_tool:
+            t = t.append_column("tool", pa.array(["search", None], pa.string()))
+        return t
+
+    pq.write_table(table("old_conv", False), tmp_path / "old.parquet")
+    pq.write_table(table("new_conv", True), tmp_path / "new.parquet")
+    ds = rd.read_parquet(str(tmp_path))
+    log = ds.map_batches(
+        ValidateBatch(transcript_spec(), log_valid=True), batch_format="pyarrow"
+    ).to_pandas()
+    # all 4 rows validated (the union null-fills `tool` for the old file);
+    # absent tool is never itself an error, and the old-file rows behave
+    # exactly like explicit-NULL tool rows from the new file
+    assert len(log) > 0
+    old_rows = log[log["event_id"].astype(str).str.contains("old_conv")]
+    assert len(old_rows) > 0  # the old file's rows WERE validated
+    assert not (
+        (old_rows["field"] == "tool") & (old_rows["status"] == "error")
+    ).any()
