@@ -445,6 +445,17 @@ def q_ngram_pmi(sf_dir: str):
 HH_PERMILLE = 8
 
 
+def q_sessionize(sf_dir: str):
+    """Row-level sessionization: every event enriched with its 30-min
+    gap-session's start (stages/windows.py:sessionize_events — one bucketed
+    user shuffle, output volume = input volume)."""
+    from ..stages.windows import sessionize_events
+
+    return sessionize_events(
+        _read_table(sf_dir, "events"), key="user_id", ts_col="ts", gap_s=1800
+    )
+
+
 def q_heavy_hitters(sf_dir: str):
     """Frequent items, exactly: users with >= 0.8% of all events
     (stages/sketches.py:heavy_hitters_exact — pigeonhole local-frequency
@@ -2372,6 +2383,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": q_ngram_topk,
         "ngram_pmi": q_ngram_pmi,
         "heavy_hitters": q_heavy_hitters,
+        "sessionize": q_sessionize,
         "window_distinct": q_window_distinct,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2631,6 +2643,15 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     )
     from .queries import HH_PERMILLE as _hh
 
+    out["sessionize"] = (
+        "WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events "
+        "WHERE ts IS NOT NULL), "
+        "o AS (SELECT user_id, ts_us, CASE WHEN lag(ts_us) OVER w IS NULL "
+        "OR ts_us - lag(ts_us) OVER w > 1800000000 THEN ts_us END AS mark "
+        "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)) "
+        "SELECT user_id, ts_us, MAX(mark) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_start FROM o"
+    )
     out["heavy_hitters"] = (
         # c >= ceil(n*t/1000)  <=>  c*1000 >= n*t (integers)
         "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "

@@ -314,3 +314,46 @@ def sliding_window_distinct(
 
     unpack.__name__ = "unpack_window_key"
     return counts.map_batches(unpack, batch_format="pandas")
+
+
+class _SessionizeRowsBucket:
+    """One call = one hash bucket of keys: attach each event's session start
+    (gap-based, like _SessionizeBucket but row-level enrichment instead of
+    per-session aggregate)."""
+
+    def __init__(self, key: str, ts_col: str, gap_s: int):
+        self.key = key
+        self.ts_col = ts_col
+        self.gap_s = gap_s
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df[self.ts_col])
+        us = ts.astype("int64")
+        if str(ts.dtype).startswith("datetime64[ns"):
+            us = us // 1000
+        valid = ts.notna()  # NULL-ts events have no place on a session axis
+        sub = pd.DataFrame(
+            {self.key: df[self.key][valid], "ts_us": us[valid]}
+        ).sort_values([self.key, "ts_us"], kind="stable")
+        new_key = sub[self.key].ne(sub[self.key].shift(1))
+        gap = (sub["ts_us"] - sub["ts_us"].shift(1)) > self.gap_s * 1_000_000
+        sess = (new_key | gap).cumsum()
+        sub["session_start"] = sub.groupby(sess)["ts_us"].transform("first")
+        return sub.reset_index(drop=True)
+
+
+def sessionize_events(ds, key: str, ts_col: str, gap_s: int, num_buckets: int = 64):
+    """Row-level sessionization: every event keeps its row, enriched with the
+    start of its gap-based session → (key, ts_us, session_start). The
+    enrichment dual of session_window_agg (which aggregates), feeding
+    per-session feature joins downstream. One bucketed key shuffle, fully
+    vectorized per bucket; output volume = input volume."""
+    from .conversation import _with_bucket
+
+    projected = ds.select_columns([key, ts_col])
+    return (
+        _with_bucket(projected, num_buckets, cols=(key,))
+        .groupby("bucket")
+        .map_groups(_SessionizeRowsBucket(key, ts_col, gap_s), batch_format="pandas")
+    )
