@@ -445,6 +445,15 @@ def q_ngram_pmi(sf_dir: str):
 HH_PERMILLE = 8
 
 
+def q_user_growth(sf_dir: str):
+    """Cumulative audience: per day, first-seen users and the running total
+    (stages/windows.py:user_growth — one additive groupby(user).Min, then
+    days-sized cumulate)."""
+    from ..stages.windows import user_growth
+
+    return user_growth(_read_table(sf_dir, "events"))
+
+
 def q_sessionize(sf_dir: str):
     """Row-level sessionization: every event enriched with its 30-min
     gap-session's start (stages/windows.py:sessionize_events — one bucketed
@@ -2384,6 +2393,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "ngram_pmi": q_ngram_pmi,
         "heavy_hitters": q_heavy_hitters,
         "sessionize": q_sessionize,
+        "user_growth": q_user_growth,
         "window_distinct": q_window_distinct,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2643,6 +2653,14 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     )
     from .queries import HH_PERMILLE as _hh
 
+    out["user_growth"] = (
+        "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id), "
+        "c AS (SELECT strftime(first_ts, '%Y-%m-%d') AS date_utc, COUNT(*) AS n_new "
+        "FROM f GROUP BY 1) "
+        "SELECT date_utc, n_new, "
+        "CAST(SUM(n_new) OVER (ORDER BY date_utc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum "
+        "FROM c"
+    )
     out["sessionize"] = (
         "WITH v AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events "
         "WHERE ts IS NOT NULL), "

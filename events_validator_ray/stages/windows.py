@@ -357,3 +357,54 @@ def sessionize_events(ds, key: str, ts_col: str, gap_s: int, num_buckets: int = 
         .groupby("bucket")
         .map_groups(_SessionizeRowsBucket(key, ts_col, gap_s), batch_format="pandas")
     )
+
+
+def user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cumulative-audience report: per day, how many users appear for the
+    FIRST time and the running total → (date_utc, n_new, n_cum). Scale
+    shape: groupby(user).Min(first timestamp) — one additive shuffle of
+    (user, µs) rows — then a per-day count whose result is days-sized; the
+    cumulative sum runs on that days-sized table in one task (same bound
+    class as the report plane's per-day views)."""
+    from ray.data.aggregate import Count, Min
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: t[user_col],
+                "_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    project.__name__ = "project_user_ts"
+    first = (
+        ds.select_columns([user_col, ts_col])
+        .map_batches(project, batch_format="pyarrow")
+        .groupby(user_col)
+        .aggregate(Min("_us", alias_name="_first_us"))
+    )
+
+    def to_date(t: pa.Table) -> pa.Table:
+        d = pc.strftime(
+            pc.cast(t["_first_us"], pa.timestamp("us")), format="%Y-%m-%d"
+        )
+        return pa.table({"date_utc": d})
+
+    to_date.__name__ = "first_us_to_date"
+    per_day = (
+        first.map_batches(to_date, batch_format="pyarrow")
+        .groupby("date_utc")
+        .aggregate(Count(alias_name="n_new"))
+    )
+
+    def cumulate(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("date_utc").reset_index(drop=True)
+        df["n_new"] = df["n_new"].astype("int64")
+        df["n_cum"] = df["n_new"].cumsum().astype("int64")
+        return df
+
+    cumulate.__name__ = "cumulate_days"
+    # days-sized table: one-task repartition is the documented bound
+    return per_day.repartition(1).map_batches(
+        cumulate, batch_format="pandas", batch_size=None
+    )
