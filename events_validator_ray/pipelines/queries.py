@@ -2280,7 +2280,9 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "ORDER BY turn_idx, coalesce(text, ''), coalesce(role, ''), us) AS prev FROM v), "
             "segs AS (SELECT conv_id, SUM(CASE WHEN prev IS NULL OR us - prev > 1800000000 "
             "THEN 1 ELSE 0 END) AS n_segments FROM o GROUP BY conv_id) "
-            f"SELECT c.conv_id, COALESCE(s.n_segments, 0) AS n_segments "
+            # CAST: DuckDB SUM() is HUGEINT -> float64 in pandas, a forbidden
+            # float channel in a compared column
+            f"SELECT c.conv_id, CAST(COALESCE(s.n_segments, 0) AS BIGINT) AS n_segments "
             f"FROM (SELECT DISTINCT conv_id FROM {t}) c "
             "LEFT JOIN segs s ON s.conv_id = c.conv_id"
         ),
@@ -2291,9 +2293,9 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
         ),
         "conversation_stats": (
             "SELECT conv_id, COUNT(*) AS n_turns, "
-            "SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS n_user, "
-            "SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant, "
-            "SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS n_tool, "
+            "CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user, "
+            "CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant, "
+            "CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool, "
             "MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us "
             f"FROM {t} GROUP BY conv_id"
         ),
@@ -2319,6 +2321,15 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             "AND text IS NOT NULL AND next_text IS NOT NULL) "
             "SELECT prompt_md5, COUNT(DISTINCT response_md5) AS n_variants "
             "FROM p GROUP BY prompt_md5 HAVING COUNT(DISTINCT response_md5) >= 2"
+        ),
+        "rolling_turn_chars": (
+            # same stable total order as turn_pairs; CAST: SUM() is HUGEINT
+            "SELECT conv_id, turn_idx, "
+            "CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars, "
+            "CAST(SUM(length(coalesce(text, ''))) OVER ("
+            "PARTITION BY conv_id ORDER BY turn_idx, coalesce(text, ''), "
+            "coalesce(role, '') ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) "
+            f"AS BIGINT) AS roll_chars FROM {t}"
         ),
         "drift_roles": drift_roles_oracle(t),
     }
@@ -2355,6 +2366,97 @@ def events_oracles() -> dict[str, str]:
     }
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention triangle: per (first-active-day cohort, day offset),
+    distinct returning users (stages/windows.py:retention_cohorts — one
+    bucketed user shuffle, days²-bounded packed-key reduce)."""
+    from ..stages.windows import retention_cohorts
+
+    return retention_cohorts(_read_table(sf_dir, "events"))
+
+
+def q_pivot_event_types(sf_dir: str):
+    """Long→wide pivot: per UTC day, one count column per event type plus an
+    other/NULL catch-all (stages/reshape.py:pivot_counts — vectorized one-hot
+    with a per-batch combiner, one single-key groupby)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.reshape import pivot_counts
+
+    ev = _read_table(sf_dir, "events").select_columns(["ts", "event_type"])
+
+    def add_date(t: pa.Table) -> pa.Table:
+        d = pc.coalesce(
+            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
+            "(null)",
+        )
+        return pa.table({"date_utc": d, "event_type": t["event_type"]})
+
+    add_date.__name__ = "add_date_utc"
+    return pivot_counts(
+        ev.map_batches(add_date, batch_format="pyarrow"),
+        row_col="date_utc",
+        col_col="event_type",
+        categories=["click", "view", "purchase", "signup"],
+    )
+
+
+def q_full_join_recon(sf_dir: str):
+    """Reconciliation FULL OUTER join: per-user click counts vs purchase
+    counts — users present in either side appear once, missing side
+    coalesced to 0 (stages/joins.py:full_outer_join — one tagged-union
+    shuffle, side-specific null-key overflow buckets)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import full_outer_join
+
+    ev = _read_table(sf_dir, "events").select_columns(["event_type", "user_id"])
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_clicks"))
+    )
+    purchases = (
+        ev.filter(expr="event_type == 'purchase'")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_purchases"))
+    )
+    joined = full_outer_join(clicks, purchases, on="user_id", num_buckets=16)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "n_clicks": df["n_clicks"].fillna(0).astype("int64"),
+                "n_purchases": df["n_purchases"].fillna(0).astype("int64"),
+            }
+        )
+
+    finish.__name__ = "coalesce_counts"
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+def q_rolling_turn_chars(sf_dir: str):
+    """Frame-based rolling window: per turn, SUM(text length) over the
+    current + 2 preceding turns of its conversation in the stable order
+    (stages/assembly.py:rolling_turn_chars — the ROWS BETWEEN frame shape;
+    one bucketed conversation shuffle, output volume = input volume)."""
+    from ..stages.assembly import rolling_turn_chars
+
+    return rolling_turn_chars(_read_transcripts(sf_dir), window=3)
+
+
+def q_dedup_normalized(sf_dir: str):
+    """Case/whitespace-normalized exact dedup keepers: min doc_id per
+    trim(collapse_ws(lower(text))) group (stages/dedup.py:normalized_dedup —
+    Arrow RE2 normalization feeding the 16-bytes/row exact_dedup shuffle)."""
+    from ..stages.dedup import normalized_dedup
+
+    return normalized_dedup(_read_table(sf_dir, "documents"))
+
+
 def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         "validate_scalar": q_validate_scalar,
@@ -2374,6 +2476,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "events_failures_by_day": q_events_failures_by_day,
         "events_error_rate": q_events_error_rate,
         "dedup_exact": q_dedup_exact,
+        "dedup_normalized": q_dedup_normalized,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_minhash": q_dedup_minhash,
         "dup_cluster_stats": q_dup_cluster_stats,
@@ -2394,6 +2497,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "sessionize": q_sessionize,
         "user_growth": q_user_growth,
+        "retention_cohorts": q_retention_cohorts,
+        "pivot_event_types": q_pivot_event_types,
         "window_distinct": q_window_distinct,
         "window_tumbling": q_window_tumbling,
         "window_sliding": q_window_sliding,
@@ -2401,6 +2506,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "broadcast_join": q_broadcast_join,
         "bucketed_join": q_bucketed_join,
         "left_join_enrich": q_left_join_enrich,
+        "full_join_recon": q_full_join_recon,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "curate_docs": q_curate_docs,
@@ -2432,6 +2538,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": q_role_transitions,
         "conv_segments": q_conv_segments,
         "conversation_stats": q_conversation_stats,
+        "rolling_turn_chars": q_rolling_turn_chars,
         "embedding_checks": q_embedding_checks,
         "oov_stats": q_oov_stats,
         "group_topk": q_group_topk,
@@ -2548,8 +2655,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
 
     out["packing_bins"] = (
         "SELECT doc_id, n_chars, "
-        "COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "
-        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_pb} AS bin "
+        "CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_pb} AS BIGINT) AS bin "
         "FROM documents"
     )
     out["group_topk"] = (
@@ -2670,6 +2777,44 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "SELECT user_id, ts_us, MAX(mark) OVER (PARTITION BY user_id "
         "ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_start FROM o"
     )
+    out["retention_cohorts"] = (
+        # engine day index = epoch_us // 86400_000_000 (UTC); DuckDB's `//`
+        # on BIGINT is the same floor division, make_timestamp(µs) renders
+        # the cohort day back as a naive-UTC date string like the engine
+        "WITH v AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day "
+        "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL), "
+        "a AS (SELECT DISTINCT user_id, day FROM v), "
+        "f AS (SELECT user_id, MIN(day) AS d0 FROM a GROUP BY user_id) "
+        "SELECT strftime(make_timestamp(f.d0 * 86400000000), '%Y-%m-%d') AS cohort_date, "
+        "CAST(a.day - f.d0 AS BIGINT) AS day_offset, COUNT(*) AS n_users "
+        "FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2"
+    )
+    out["pivot_event_types"] = (
+        "SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, "
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, "
+        "CAST(SUM(CASE WHEN event_type IS NULL OR event_type NOT IN "
+        "('click', 'view', 'purchase', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS n_other "
+        "FROM events GROUP BY 1"
+    )
+    out["full_join_recon"] = (
+        "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE event_type = 'click' GROUP BY user_id), "
+        "p AS (SELECT user_id, COUNT(*) AS n FROM events "
+        "WHERE event_type = 'purchase' GROUP BY user_id) "
+        "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+        "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks, "
+        "CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases "
+        "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+    )
+    out["dedup_normalized"] = (
+        # the RE2 class and space-only trim mirror stages/dedup.normalized_dedup
+        "SELECT MIN(doc_id) AS doc_id FROM (SELECT doc_id, "
+        "trim(regexp_replace(lower(coalesce(text, '')), '[ \\t\\n\\r]+', ' ', 'g')) AS t "
+        "FROM documents) GROUP BY t"
+    )
     out["heavy_hitters"] = (
         # c >= ceil(n*t/1000)  <=>  c*1000 >= n*t (integers)
         "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id "
@@ -2687,7 +2832,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["left_join_enrich"] = (
         "WITH su AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') "
         "SELECT e.event_type, COUNT(*) AS n_events, "
-        "SUM(CASE WHEN su.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_signed_up "
+        "CAST(SUM(CASE WHEN su.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up "
         "FROM events e LEFT JOIN su ON su.user_id = e.user_id "
         "GROUP BY e.event_type"
     )

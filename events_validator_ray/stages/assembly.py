@@ -406,3 +406,57 @@ def response_variants(ds, min_variants: int = 2, num_buckets: int = 64):
     return distinct_count_per_key(
         pairs, "prompt_md5", "response_md5", "n_variants", min_count=min_variants
     )
+
+
+class _RollingCharsBucket:
+    """One call = one hash bucket of conversations: stable-order rows, then a
+    per-conversation ROWS-frame rolling sum of text length (current + the
+    window-1 preceding turns). Rows are contiguous per conversation after
+    `_ordered` (conv_id leads the sort key), so one grouped-rolling pass
+    covers every conversation in the bucket."""
+
+    def __init__(self, window: int):
+        self.window = window
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = _ordered(df)
+        n = df["_text_f"].str.len().astype("int64")
+        roll = (
+            n.groupby(df["conv_id"].to_numpy(), sort=False)
+            .rolling(self.window, min_periods=1)
+            .sum()
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"],
+                "n_chars": n,
+                "roll_chars": roll,
+            }
+        )
+
+
+def rolling_turn_chars(ds, window: int = 3, num_buckets: int = 64):
+    """Frame-based window aggregate: per turn, the rolling sum of text length
+    over the current + (window-1) PRECEDING turns of the same conversation in
+    the stable turn order → (conv_id, turn_idx, n_chars, roll_chars). The SQL
+    `SUM(...) OVER (PARTITION BY ... ORDER BY ... ROWS BETWEEN k PRECEDING
+    AND CURRENT ROW)` frame — a window shape none of the repo's other
+    operators (tumbling/sliding/session/rank) cover, and one Ray Data has no
+    native operator for.
+
+    Output rows that tie on the full stable key are bit-identical in every
+    ordering column, so tie order cannot change any rolling sum. Scale shape:
+    projection → ONE bucketed conversation shuffle → vectorized grouped
+    rolling; output volume = input volume, no driver materialization."""
+    from .conversation import _with_bucket
+
+    projected = ds.select_columns(["conv_id", "turn_idx", "role", "text"])
+    return (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_RollingCharsBucket(window), batch_format="pandas")
+    )

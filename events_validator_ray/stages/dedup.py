@@ -1231,3 +1231,30 @@ def dup_cluster_stats(labels_ds, label_col: str = "cluster"):
 
     sizes = labels_ds.groupby(label_col).aggregate(Count(alias_name="cluster_size"))
     return sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+
+
+def normalized_dedup(ds, col: str = "text", id_col: str = "doc_id"):
+    """Normalized exact dedup keepers: min id per group of
+    `trim(collapse_ws(lower(text)))` — the curation pass that collapses
+    case- and whitespace-variant copies (re-crawls, reflowed mirrors) that
+    byte-exact dedup misses but near-dup LSH is overkill for.
+
+    Normalization is pure Arrow kernels (utf8_lower + one RE2
+    replace_substring_regex + trim), then the pipeline IS `exact_dedup`: one
+    groupby on the 64-bit content hash, shuffle volume 16 bytes/row. The
+    RE2 class `[ \\t\\n\\r]+` and space-only trim are mirrored verbatim in
+    the DuckDB twin (regexp_replace(..., 'g') is RE2 too, so the
+    normalization is bit-identical on both engines)."""
+
+    def normalize(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(pc.fill_null(t[col], ""))
+        x = pc.replace_substring_regex(x, pattern="[ \\t\\n\\r]+", replacement=" ")
+        x = pc.utf8_trim(x, characters=" ")
+        return pa.table({id_col: t[id_col], col: x})
+
+    normalize.__name__ = "normalize_text"
+    return exact_dedup(
+        ds.select_columns([id_col, col]).map_batches(normalize, batch_format="pyarrow"),
+        col=col,
+        id_col=id_col,
+    )

@@ -513,3 +513,64 @@ def bucketed_hash_join(
 
     join_bucket.__name__ = "join_bucket"
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def full_outer_join(
+    left,
+    right,
+    on: str,
+    num_buckets: int = 32,
+):
+    """FULL OUTER join for two large sides: every row of both inputs appears
+    once — matched rows merged, unmatched rows NA-padded on the other side's
+    columns. Same single tagged-union shuffle as ``bucketed_hash_join``.
+
+    SQL NULL-key semantics: a NULL key never equals anything, including
+    another NULL — but FULL OUTER still KEEPS those rows as unmatched output.
+    pandas ``merge`` would happily match NaN == NaN, so null-key rows are
+    routed to two SIDE-SPECIFIC overflow buckets (left nulls and right nulls
+    never share a task); their outer-merge against the typed empty other
+    side emits them unmatched through the exact same kernel — no special-case
+    padding code path that could flip block schemas.
+
+    The reconciliation join (feed A vs feed B: what's only in A, only in B,
+    or in both?) — the recon shape Ray Data's API doesn't express natively."""
+    from .sketches import hash64
+
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str):
+        null_bucket = num_buckets if side == "l" else num_buckets + 1
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch.copy()
+            for c in all_cols:
+                if c not in b.columns:
+                    b[c] = pd.NA
+            b = b[all_cols]
+            bucket = (hash64(_canon_key_str(b[on])) % np.uint64(num_buckets)).astype(
+                np.int64
+            )
+            b["__bucket"] = np.where(b[on].notna().to_numpy(), bucket, null_bucket)
+            b["__side"] = side
+            return b
+
+        fn.__name__ = f"tag_{side}"
+        return fn
+
+    lt = left.map_batches(tag("l"), batch_format="pandas")
+    rt = right.map_batches(tag("r"), batch_format="pandas")
+    both = lt.union(rt)
+
+    def join_bucket(g: pa.Table) -> pd.DataFrame:
+        l, r = _split_sides(g, left_cols, right_cols)
+        # BOTH sides can be the unmatched one: nullable ints everywhere so
+        # NA padding never degrades int64 payloads through float64
+        l = _nullable_ints(l, skip=(on,))
+        r = _nullable_ints(r, skip=(on,))
+        return l.merge(r, on=on, how="outer")
+
+    join_bucket.__name__ = "full_outer_bucket"
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

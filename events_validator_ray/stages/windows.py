@@ -408,3 +408,89 @@ def user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
     return per_day.repartition(1).map_batches(
         cumulate, batch_format="pandas", batch_size=None
     )
+
+
+class _RetentionBucket:
+    """One call = one hash bucket of users: per-user first-activity day and
+    distinct activity days → per-bucket PARTIAL counts keyed by a packed
+    (cohort_day << 20 | day_offset) int64. Offsets are bounded by the
+    corpus's calendar span (< 2^20 days ≈ 2870 years) and day indices by
+    2^43, so the pack is lossless — and the downstream reduce stays a
+    SINGLE-key groupby (multi-key aggregate at millions of rows is the
+    documented Ray hazard, BASELINE.md)."""
+
+    def __init__(self, user_col: str, ts_col: str):
+        self.user_col = user_col
+        self.ts_col = ts_col
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df[self.ts_col])
+        us = ts.astype("int64")
+        if str(ts.dtype).startswith("datetime64[ns"):
+            us = us // 1000
+        # NULL ts / NULL user have no place on a retention axis (the SQL
+        # twin filters both; a NaN group key would also float-poison d0)
+        valid = ts.notna() & df[self.user_col].notna()
+        sub = pd.DataFrame(
+            {
+                "u": df[self.user_col][valid],
+                "day": (us[valid] // 86_400_000_000).astype("int64"),
+            }
+        ).drop_duplicates()
+        if len(sub) == 0:
+            return pd.DataFrame(
+                {"_pk": pd.Series(dtype="int64"), "_n": pd.Series(dtype="int64")}
+            )
+        d0 = sub.groupby("u", sort=False)["day"].transform("min")
+        packed = (d0.to_numpy() << 20) | (sub["day"].to_numpy() - d0.to_numpy())
+        counts = pd.Series(packed).value_counts()
+        return pd.DataFrame(
+            {
+                "_pk": counts.index.to_numpy().astype("int64"),
+                "_n": counts.to_numpy().astype("int64"),
+            }
+        )
+
+
+def retention_cohorts(
+    ds, user_col: str = "user_id", ts_col: str = "ts", num_buckets: int = 64
+):
+    """Cohort retention triangle: for each signup cohort (a user's first
+    active UTC day), how many of its users were active again `day_offset`
+    days later → (cohort_date, day_offset, n_users); offset 0 is the cohort
+    size. The product-analytics companion to `funnel_counts`.
+
+    Scale shape: project to 2 columns, ONE bucketed hash shuffle co-locating
+    each user's events (a user's history is the unit of work — inherent to
+    "first day" semantics), per-bucket vectorized dedup/first-day/offset
+    partials, then a days²-bounded single-packed-key Sum reduce. The corpus
+    never moves twice and the driver never sees more than the cohort
+    triangle."""
+    from ray.data.aggregate import Sum
+
+    from .conversation import _with_bucket
+
+    projected = ds.select_columns([user_col, ts_col])
+    partials = (
+        _with_bucket(projected, num_buckets, cols=(user_col,))
+        .groupby("bucket")
+        .map_groups(_RetentionBucket(user_col, ts_col), batch_format="pandas")
+    )
+    reduced = partials.groupby("_pk").aggregate(Sum("_n", alias_name="n_users"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["_pk"].to_numpy(dtype="int64")
+        d0 = pk >> 20
+        return pd.DataFrame(
+            {
+                "cohort_date": pd.to_datetime(d0 * 86400, unit="s").strftime(
+                    "%Y-%m-%d"
+                ),
+                "day_offset": (pk & 0xFFFFF).astype("int64"),
+                "n_users": df["n_users"].astype("int64"),
+            }
+        )
+
+    finish.__name__ = "unpack_cohort_key"
+    return reduced.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,165 @@
+"""Edge semantics for the second round-4 operator batch: FULL OUTER join
+NULL-key pass-through, retention cohort math, ROWS-frame rolling sums, pivot
+catch-all routing, and normalization-dedup equivalence classes."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df)
+
+
+def test_full_outer_join_matches_and_padding(ray_session):
+    """Matched keys merge; keys on one side only NA-pad the other side's
+    columns WITHOUT float-degrading int64 payloads."""
+    from events_validator_ray.stages.joins import full_outer_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "rv": [200, 300, 400]})
+    got = (
+        full_outer_join(_ds(left), _ds(right), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    assert list(got["k"]) == [1, 2, 3, 4]
+    # unmatched side is NULL, matched side carries exact ints
+    assert got.loc[0, "rv"] is pd.NA or pd.isna(got.loc[0, "rv"])
+    assert got.loc[3, "lv"] is pd.NA or pd.isna(got.loc[3, "lv"])
+    assert int(got.loc[1, "lv"]) == 20 and int(got.loc[1, "rv"]) == 200
+    # big int64 payloads survive the NA padding bit-exact
+    big = 2**62 + 7
+    l2 = pd.DataFrame({"k": [1], "lv": [big]})
+    r2 = pd.DataFrame({"k": [9], "rv": [big + 1]})
+    got2 = full_outer_join(_ds(l2), _ds(r2), on="k", num_buckets=2).to_pandas()
+    assert set(got2["k"]) == {1, 9}
+    assert int(got2.loc[got2["k"] == 1, "lv"].iloc[0]) == big
+    assert int(got2.loc[got2["k"] == 9, "rv"].iloc[0]) == big + 1
+
+
+def test_full_outer_join_null_keys_never_match(ray_session):
+    """SQL semantics: NULL keys from BOTH sides survive as unmatched rows and
+    never equi-match each other (pandas merge alone would match NaN == NaN)."""
+    from events_validator_ray.stages.joins import full_outer_join
+
+    left = pd.DataFrame({"k": [1.0, None, None], "lv": [10, 11, 12]})
+    right = pd.DataFrame({"k": [1.0, None], "rv": [100, 111]})
+    got = full_outer_join(_ds(left), _ds(right), on="k", num_buckets=4).to_pandas()
+    # 1 matched row + 2 left-null rows + 1 right-null row
+    assert len(got) == 4
+    nulls = got[got["k"].isna()]
+    assert len(nulls) == 3
+    # a null-key row is NEVER matched: exactly one payload side set per row
+    assert ((nulls["lv"].notna().astype(int) + nulls["rv"].notna().astype(int)) == 1).all()
+    matched = got[got["k"].notna()]
+    assert len(matched) == 1
+    assert int(matched["lv"].iloc[0]) == 10 and int(matched["rv"].iloc[0]) == 100
+
+
+def test_retention_cohorts_small_reference(ray_session):
+    """Hand-checked triangle: cohort day 0 = first active day per user;
+    duplicate (user, day) activity counts once."""
+    from events_validator_ray.stages.windows import retention_cohorts
+
+    d = pd.Timestamp("2024-03-01")
+    day = pd.Timedelta(days=1)
+    rows = [
+        # u1: first 3/1, returns 3/2 and 3/4 (twice the same day -> once)
+        (1, d), (1, d + day), (1, d + 3 * day), (1, d + 3 * day),
+        # u2: first 3/1 only
+        (2, d + pd.Timedelta(hours=5)),
+        # u3: first 3/2, returns 3/3
+        (3, d + day), (3, d + 2 * day),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    got = (
+        retention_cohorts(_ds(df), num_buckets=4)
+        .to_pandas()
+        .sort_values(["cohort_date", "day_offset"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "cohort_date": ["2024-03-01"] * 3 + ["2024-03-02"] * 2,
+            "day_offset": [0, 1, 3, 0, 1],
+            "n_users": [2, 1, 1, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rolling_turn_chars_frame_and_ties(ray_session):
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW per conversation in the
+    stable order; NULL text counts as length 0; duplicated (conv, turn_idx)
+    rows order by (text, role) tie-break."""
+    from events_validator_ray.stages.assembly import rolling_turn_chars
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c1"] * 4 + ["c2"] * 2,
+            "turn_idx": [0, 1, 1, 2, 0, 1],
+            "role": ["user", "assistant", "user", "user", "user", "assistant"],
+            # c1 turn 1 is duplicated; 'aa' < 'bbb' decides the order
+            "text": ["x", "bbb", "aa", None, "hello", "worlds!"],
+        }
+    )
+    got = (
+        rolling_turn_chars(_ds(df), window=3, num_buckets=2)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "n_chars"])
+        .reset_index(drop=True)
+    )
+    c1 = got[got["conv_id"] == "c1"]
+    # stable order: x(1), aa(2), bbb(3), null(0) -> rolling sums 1, 3, 6, 5
+    assert list(c1.sort_values(["turn_idx", "n_chars"])["roll_chars"]) == [1, 3, 6, 5]
+    c2 = got[got["conv_id"] == "c2"].sort_values("turn_idx")
+    assert list(c2["roll_chars"]) == [5, 12]
+
+
+def test_pivot_counts_null_and_unknown_to_other(ray_session):
+    from events_validator_ray.stages.reshape import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "cat": ["x", "weird", None, "y", "x"],
+        }
+    )
+    got = (
+        pivot_counts(_ds(df), "g", "cat", ["x", "y"])
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["g", "n_x", "n_y", "n_other"]
+    assert got.loc[0].tolist() == ["a", 1, 0, 2]  # 'weird' + NULL -> other
+    assert got.loc[1].tolist() == ["b", 1, 1, 0]
+
+
+def test_normalized_dedup_collapses_variants(ray_session):
+    """Case + whitespace variants share a keeper; genuinely different texts
+    don't; NULL text normalizes to '' (groups with empty/whitespace-only)."""
+    from events_validator_ray.stages.dedup import normalized_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": [
+                "Hello  World",
+                "hello world",
+                " hello\tworld\n",
+                "hello worlds",
+                None,
+                "   ",
+                "helloworld",
+            ],
+        }
+    )
+    got = sorted(normalized_dedup(_ds(df)).to_pandas()["doc_id"])
+    # {1,2,3} -> 1; {4}; {5,6} ('' after trim) -> 5; {7}
+    assert got == [1, 4, 5, 7]
