@@ -730,6 +730,26 @@ def cluster_assign_oracle(sf_dir: str) -> str:
     )
 
 
+def cluster_purity_oracle(sf_dir: str) -> str:
+    path = ensure_kmeans_centroids(sf_dir)
+    return (
+        f"WITH c AS (SELECT cluster_id, centroid FROM read_parquet('{path}')), "
+        "a AS (SELECT e.vec_id, e.label, c.cluster_id, "
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(c.centroid AS DOUBLE[])) AS d "
+        "FROM embeddings e CROSS JOIN c), "
+        "r AS (SELECT vec_id, label, cluster_id, ROW_NUMBER() OVER "
+        "(PARTITION BY vec_id ORDER BY d, cluster_id) AS rn FROM a), "
+        "g AS (SELECT cluster_id, label, COUNT(*) AS n FROM r WHERE rn = 1 "
+        "GROUP BY 1, 2), "
+        "t AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS n_vectors FROM g GROUP BY 1), "
+        "m AS (SELECT cluster_id, label, n, ROW_NUMBER() OVER "
+        "(PARTITION BY cluster_id ORDER BY n DESC, label) AS rn FROM g) "
+        "SELECT t.cluster_id, t.n_vectors, CAST(m.label AS BIGINT) AS top_label, "
+        "CAST(m.n AS BIGINT) AS n_top "
+        "FROM t JOIN m ON m.cluster_id = t.cluster_id AND m.rn = 1"
+    )
+
+
 def q_ann_topk(sf_dir: str):
     """Brute-force cosine top-k (broadcast queries, per-batch matmul).
     score_micro = floor(sim * 1e6 + 0.5) keeps the compare integral."""
@@ -2448,6 +2468,43 @@ def q_rolling_turn_chars(sf_dir: str):
     return rolling_turn_chars(_read_transcripts(sf_dir), window=3)
 
 
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token-ratio components (n_words, n_unique_words) over the
+    canonical word tokenizer (stages/text.py:lexical_diversity — map-only,
+    zero shuffle)."""
+    from ..stages.text import lexical_diversity
+
+    return lexical_diversity(_read_table(sf_dir, "documents"))
+
+
+PREFIX_K = 24
+
+
+def q_boilerplate_prefixes(sf_dir: str):
+    """Shared-prefix boilerplate groups: >= 2 docs agreeing on their first 24
+    chars (stages/text.py:boilerplate_prefixes — per-batch (count, min)
+    combiner, one single-key groupby)."""
+    from ..stages.text import boilerplate_prefixes
+
+    return boilerplate_prefixes(_read_table(sf_dir, "documents"), k=PREFIX_K)
+
+
+def q_cluster_purity(sf_dir: str):
+    """Per-cluster member count + majority ground-truth label over the
+    k-means assignment (stages/similarity.py:cluster_purity — label rides the
+    broadcast assignment map, packed-key Sum reduce, k×labels-sized finish)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import cluster_purity
+
+    path = ensure_kmeans_centroids(sf_dir)
+    C = pq.read_table(path)["centroid"].to_pylist()
+    return cluster_purity(
+        _read_table(sf_dir, "embeddings"), np.asarray(C, dtype=np.float64)
+    )
+
+
 def q_dedup_normalized(sf_dir: str):
     """Case/whitespace-normalized exact dedup keepers: min doc_id per
     trim(collapse_ws(lower(text))) group (stages/dedup.py:normalized_dedup —
@@ -2520,6 +2577,8 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": q_quantile_filter,
         "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
+        "lexical_diversity": q_lexical_diversity,
+        "boilerplate_prefixes": q_boilerplate_prefixes,
         "lang_id": q_lang_id,
         "lang_mix": q_lang_mix,
         "repetition_stats": q_repetition_stats,
@@ -2544,6 +2603,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
         "cluster_assign": q_cluster_assign,
+        "cluster_purity": q_cluster_purity,
         "mixture_sample": q_mixture_sample,
         "packing_bins": q_packing_bins,
         "worst_offenders": q_worst_offenders,
@@ -2596,6 +2656,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         )
     if _os.path.exists(_os.path.join(_docs_dir, "embeddings.parquet")):
         out["cluster_assign"] = cluster_assign_oracle(_docs_dir)
+        out["cluster_purity"] = cluster_purity_oracle(_docs_dir)
     out["bloom_semi_join"] = (
         "SELECT o_orderkey FROM orders WHERE o_custkey IN "
         "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
@@ -2808,6 +2869,22 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks, "
         "CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases "
         "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+    )
+    out["lexical_diversity"] = (
+        # regexp_extract_all('[a-z0-9]+') == the engine tokenizer (split on
+        # [^a-z0-9]+, drop ''): same token streams, so counts are exact
+        "SELECT doc_id, CAST(len(regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+')) AS BIGINT) AS n_words, "
+        "CAST(len(list_distinct(regexp_extract_all(lower(coalesce(text, '')), "
+        "'[a-z0-9]+'))) AS BIGINT) AS n_unique_words FROM documents"
+    )
+    from .queries import PREFIX_K as _pfk
+
+    out["boilerplate_prefixes"] = (
+        f"WITH d AS (SELECT doc_id, md5(substr(text, 1, {_pfk})) AS p "
+        f"FROM documents WHERE text IS NOT NULL AND length(text) >= {_pfk}) "
+        "SELECT p AS prefix_md5, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id "
+        "FROM d GROUP BY p HAVING COUNT(*) >= 2"
     )
     out["dedup_normalized"] = (
         # the RE2 class and space-only trim mirror stages/dedup.normalized_dedup

@@ -16,6 +16,7 @@ a map_batches pass, searches probe only the closest `nprobe` buckets.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -368,23 +369,98 @@ def kmeans_fit_local(table: pa.Table, k: int = 8, iters: int = 4, col: str = "em
     return C
 
 
-def kmeans_assign(ds, centroids: np.ndarray, col: str = "embedding", id_col: str = "vec_id"):
+def kmeans_assign(
+    ds,
+    centroids: np.ndarray,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+    keep_cols: tuple = (),
+):
     """Map-only nearest-centroid assignment against broadcast centroids
-    (ray.put once, read per worker): (id_col, cluster_id). Ties break to the
-    lowest cluster_id (np.argmin), matching the twin's ORDER BY d, cluster_id."""
+    (ray.put once, read per worker): (id_col, *keep_cols, cluster_id). Ties
+    break to the lowest cluster_id (np.argmin), matching the twin's
+    ORDER BY d, cluster_id. `keep_cols` rides scalar columns through the
+    map (labels, weights) so downstream per-cluster reports need no join."""
     import ray
 
     cref = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign(t: pa.Table) -> pa.Table:
         C = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
-        sel = t.select([id_col])
+        sel = t.select([id_col, *keep_cols])
         if t.num_rows == 0:
             return sel.append_column("cluster_id", pa.array([], pa.int64()))
         a = np.argmin(_sq_dists(_embedding_matrix(t, col), C), axis=1)
         return sel.append_column("cluster_id", pa.array(a.astype(np.int64)))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_purity(
+    ds,
+    centroids: np.ndarray,
+    label_col: str = "label",
+    col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Cluster-quality report over the k-means assignment: per cluster, the
+    member count and the majority ground-truth label → (cluster_id,
+    n_vectors, top_label, n_top). The purity check that decides whether a
+    topic clustering is good enough to balance a training mixture on.
+
+    Scale shape: the map-only broadcast assignment carries the label through
+    (no join), per-batch (cluster, label) counts pack into ONE int64 key
+    (labels are non-negative and < 2^32, like every id in the corpus), one
+    single-key Sum groupby over (blocks × k × |labels|) partial rows, then
+    the majority pick runs on the k×|labels|-sized table in one task.
+    Majority ties break to the lowest label (ORDER BY n DESC, label)."""
+    from ray.data.aggregate import Sum
+
+    assigned = kmeans_assign(
+        ds, centroids, col=col, id_col=id_col, keep_cols=(label_col,)
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pk = (df["cluster_id"].to_numpy(dtype="int64") << 32) | df[
+            label_col
+        ].to_numpy(dtype="int64")
+        counts = pd.Series(pk).value_counts()
+        return pd.DataFrame(
+            {
+                "_pk": counts.index.to_numpy().astype("int64"),
+                "_n": counts.to_numpy().astype("int64"),
+            }
+        )
+
+    partial.__name__ = "pack_cluster_label_counts"
+    reduced = (
+        assigned.map_batches(partial, batch_format="pandas")
+        .groupby("_pk")
+        .aggregate(Sum("_n", alias_name="n"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["_pk"].to_numpy(dtype="int64")
+        g = pd.DataFrame(
+            {"cluster_id": pk >> 32, "label": pk & 0xFFFFFFFF, "n": df["n"]}
+        ).sort_values(["cluster_id", "n", "label"], ascending=[True, False, True])
+        tot = g.groupby("cluster_id", sort=True)["n"].sum().rename("n_vectors")
+        top = g.drop_duplicates("cluster_id").set_index("cluster_id")
+        out = pd.concat([tot, top[["label", "n"]]], axis=1).reset_index()
+        return pd.DataFrame(
+            {
+                "cluster_id": out["cluster_id"].astype("int64"),
+                "n_vectors": out["n_vectors"].astype("int64"),
+                "top_label": out["label"].astype("int64"),
+                "n_top": out["n"].astype("int64"),
+            }
+        )
+
+    finish.__name__ = "majority_per_cluster"
+    # k × |labels|-sized table: one-task repartition is the documented bound
+    return reduced.repartition(1).map_batches(
+        finish, batch_format="pandas", batch_size=None
+    )
 
 
 class _CosinePairsBlock:

@@ -16,6 +16,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .sketches import hash64
 
@@ -947,3 +948,104 @@ def lang_mix(ds, col: str = "text", by: str = "source"):
         .aggregate(Sum("_n", alias_name="n"))
         .map_batches(unpack, batch_format="pandas")
     )
+
+
+def lexical_diversity(ds, col: str = "text", id_col: str = "doc_id"):
+    """Type-token-ratio components per document: (doc_id, n_words,
+    n_unique_words) over the engine's canonical word tokenizer — the lexical-
+    diversity quality gate (low unique/total ratio = keyword stuffing or
+    template spam). Integer columns only; the ratio itself is downstream
+    arithmetic, never a compared float.
+
+    Map-only, zero shuffle: one tokenize pass per batch, per-doc distinct via
+    a vectorized (doc_idx, token) drop_duplicates + bincount."""
+
+    def score(t: pa.Table) -> pa.Table:
+        from ..functions.textkernels import tokenize
+
+        if len(t) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_words": pa.array([], type=pa.int64()),
+                    "n_unique_words": pa.array([], type=pa.int64()),
+                }
+            )
+        flat, doc_idx, n_tokens = tokenize(t[col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        uniq_docs = (
+            pd.DataFrame({"d": doc_idx, "t": toks}).drop_duplicates()["d"].to_numpy()
+        )
+        n_uniq = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_uniq, uniq_docs, 1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(n_tokens),
+                "n_unique_words": pa.array(n_uniq),
+            }
+        )
+
+    score.__name__ = "lexical_diversity"
+    return ds.select_columns([id_col, col]).map_batches(score, batch_format="pyarrow")
+
+
+def boilerplate_prefixes(
+    ds,
+    k: int = 24,
+    min_docs: int = 2,
+    col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Shared-prefix boilerplate census: groups of >= min_docs documents whose
+    first `k` characters agree → (prefix_md5, n_docs, min_doc_id). The cheap
+    template/boilerplate detector a curation pipeline runs before paying for
+    shingle-level near-dup (docs shorter than k have no k-prefix and are
+    skipped, mirroring the twin's length filter).
+
+    Scale shape: per-batch prefix slice + md5 + local (count, min) combiner →
+    one single-key groupby whose input is (block × distinct prefix) rows; the
+    HAVING filter runs on the group table, never the corpus."""
+    import hashlib
+
+    from ray.data.aggregate import Min, Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[col]
+        keep = s.notna() & (s.str.len() >= k)
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "prefix_md5": pd.Series(dtype=object),
+                    "_n": pd.Series(dtype="int64"),
+                    "_min_id": pd.Series(dtype="int64"),
+                }
+            )
+        pref = s[keep].str[:k]
+        md5 = pref.map(lambda x: hashlib.md5(x.encode()).hexdigest())
+        g = (
+            pd.DataFrame({"prefix_md5": md5, "_id": df[id_col][keep]})
+            .groupby("prefix_md5", sort=False)["_id"]
+            .agg(_n="size", _min_id="min")
+            .reset_index()
+        )
+        g["_n"] = g["_n"].astype("int64")
+        g["_min_id"] = g["_min_id"].astype("int64")
+        return g
+
+    partial.__name__ = "prefix_partials"
+    reduced = (
+        ds.select_columns([id_col, col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("prefix_md5")
+        .aggregate(Sum("_n", alias_name="n_docs"), Min("_min_id", alias_name="min_doc_id"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_docs"] >= min_docs].copy()
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["min_doc_id"] = out["min_doc_id"].astype("int64")
+        return out[["prefix_md5", "n_docs", "min_doc_id"]]
+
+    finish.__name__ = "having_min_docs"
+    return reduced.map_batches(finish, batch_format="pandas")

@@ -163,3 +163,77 @@ def test_normalized_dedup_collapses_variants(ray_session):
     got = sorted(normalized_dedup(_ds(df)).to_pandas()["doc_id"])
     # {1,2,3} -> 1; {4}; {5,6} ('' after trim) -> 5; {7}
     assert got == [1, 4, 5, 7]
+
+
+def test_lexical_diversity_counts(ray_session):
+    """Case folds, punctuation splits, repeats counted once in n_unique;
+    NULL/empty docs are (0, 0)."""
+    from events_validator_ray.stages.text import lexical_diversity
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["The the THE cat!", "a-b a b7", None, "!!!"],
+        }
+    )
+    got = (
+        lexical_diversity(_ds(df))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_words"]) == [4, 4, 0, 0]
+    assert list(got["n_unique_words"]) == [2, 3, 0, 0]  # {the,cat}; {a,b,b7}
+
+
+def test_boilerplate_prefixes_groups_and_length_gate(ray_session):
+    from events_validator_ray.stages.text import boilerplate_prefixes
+
+    boiler = "Dear valued customer, "  # 22 chars; pad to >= k with suffixes
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 2, 9, 7, 8],
+            "text": [
+                boiler + "your bill is ready",
+                boiler + "your parcel shipped",
+                "short",  # < k: skipped
+                "A completely different document body",
+                None,
+            ],
+        }
+    )
+    got = boilerplate_prefixes(_ds(df), k=24, min_docs=2).to_pandas()
+    assert len(got) == 1
+    assert int(got["n_docs"].iloc[0]) == 2
+    assert int(got["min_doc_id"].iloc[0]) == 2
+
+
+def test_cluster_purity_majority_and_ties(ray_session):
+    """Majority label per centroid cell; equal counts break to the LOWER
+    label (ORDER BY n DESC, label)."""
+    from events_validator_ray.stages.similarity import cluster_purity
+
+    C = np.array([[0.0, 0.0], [10.0, 10.0]])
+    vecs = [
+        # cluster 0: labels 3, 3, 1 -> majority 3
+        ([0.1, 0.0], 3), ([0.0, 0.2], 3), ([0.2, 0.1], 1),
+        # cluster 1: labels 5 and 2 tie 1-1 -> lower label 2 wins
+        ([10.1, 9.9], 5), ([9.8, 10.2], 2),
+    ]
+    df = pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [np.asarray(v, dtype=np.float32) for v, _ in vecs],
+            "label": np.asarray([l for _, l in vecs], dtype=np.int32),
+        }
+    )
+    got = (
+        cluster_purity(_ds(df), C)
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["cluster_id"]) == [0, 1]
+    assert list(got["n_vectors"]) == [3, 2]
+    assert list(got["top_label"]) == [3, 2]
+    assert list(got["n_top"]) == [2, 1]
