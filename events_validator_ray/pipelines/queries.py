@@ -2468,6 +2468,60 @@ def q_rolling_turn_chars(sf_dir: str):
     return rolling_turn_chars(_read_transcripts(sf_dir), window=3)
 
 
+ATTRIBUTION_WINDOW_US = 3_600_000_000  # 1h
+
+
+def q_attribution_join(sf_dir: str):
+    """Click→purchase attribution: every (click, purchase) pair of the same
+    user with the click inside the purchase's trailing 1h window — the
+    marketing-attribution time-band join, expressed through
+    joins.range_join (purchases define [ts-1h, ts] intervals, clicks are the
+    points; one tagged-union shuffle co-located by user)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.joins import range_join
+
+    ev = _read_table(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def clicks(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "click_event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": us,
+            }
+        )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "purchase_event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "lo_us": pc.subtract(us, ATTRIBUTION_WINDOW_US),
+                "hi_us": us,
+            }
+        )
+
+    clicks.__name__, purchases.__name__ = "click_points", "purchase_intervals"
+    joined = range_join(
+        ev.map_batches(clicks, batch_format="pyarrow"),
+        ev.map_batches(purchases, batch_format="pyarrow"),
+        on="user_id",
+        point="ts_us",
+        lo="lo_us",
+        hi="hi_us",
+        num_buckets=16,
+    )
+    return joined.select_columns(["click_event_id", "purchase_event_id"])
+
+
 def q_lexical_diversity(sf_dir: str):
     """Per-doc type-token-ratio components (n_words, n_unique_words) over the
     canonical word tokenizer (stages/text.py:lexical_diversity — map-only,
@@ -2566,6 +2620,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "full_join_recon": q_full_join_recon,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "attribution_join": q_attribution_join,
         "curate_docs": q_curate_docs,
         "near_dup_pairs": q_near_dup_pairs,
         "jaccard_ngram_pairs": q_jaccard_ngram_pairs,
@@ -2869,6 +2924,17 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks, "
         "CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases "
         "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
+    )
+    from .queries import ATTRIBUTION_WINDOW_US as _aw
+
+    out["attribution_join"] = (
+        "WITH c AS (SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS cts "
+        "FROM events WHERE event_type = 'click'), "
+        "p AS (SELECT event_id AS purchase_event_id, user_id, epoch_us(ts) AS pts "
+        "FROM events WHERE event_type = 'purchase') "
+        "SELECT c.click_event_id, p.purchase_event_id FROM c JOIN p "
+        "ON c.user_id = p.user_id "
+        f"AND c.cts BETWEEN p.pts - {_aw} AND p.pts"
     )
     out["lexical_diversity"] = (
         # regexp_extract_all('[a-z0-9]+') == the engine tokenizer (split on
