@@ -93,8 +93,15 @@ def distinct_count_per_key(pairs_ds, key_col: str, val_col: str, out_col: str, m
     Shape: bucket by hash(key:val) so duplicate pairs co-locate (dedup inside
     a bucket is globally exact) while a hot KEY's values spread across many
     buckets; per-bucket drop_duplicates + partial per-key counts; then a
-    groupby(key).Sum whose map-side combining absorbs the hot key. Shuffle =
-    distinct pairs once + (key × buckets) partial rows."""
+    KEY-HASH-bucketed pandas Sum. The final reduce deliberately does NOT use
+    `groupby(key).aggregate(Sum)`: Ray's sort-based aggregate is pathological
+    at high GROUP cardinality, not just with multi-column keys — measured
+    ~1070s of remote wall over 592k distinct md5-string groups at sf0.1
+    (85s wall-clock) vs ~2s for the int64-bucket + per-bucket pandas-sum
+    shape used here (the same cure BASELINE.md records for pair keys). A hot
+    key contributes ≤ num_buckets partial rows, all landing in one _kb group,
+    so the reduce stays skew-safe. Shuffle = distinct pairs once + partial
+    rows once."""
     import numpy as np
 
     from .sketches import hash64
@@ -112,21 +119,33 @@ def distinct_count_per_key(pairs_ds, key_col: str, val_col: str, out_col: str, m
         d = g.drop_duplicates([key_col, val_col])
         out = d.groupby(key_col, sort=False).size().rename("_n").reset_index()
         out["_n"] = out["_n"].astype("int64")
+        out["_kb"] = (
+            hash64(out[key_col].astype(str).to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
         return out
 
     partial_counts.__name__ = "partial_distinct_counts"
-    from ray.data.aggregate import Sum
 
-    counts = (
+    def sum_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=object), out_col: pd.Series(dtype="int64")}
+            )
+        out = g.groupby(key_col, sort=False)["_n"].sum().rename(out_col).reset_index()
+        out[out_col] = out[out_col].astype("int64")
+        if min_count > 1:
+            out = out[out[out_col] >= min_count]
+        return out
+
+    sum_per_key.__name__ = "bucketed_key_sum"
+    return (
         pairs_ds.map_batches(bucketize, batch_format="pandas")
         .groupby("_b")
         .map_groups(partial_counts, batch_format="pandas")
-        .groupby(key_col)
-        .aggregate(Sum("_n", alias_name=out_col))
+        .groupby("_kb")
+        .map_groups(sum_per_key, batch_format="pandas")
     )
-    if min_count > 1:
-        counts = counts.filter(expr=f"{out_col} >= {min_count}")
-    return counts
 
 
 def cross_conv_duplicate_texts(ds, min_convs: int = 2):
