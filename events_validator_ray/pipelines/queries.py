@@ -1303,8 +1303,14 @@ def q_split_leakage(sf_dir: str):
         return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
 
     explode.__name__ = "explode_fingerprints"
-    pairs = fingerprints(_read_table(sf_dir, "documents")).map_batches(
-        explode, batch_format="pandas"
+    # materialize ONCE: three consumers (bloom build, distinct train keys,
+    # test pairs) would otherwise re-execute the winnowing lineage; the
+    # materialized table is 16 bytes/row (fp, doc_id) — the same
+    # share-the-projection precedent as ordered_prefix_sum
+    pairs = (
+        fingerprints(_read_table(sf_dir, "documents"))
+        .map_batches(explode, batch_format="pandas")
+        .materialize()
     )
 
     def side(test: bool):
@@ -1320,7 +1326,11 @@ def q_split_leakage(sf_dir: str):
     )
     test_pairs = pairs.map_batches(side(True), batch_format="pandas")
     leaked = bloom_semi_join(test_pairs, train_fps, on="fp")
-    return leaked.groupby("doc_id").aggregate(Count(alias_name="n_leaked_fps"))
+    # test-doc cardinality scales with the corpus -> bucketed count, not
+    # groupby(doc_id).aggregate (BASELINE.md addendum)
+    from ..stages.assembly import bucketed_count_per_key
+
+    return bucketed_count_per_key(leaked, "doc_id", "n_leaked_fps")
 
 
 def q_fingerprints(sf_dir: str):

@@ -85,6 +85,85 @@ def conversation_docs(ds, num_buckets: int = 64):
     )
 
 
+def bucketed_count_per_key(
+    ds, key_col: str, out_col: str, num_buckets: int = 64, min_count: int = 1
+):
+    """Additive COUNT(*) GROUP BY key when distinct keys scale with the
+    corpus: per-batch pandas counts (one partial row per (block, key)) →
+    int64 key-hash bucket → per-bucket pandas sum. Ray's sort-based
+    `groupby(key).aggregate()` degrades with GROUP cardinality (BASELINE.md
+    addendum: ~1070s remote wall over 592k groups); this shape is the
+    measured cure. A hot key contributes ≤ blocks partial rows, all landing
+    in one bucket group — skew-safe, exact."""
+    import numpy as np
+
+    from .sketches import hash64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key_col, sort=False).size().rename("_n").reset_index()
+        out["_n"] = out["_n"].astype("int64")
+        out["_kb"] = (
+            hash64(out[key_col].astype(str).to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    partial.__name__ = "count_partials"
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=object), out_col: pd.Series(dtype="int64")}
+            )
+        out = g.groupby(key_col, sort=False)["_n"].sum().rename(out_col).reset_index()
+        out[out_col] = out[out_col].astype("int64")
+        if min_count > 1:
+            out = out[out[out_col] >= min_count]
+        return out
+
+    final.__name__ = "bucketed_count_sum"
+    return (
+        ds.select_columns([key_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def bucketed_distinct_values(ds, col: str, num_buckets: int = 64):
+    """DISTINCT values of one column when the distinct count scales with the
+    corpus — per-batch drop_duplicates combiner, value-hash bucket, per-bucket
+    drop_duplicates. Same rationale as `bucketed_count_per_key` (a
+    `groupby(col).aggregate(Count)` dedup pays the sort-aggregate's
+    per-group cost); shuffle volume = per-block distinct values once."""
+    import numpy as np
+
+    from .sketches import hash64
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[[col]].drop_duplicates()
+        d = d.assign(
+            _kb=(
+                hash64(d[col].astype(str).to_numpy(dtype=object))
+                % np.uint64(num_buckets)
+            ).astype(np.int64)
+        )
+        return d
+
+    combine.__name__ = "distinct_combiner"
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g[[col]].drop_duplicates()
+
+    dedup.__name__ = "bucket_distinct"
+    return (
+        ds.select_columns([col])
+        .map_batches(combine, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(dedup, batch_format="pandas")
+    )
+
+
 def distinct_count_per_key(pairs_ds, key_col: str, val_col: str, out_col: str, min_count: int = 1, num_buckets: int = 256):
     """EXACT COUNT(DISTINCT val) GROUP BY key over a (key, val) pair Dataset
     that may contain duplicates — skew-safe: a hot key (one value shared by

@@ -1034,9 +1034,11 @@ def jaccard_allpairs_join(
         .map_groups(sum_pairs, batch_format="pandas")
     )
 
-    from ray.data.aggregate import Count
+    # bucketed count, not groupby(did).aggregate: distinct docs scale with
+    # the corpus and Ray's sort aggregate degrades with group cardinality
+    from .assembly import bucketed_count_per_key
 
-    sizes = shingles.groupby("did").aggregate(Count(alias_name="n_sh"))
+    sizes = bucketed_count_per_key(shingles, "did", "n_sh")
     if sizes.count() <= broadcast_max_docs:
         size_map = {r["did"]: r["n_sh"] for r in sizes.take_all()}
         ref = ray.put(size_map)
@@ -1229,7 +1231,12 @@ def dup_cluster_stats(labels_ds, label_col: str = "cluster"):
     absorbs both, nothing driver-side."""
     from ray.data.aggregate import Count
 
-    sizes = labels_ds.groupby(label_col).aggregate(Count(alias_name="cluster_size"))
+    from .assembly import bucketed_count_per_key
+
+    # corpus-cardinality level (label -> size): bucketed pandas count
+    # (BASELINE.md group-cardinality addendum); the histogram level keeps the
+    # plain aggregate - distinct sizes are few
+    sizes = bucketed_count_per_key(labels_ds, label_col, "cluster_size")
     return sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
 
 

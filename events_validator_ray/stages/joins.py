@@ -365,12 +365,12 @@ def bloom_semi_join(
         # skip a second full shuffle of what may be the largest key set here
         distinct_keys = keys_ds.select_columns([on])
     else:
-        distinct_keys = (
-            keys_ds.select_columns([on])
-            .groupby(on)
-            .aggregate(Count(alias_name="_n"))
-            .select_columns([on])
-        )
+        # bucketed dedup, NOT groupby(on).aggregate(Count): the key set's
+        # distinct cardinality scales with the corpus and Ray's sort-based
+        # aggregate degrades with group count (BASELINE.md addendum)
+        from .assembly import bucketed_distinct_values
+
+        distinct_keys = bucketed_distinct_values(keys_ds, on)
     return bucketed_hash_join(survivors, distinct_keys, on=on, num_buckets=num_buckets)
 
 
@@ -434,12 +434,10 @@ def bloom_anti_join(
     if keys_distinct:
         distinct_keys = keys_ds.select_columns([on])
     else:
-        distinct_keys = (
-            keys_ds.select_columns([on])
-            .groupby(on)
-            .aggregate(Count(alias_name="_n"))
-            .select_columns([on])
-        )
+        # same bucketed dedup rationale as bloom_semi_join
+        from .assembly import bucketed_distinct_values
+
+        distinct_keys = bucketed_distinct_values(keys_ds, on)
     marked = distinct_keys.map_batches(
         lambda df: df.assign(__m=np.int8(1)), batch_format="pandas"
     )
