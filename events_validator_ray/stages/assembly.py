@@ -255,16 +255,23 @@ def cross_conv_duplicate_texts(ds, min_convs: int = 2):
     )
 
 
-def conversation_stats(ds):
+def conversation_stats(ds, num_buckets: int = 64):
     """Per-conversation feature rollup for curation filters: turn counts by
     role, tool-call count, and wall-clock duration (max ts − min ts, µs;
-    NULL when the conversation has no timestamps). ONE single-key groupby
-    with additive aggregates — map-side pre-aggregation is Ray's, shuffle
-    volume is one row per (block, conv)."""
+    NULL when the conversation has no timestamps).
+
+    Conversations scale with the corpus, so the reduce is the bucketed
+    pandas shape, not `groupby(conv_id).aggregate(...)` (BASELINE.md
+    group-cardinality addendum — the 6-aggregate sort path measured 16.7s
+    at sf0.1 vs ~4s bucketed): per-batch pandas partials (one row per
+    (block, conv)) → conv-hash bucket → per-bucket merge (sum the counts,
+    min/max the timestamps). µs epochs (~1.7e15) stay exact through the
+    float64 NaN-carrying min/max: they are < 2^53."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .sketches import hash64
 
     def derive(t: pa.Table) -> pa.Table:
         role = t["role"]
@@ -282,27 +289,66 @@ def conversation_stats(ds):
             }
         )
 
-    agg = (
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("is_user", "size"),
+                n_user=("is_user", "sum"),
+                n_assistant=("is_assistant", "sum"),
+                n_tool=("has_tool", "sum"),
+                _min_ts=("ts_us", "min"),
+                _max_ts=("ts_us", "max"),
+            )
+            .reset_index()
+        )
+        g["_kb"] = (
+            hash64(g["conv_id"].astype(str).to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return g
+
+    partial.__name__ = "conv_stats_partials"
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("conv_id", sort=False)
+            .agg(
+                n_turns=("n_turns", "sum"),
+                n_user=("n_user", "sum"),
+                n_assistant=("n_assistant", "sum"),
+                n_tool=("n_tool", "sum"),
+                _min_ts=("_min_ts", "min"),
+                _max_ts=("_max_ts", "max"),
+            )
+            .reset_index()
+        )
+        for c in ("n_turns", "n_user", "n_assistant", "n_tool"):
+            out[c] = out[c].astype("int64")
+        dur = out["_max_ts"] - out["_min_ts"]
+        # emit a canonical Arrow block (int64 nullable duration) — pandas
+        # Int64 extension blocks trip downstream numpy dtype checks
+        return pa.table(
+            {
+                "conv_id": pa.array(out["conv_id"]),
+                "n_turns": pa.array(out["n_turns"].to_numpy(), type=pa.int64()),
+                "n_user": pa.array(out["n_user"].to_numpy(), type=pa.int64()),
+                "n_assistant": pa.array(
+                    out["n_assistant"].to_numpy(), type=pa.int64()
+                ),
+                "n_tool": pa.array(out["n_tool"].to_numpy(), type=pa.int64()),
+                "duration_us": pa.Array.from_pandas(dur).cast(pa.int64()),
+            }
+        )
+
+    merge.__name__ = "conv_stats_merge"
+    return (
         ds.select_columns(["conv_id", "role", "tool", "ts"])
         .map_batches(derive, batch_format="pyarrow")
-        .groupby("conv_id")
-        .aggregate(
-            Count(alias_name="n_turns"),
-            Sum("is_user", alias_name="n_user"),
-            Sum("is_assistant", alias_name="n_assistant"),
-            Sum("has_tool", alias_name="n_tool"),
-            Min("ts_us", alias_name="_min_ts"),
-            Max("ts_us", alias_name="_max_ts"),
-        )
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(merge, batch_format="pandas")
     )
-
-    def finish(t: pa.Table) -> pa.Table:
-        dur = pc.subtract(t["_max_ts"], t["_min_ts"])
-        return t.drop_columns(["_min_ts", "_max_ts"]).append_column(
-            "duration_us", pc.cast(dur, pa.int64())
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 class _RoleTransitionsBucket:
