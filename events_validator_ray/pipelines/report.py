@@ -61,15 +61,18 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
     against the exact mode in tests/test_sketches.py)."""
     if approx:
         return _daily_error_rate_hll(ds, hll_p)
-    from ray.data.aggregate import Count, Max, Sum
+    import numpy as np
+
+    from ..stages.sketches import hash64
 
     with_date = _with_date(ds).select_columns(["date_utc", "event_id", "status"])
 
     def batch_dedup(t: pa.Table) -> pa.Table:
         # pre-aggregate within the batch before the shuffle: one row per
-        # (date, event_id) with its max is_error flag cuts the groupby input
-        # by ~the batch's duplication factor (int64 flag: Ray's Max/Sum
-        # aggregates want a numeric column)
+        # (date, event_id) with its max is_error flag cuts the shuffle input
+        # by ~the batch's duplication factor; the pair rides a single int64
+        # hash bucket — groupby([date, event]) at distinct-event cardinality
+        # is the documented sort-aggregate hazard (BASELINE.md)
         flags = pc.cast(pc.equal(t["status"], "error"), pa.int64())
         t2 = pa.table(
             {
@@ -78,23 +81,55 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
                 "is_error": flags,
             }
         )
-        return t2.group_by(["date_utc", "event_id"]).aggregate([("is_error", "max")])
+        d = t2.group_by(["date_utc", "event_id"]).aggregate([("is_error", "max")])
+        # bucket by event_id alone: every copy of a (date, event) pair shares
+        # the bucket (sufficient for exact dedup), and the hash stays a cheap
+        # vectorized pass over the id column — no per-row string building
+        h = hash64(d["event_id"].to_numpy(zero_copy_only=False))
+        return d.append_column(
+            "_kb", pa.array((h % np.uint64(256)).astype(np.int64))
+        )
 
-    # single log scan: the global (date, event_id) dedup carries the error
-    # flag via Max, so per-day totals AND error counts come from one pipeline
-    # (the old shape re-scanned error rows for a second distinct pass)
-    pairs = (
+    def pair_merge(g):
+        import pandas as pd
+
+        # exact global dedup (all copies of a pair share the bucket), then
+        # per-bucket per-day partial counts — the final shuffle carries
+        # buckets × days rows, never the event table
+        d = (
+            g.groupby(["date_utc", "event_id"], sort=False)["is_error_max"]
+            .max()
+            .reset_index()
+        )
+        out = (
+            d.groupby("date_utc", sort=False)
+            .agg(_n=("event_id", "size"), _e=("is_error_max", "sum"))
+            .reset_index()
+        )
+        out["_n"] = out["_n"].astype("int64")
+        out["_e"] = out["_e"].astype("int64")
+        return out
+
+    pair_merge.__name__ = "pair_dedup_day_partials"
+    partials = (
         with_date.map_batches(batch_dedup, batch_format="pyarrow")
-        .groupby(["date_utc", "event_id"])
-        .aggregate(Max("is_error_max", alias_name="is_err"))
-    )
-    daily = pairs.groupby("date_utc").aggregate(
-        Count(alias_name="n_events"), Sum("is_err", alias_name="n_error_events")
+        .groupby("_kb")
+        .map_groups(pair_merge, batch_format="pandas")
     )
 
     import pandas as pd
 
-    out = daily.to_pandas()
+    # final day sum on the driver: the pull is ≤ buckets × days tiny rows
+    # (the HLL path's bound class). A Ray groupby(date).aggregate here
+    # measured 28.4s over 359k partial rows / 2136 day groups vs 0.25s for
+    # this pull — the sort-aggregate cost, not data volume.
+    pdf = partials.to_pandas()
+    out = (
+        pdf.groupby("date_utc", sort=False)[["_n", "_e"]]
+        .sum()
+        .reset_index()
+        .rename(columns={"_n": "n_events", "_e": "n_error_events"})
+    )
     if out.empty:  # empty log / fully-filtered date range: typed empty frame
         return pd.DataFrame(
             {
