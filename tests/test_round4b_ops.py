@@ -237,3 +237,133 @@ def test_cluster_purity_majority_and_ties(ray_session):
     assert list(got["n_vectors"]) == [3, 2]
     assert list(got["top_label"]) == [3, 2]
     assert list(got["n_top"]) == [2, 1]
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_full_outer_join_fuzz_vs_pandas(ray_session, seed):
+    """Random keys incl. NULLs on both sides vs a local reference that
+    implements SQL FULL OUTER semantics (non-null keys outer-merge; null-key
+    rows pass through unmatched)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import full_outer_join
+
+    rng = np.random.default_rng(seed)
+
+    def mk(n, null_frac, col):
+        k = rng.integers(0, 40, n).astype(float)
+        k[rng.random(n) < null_frac] = np.nan
+        return pd.DataFrame({"k": k, col: np.arange(n, dtype="int64")})
+
+    left, right = mk(300, 0.1, "lv"), mk(250, 0.15, "rv")
+    got = (
+        full_outer_join(rd.from_pandas(left).repartition(5),
+                        rd.from_pandas(right).repartition(3),
+                        on="k", num_buckets=7)
+        .to_pandas()
+    )
+    l_nn, r_nn = left[left["k"].notna()], right[right["k"].notna()]
+    ref_m = l_nn.merge(r_nn, on="k", how="outer")
+    # expected row multiset: outer merge of non-null keys + null pass-through
+    exp_rows = len(ref_m) + left["k"].isna().sum() + right["k"].isna().sum()
+    assert len(got) == exp_rows
+    # matched/unmatched payload sums are a full fingerprint of the join
+    assert got["lv"].dropna().astype("int64").sum() == ref_m["lv"].dropna().astype("int64").sum() + left.loc[left["k"].isna(), "lv"].sum()
+    assert got["rv"].dropna().astype("int64").sum() == ref_m["rv"].dropna().astype("int64").sum() + right.loc[right["k"].isna(), "rv"].sum()
+    # per-key match counts agree exactly on the non-null keys
+    gk = got[got["k"].notna()].groupby(got["k"].dropna().astype("int64")).size()
+    rk = ref_m.groupby(ref_m["k"].astype("int64")).size()
+    pd.testing.assert_series_equal(gk.sort_index(), rk.sort_index(), check_names=False)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_retention_cohorts_fuzz_vs_local(ray_session, seed):
+    import ray.data as rd
+
+    from events_validator_ray.stages.windows import retention_cohorts
+
+    rng = np.random.default_rng(seed)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 60, n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 40 * 86400, n), unit="s"),
+        }
+    )
+    got = (
+        retention_cohorts(rd.from_pandas(df).repartition(6), num_buckets=8)
+        .to_pandas()
+        .sort_values(["cohort_date", "day_offset"])
+        .reset_index(drop=True)
+    )
+    # local reference
+    r = df.assign(day=(df["ts"].astype("int64") // (86400 * 10**9)).astype("int64"))
+    a = r[["user_id", "day"]].drop_duplicates()
+    d0 = a.groupby("user_id")["day"].transform("min")
+    ref = (
+        pd.DataFrame(
+            {
+                "cohort_date": pd.to_datetime(d0 * 86400, unit="s").dt.strftime("%Y-%m-%d"),
+                "day_offset": (a["day"] - d0).astype("int64"),
+            }
+        )
+        .groupby(["cohort_date", "day_offset"])
+        .size()
+        .rename("n_users")
+        .reset_index()
+        .sort_values(["cohort_date", "day_offset"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [7])
+def test_rolling_turn_chars_fuzz_vs_local(ray_session, seed):
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import rolling_turn_chars
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "conv_id": [f"c{int(i)}" for i in rng.integers(0, 40, n)],
+            "turn_idx": rng.integers(0, 12, n),
+            "role": rng.choice(["user", "assistant", None], n),
+            "text": [
+                None if rng.random() < 0.1 else "t" * int(rng.integers(0, 30))
+                for _ in range(n)
+            ],
+        }
+    )
+    got = (
+        rolling_turn_chars(rd.from_pandas(df).repartition(5), window=3, num_buckets=8)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx", "n_chars", "roll_chars"])
+        .reset_index(drop=True)
+    )
+    loc = df.assign(
+        _t=df["text"].fillna(""), _r=df["role"].fillna("")
+    ).sort_values(["conv_id", "turn_idx", "_t", "_r"], kind="stable")
+    nn = loc["_t"].str.len().astype("int64")
+    roll = (
+        nn.groupby(loc["conv_id"].to_numpy(), sort=False)
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    ref = (
+        pd.DataFrame(
+            {
+                "conv_id": loc["conv_id"].to_numpy(),
+                "turn_idx": loc["turn_idx"].to_numpy(),
+                "n_chars": nn.to_numpy(),
+                "roll_chars": roll.to_numpy(),
+            }
+        )
+        .sort_values(["conv_id", "turn_idx", "n_chars", "roll_chars"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
