@@ -1876,6 +1876,40 @@ def q_jaccard_ngram_pairs(sf_dir: str):
     ).select_columns(["a", "b", "inter_sh", "union_sh"])
 
 
+CONTAINMENT_MILLIS = 800
+
+
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup: pairs where the smaller doc's shingle set is
+    >= 80% contained in the other (quotes/excerpt detection) — the same
+    distributed inverted shingle index as jaccard_ngram_pairs in
+    mode='containment' (stages/dedup.py:jaccard_allpairs_join)."""
+    from ..stages.dedup import jaccard_allpairs_join
+
+    return jaccard_allpairs_join(
+        _read_table(sf_dir, "documents"),
+        threshold_millis=CONTAINMENT_MILLIS,
+        mode="containment",
+    )
+
+
+def containment_pairs_oracle() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),"
+        " '[a-z0-9]+') AS w FROM documents), "
+        "pos AS (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w)-2, 0)))"
+        " AS i FROM d), "
+        "sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s"
+        " FROM pos), "
+        "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+        "inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c "
+        "FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) "
+        "SELECT a, b, c AS inter_sh, sa.n AS n_a, sb.n AS n_b "
+        "FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b "
+        f"WHERE c * 1000 >= {CONTAINMENT_MILLIS} * LEAST(sa.n, sb.n)"
+    )
+
+
 def jaccard_ngram_pairs_oracle() -> str:
     return (
         "WITH d AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text,'')),"
@@ -2634,6 +2668,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "near_dup_pairs": q_near_dup_pairs,
         "jaccard_ngram_pairs": q_jaccard_ngram_pairs,
+        "containment_pairs": q_containment_pairs,
         "bloom_semi_join": q_bloom_semi_join,
         "anti_join_orphans": q_anti_join_orphans,
         "mod_sample": q_mod_sample,
@@ -2688,6 +2723,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["curate_docs"] = curate_oracle()
     out["near_dup_pairs"] = near_dup_pairs_oracle()
     out["jaccard_ngram_pairs"] = jaccard_ngram_pairs_oracle()
+    out["containment_pairs"] = containment_pairs_oracle()
     out["repetition_stats"] = repetition_oracle()
     out["contamination_scan"] = contamination_oracle()
     out["pii_scan"] = pii_oracle()

@@ -915,6 +915,7 @@ def jaccard_allpairs_join(
     threshold_millis: int = 500,
     num_buckets: int = 64,
     broadcast_max_docs: int = 2_000_000,
+    mode: str = "jaccard",
 ):
     """EXACT word-n-gram Jaccard similar-pair join over the whole corpus —
     the dedup family's hash-free ground-truth relation (dedup_minhash
@@ -929,6 +930,12 @@ def jaccard_allpairs_join(
     ≤ `broadcast_max_docs` documents, else a bucketed hash join. The
     threshold compares in exact integer cross-multiplication
     (1000*|A∩B| >= millis*|A∪B|) — no float channel in compared output.
+
+    ``mode="containment"`` keeps the identical index/pair machinery but
+    scores max-containment instead: 1000*|A∩B| >= millis*min(|A|,|B|) — the
+    asymmetric near-dup (quotes, excerpts, one doc embedded in another) that
+    Jaccard under-scores when sizes differ; returns (a, b, inter_sh, n_a,
+    n_b) instead of the union column.
 
     Scale note: a shingle shared by k docs inherently emits O(k²) pair rows
     — the cost of the EXACT relation (the SQL twin pays the same join);
@@ -1049,6 +1056,10 @@ def jaccard_allpairs_join(
                 sm = ray.get(sm)
             na = df["a"].map(sm).astype(np.int64)
             nb = df["b"].map(sm).astype(np.int64)
+            if mode == "containment":
+                df = df.assign(n_a=na, n_b=nb)
+                keep = 1000 * df["inter_sh"] >= threshold_millis * np.minimum(na, nb)
+                return df.loc[keep, ["a", "b", "inter_sh", "n_a", "n_b"]]
             df = df.assign(union_sh=(na + nb - df["inter_sh"]).astype(np.int64))
             keep = 1000 * df["inter_sh"] >= threshold_millis * df["union_sh"]
             return df[keep]
@@ -1073,6 +1084,14 @@ def jaccard_allpairs_join(
     )
 
     def finish(df: "pd.DataFrame") -> "pd.DataFrame":
+        if mode == "containment":
+            keep = 1000 * df["inter_sh"] >= threshold_millis * np.minimum(
+                df["n_a"], df["n_b"]
+            )
+            out = df.loc[keep, ["a", "b", "inter_sh", "n_a", "n_b"]]
+            out["n_a"] = out["n_a"].astype(np.int64)
+            out["n_b"] = out["n_b"].astype(np.int64)
+            return out
         df = df.assign(
             union_sh=(df["n_a"] + df["n_b"] - df["inter_sh"]).astype(np.int64)
         )

@@ -367,3 +367,44 @@ def test_rolling_turn_chars_fuzz_vs_local(ray_session, seed):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+
+
+def test_containment_pairs_subset_detection(ray_session):
+    """A short doc fully contained in a longer one passes containment but can
+    fail Jaccard; broadcast and bucketed-join paths agree."""
+    from events_validator_ray.stages.dedup import jaccard_allpairs_join
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                base + " lambda mu nu xi omicron pi rho sigma tau upsilon",
+                base,  # subset of doc 1 (all its 3-grams occur there)
+                "totally different words here entirely unrelated content",
+            ],
+        }
+    )
+    got = (
+        jaccard_allpairs_join(_ds(df), threshold_millis=800, mode="containment")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == ["a", "b", "inter_sh", "n_a", "n_b"]
+    assert len(got) == 1 and got.loc[0, "a"] == 1 and got.loc[0, "b"] == 2
+    # containment of the smaller side is 100%
+    assert got.loc[0, "inter_sh"] == min(got.loc[0, "n_a"], got.loc[0, "n_b"])
+    # Jaccard at the same threshold rejects the pair (sizes differ 2x+)
+    jac = jaccard_allpairs_join(_ds(df), threshold_millis=800).to_pandas()
+    assert len(jac) == 0
+    # join-ladder path (broadcast gate forced off) produces identical rows
+    got2 = (
+        jaccard_allpairs_join(
+            _ds(df), threshold_millis=800, mode="containment", broadcast_max_docs=0
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2, check_dtype=False)
