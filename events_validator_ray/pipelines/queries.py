@@ -1628,16 +1628,22 @@ def q_left_join_enrich(sf_dir: str):
 
         df = t.to_pandas()
         df = df.loc[df["event_type"] == "signup", ["user_id"]].drop_duplicates()
-        return pa.table(
-            {"user_id": pa.array(df["user_id"]), "_signed": pa.array([1] * len(df), type=pa.int64())}
-        )
+        return pa.table({"user_id": pa.array(df["user_id"])})
 
     mark.__name__ = "signup_dim_combiner"
-    dim = (
-        ev.map_batches(mark, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Max("_signed", alias_name="_signed"))
-    )
+    # signup users scale with the corpus: bucketed dedup, not a
+    # groupby(user).aggregate (BASELINE.md group-cardinality addendum)
+    from ..stages.assembly import bucketed_distinct_values
+
+    def add_flag(df):
+        import pandas as pd
+
+        return df.assign(_signed=pd.Series(1, index=df.index, dtype="int64"))
+
+    add_flag.__name__ = "signed_flag"
+    dim = bucketed_distinct_values(
+        ev.map_batches(mark, batch_format="pyarrow"), "user_id"
+    ).map_batches(add_flag, batch_format="pandas")
     joined = bucketed_hash_join(ev, dim, on="user_id", num_buckets=16, how="left")
 
     def flag(df):
@@ -1651,10 +1657,14 @@ def q_left_join_enrich(sf_dir: str):
         )
 
     flag.__name__ = "matched_flag"
-    return (
-        joined.map_batches(flag, batch_format="pandas")
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_events"), Sum("_m", alias_name="n_signed_up"))
+    # low-cardinality dimension rollup: blockwise partials + bounded driver
+    # sum (Ray's aggregate pays its sort on the INPUT rows, ~4s per 150k)
+    from ..stages.assembly import small_group_rollup
+
+    return small_group_rollup(
+        joined.map_batches(flag, batch_format="pandas"),
+        "event_type",
+        [("n_events", None, "size"), ("n_signed_up", "_m", "sum")],
     )
 
 
@@ -1675,9 +1685,11 @@ def q_bucketed_join(sf_dir: str):
         lambda t: t.rename_columns(["custkey", "c_mktsegment"]), batch_format="pyarrow"
     )
     joined = bucketed_hash_join(orders, cust, on="custkey", num_buckets=16)
-    return (
-        joined.groupby("c_mktsegment").aggregate(Count(alias_name="n_orders"))
-    )
+    # 5-segment rollup over the 150k-row join output: blockwise partials +
+    # bounded driver sum (see small_group_rollup)
+    from ..stages.assembly import small_group_rollup
+
+    return small_group_rollup(joined, "c_mktsegment", [("n_orders", None, "size")])
 
 
 def q_bloom_semi_join(sf_dir: str):

@@ -604,3 +604,35 @@ def rolling_turn_chars(ds, window: int = 3, num_buckets: int = 64):
         .groupby("bucket")
         .map_groups(_RollingCharsBucket(window), batch_format="pandas")
     )
+
+
+def small_group_rollup(ds, key_col: str, aggs: list, sort: bool = True):
+    """Counts/sums grouped by a LOW-cardinality key (dimension segments,
+    event types) over a corpus-scale table: per-block pandas partials →
+    bounded driver sum → pandas DataFrame. `aggs` is a list of
+    (out_col, src_col_or_None, how) with how in {'size', 'sum'}.
+
+    Rationale: Ray's groupby().aggregate() pays its sort cost on the INPUT
+    row count even for 5 output groups (measured 4.2s over 150k rows /
+    5 groups at sf0.1); per-block combining makes the exchange
+    blocks × groups partial rows and the driver pull the same bound —
+    the error-rate finish's bound class."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False)
+        out = {}
+        for out_col, src, how in aggs:
+            out[out_col] = g.size() if how == "size" else g[src].sum()
+        return pd.DataFrame(out).reset_index()
+
+    partial.__name__ = "small_group_partials"
+    cols = [key_col] + [a[0] for a in aggs]
+    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if pdf.empty:
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        out[key_col] = out[key_col].astype(object)
+        return out
+    out = pdf.groupby(key_col, sort=sort)[[a[0] for a in aggs]].sum().reset_index()
+    for a in aggs:
+        out[a[0]] = out[a[0]].astype("int64")
+    return out[cols]
