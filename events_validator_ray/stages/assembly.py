@@ -636,3 +636,46 @@ def small_group_rollup(ds, key_col: str, aggs: list, sort: bool = True):
     for a in aggs:
         out[a[0]] = out[a[0]].astype("int64")
     return out[cols]
+
+
+def bucketed_reduce_per_key(ds, key_col: str, aggs: list, num_buckets: int = 64):
+    """Generic additive/extremal reduce GROUP BY a corpus-cardinality key:
+    per-batch pandas partials → key-hash bucket → per-bucket pandas merge.
+    `aggs` = list of (out_col, src_col_or_None, how) with how in
+    {'size', 'sum', 'min', 'max'} ('size' partials merge by SUM). The
+    n-ary sibling of `bucketed_count_per_key` — same skew bound (a hot key
+    contributes ≤ blocks partial rows, all in one bucket group)."""
+    import numpy as np
+
+    from .sketches import hash64
+
+    merge_how = {"size": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_col, sort=False)
+        out = {}
+        for out_col, src, how in aggs:
+            out[out_col] = g.size() if how == "size" else getattr(g[src], how)()
+        p = pd.DataFrame(out).reset_index()
+        p["_kb"] = (
+            hash64(p[key_col].astype(str).to_numpy(dtype=object))
+            % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return p
+
+    partial.__name__ = "reduce_partials"
+    out_cols = [a[0] for a in aggs]
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(key_col, sort=False)
+        out = {c: getattr(gg[c], merge_how[h])() for c, _, h in aggs}
+        return pd.DataFrame(out).reset_index()[[key_col] + out_cols]
+
+    final.__name__ = "bucketed_reduce_merge"
+    cols = [key_col] + sorted({a[1] for a in aggs if a[1]})
+    return (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -54,19 +54,21 @@ def add_content_hash(batch: pa.Table, col: str = "text", out: str = "content_has
 
 
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
-    """Keeper ids: min id per exact content. groupby on the 64-bit content
-    hash (shuffles 16 bytes/row, never the text)."""
-    from ray.data.aggregate import Min
+    """Keeper ids: min id per exact content. One bucketed reduce on the
+    64-bit content hash (shuffles ~16 bytes/row, never the text); distinct
+    contents scale with the corpus, so the reduce is the bucketed pandas
+    shape, not groupby(hash).aggregate (BASELINE.md group-cardinality
+    addendum)."""
+    from .assembly import bucketed_reduce_per_key
 
     hashed = ds.select_columns([id_col, col]).map_batches(
         lambda b: add_content_hash(b, col), batch_format="pyarrow"
     )
-    return (
-        hashed.select_columns([id_col, "content_hash"])
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col))
-        .select_columns([id_col])
-    )
+    return bucketed_reduce_per_key(
+        hashed.select_columns([id_col, "content_hash"]),
+        "content_hash",
+        [(id_col, id_col, "min")],
+    ).select_columns([id_col])
 
 
 def keep_best_dedup(ds, col: str = "text", id_col: str = "doc_id", pref_col: str = "source"):
@@ -112,13 +114,15 @@ def keep_best_dedup(ds, col: str = "text", id_col: str = "doc_id", pref_col: str
         )
 
     unpack.__name__ = "unpack_priority_key"
-    return (
-        ds.select_columns([id_col, col, pref_col])
-        .map_batches(pack, batch_format="pandas")
-        .groupby("content_hash")
-        .aggregate(Min("_pk", alias_name="_pk"))
-        .map_batches(unpack, batch_format="pandas")
-    )
+    from .assembly import bucketed_reduce_per_key
+
+    return bucketed_reduce_per_key(
+        ds.select_columns([id_col, col, pref_col]).map_batches(
+            pack, batch_format="pandas"
+        ),
+        "content_hash",
+        [("_pk", "_pk", "min")],
+    ).map_batches(unpack, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -1008,7 +1008,6 @@ def boilerplate_prefixes(
     HAVING filter runs on the group table, never the corpus."""
     import hashlib
 
-    from ray.data.aggregate import Min, Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         s = df[col]
@@ -1034,11 +1033,14 @@ def boilerplate_prefixes(
         return g
 
     partial.__name__ = "prefix_partials"
-    reduced = (
-        ds.select_columns([id_col, col])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("prefix_md5")
-        .aggregate(Sum("_n", alias_name="n_docs"), Min("_min_id", alias_name="min_doc_id"))
+    # distinct prefixes scale with the corpus: bucketed reduce, not
+    # groupby(prefix).aggregate (BASELINE.md group-cardinality addendum)
+    from .assembly import bucketed_reduce_per_key
+
+    reduced = bucketed_reduce_per_key(
+        ds.select_columns([id_col, col]).map_batches(partial, batch_format="pandas"),
+        "prefix_md5",
+        [("n_docs", "_n", "sum"), ("min_doc_id", "_min_id", "min")],
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:

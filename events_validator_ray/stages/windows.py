@@ -366,7 +366,9 @@ def user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
     (user, µs) rows — then a per-day count whose result is days-sized; the
     cumulative sum runs on that days-sized table in one task (same bound
     class as the report plane's per-day views)."""
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Sum
+
+    from .assembly import bucketed_reduce_per_key
 
     def project(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -377,24 +379,29 @@ def user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
         )
 
     project.__name__ = "project_user_ts"
-    first = (
-        ds.select_columns([user_col, ts_col])
-        .map_batches(project, batch_format="pyarrow")
-        .groupby(user_col)
-        .aggregate(Min("_us", alias_name="_first_us"))
+    # users scale with the corpus: bucketed min, not groupby(user).aggregate
+    # (BASELINE.md group-cardinality addendum)
+    first = bucketed_reduce_per_key(
+        ds.select_columns([user_col, ts_col]).map_batches(
+            project, batch_format="pyarrow"
+        ),
+        user_col,
+        [("_first_us", "_us", "min")],
     )
 
-    def to_date(t: pa.Table) -> pa.Table:
-        d = pc.strftime(
-            pc.cast(t["_first_us"], pa.timestamp("us")), format="%Y-%m-%d"
+    def day_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(df["_first_us"], unit="us").dt.strftime("%Y-%m-%d")
+        c = d.value_counts()
+        return pd.DataFrame(
+            {"date_utc": c.index, "_n": c.to_numpy().astype("int64")}
         )
-        return pa.table({"date_utc": d})
 
-    to_date.__name__ = "first_us_to_date"
+    day_partials.__name__ = "first_day_partials"
+    # per-block day counts -> days-sized Sum (input = blocks × days rows)
     per_day = (
-        first.map_batches(to_date, batch_format="pyarrow")
+        first.map_batches(day_partials, batch_format="pandas")
         .groupby("date_utc")
-        .aggregate(Count(alias_name="n_new"))
+        .aggregate(Sum("_n", alias_name="n_new"))
     )
 
     def cumulate(df: pd.DataFrame) -> pd.DataFrame:
