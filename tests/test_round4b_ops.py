@@ -408,3 +408,45 @@ def test_containment_pairs_subset_detection(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, got2, check_dtype=False)
+
+
+@pytest.mark.parametrize("seed", [13])
+def test_bucketed_reducers_vs_pandas(ray_session, seed):
+    """The generic group-cardinality reducers (bucketed_reduce_per_key /
+    bucketed_count_per_key / bucketed_distinct_values) are exact vs plain
+    pandas groupby on random multi-block data."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import (
+        bucketed_count_per_key,
+        bucketed_distinct_values,
+        bucketed_reduce_per_key,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 700, n),  # hundreds of groups, many blocks
+            "v": rng.integers(-1000, 1000, n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    got = (
+        bucketed_reduce_per_key(
+            ds, "k", [("s", "v", "sum"), ("mn", "v", "min"), ("mx", "v", "max"), ("n", None, "size")]
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        df.groupby("k")
+        .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+        .reset_index()
+    )
+    pd.testing.assert_frame_equal(got, ref, check_dtype=False)
+    cnt = bucketed_count_per_key(ds, "k", "n").to_pandas().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(cnt, ref[["k", "n"]], check_dtype=False)
+    dv = sorted(bucketed_distinct_values(ds, "k").to_pandas()["k"])
+    assert dv == sorted(df["k"].unique())
