@@ -2484,24 +2484,29 @@ def q_full_join_recon(sf_dir: str):
     coalesced to 0 (stages/joins.py:full_outer_join — one tagged-union
     shuffle, side-specific null-key overflow buckets)."""
     import pandas as pd
-    from ray.data.aggregate import Count
 
+    from ..stages.assembly import bucketed_count_per_key
     from ..stages.joins import full_outer_join
 
+    # distinct users scale with the corpus: bucketed counts, not
+    # groupby(user).aggregate(Count) (the sort-aggregate group-cardinality
+    # hazard — BASELINE.md addendum). NULL user_id rows are dropped by the
+    # count stage on both engine and oracle sides (documented semantics).
     ev = _read_table(sf_dir, "events").select_columns(["event_type", "user_id"])
-    clicks = (
-        ev.filter(expr="event_type == 'click'")
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_clicks"))
+    clicks = bucketed_count_per_key(
+        ev.filter(expr="event_type == 'click'"), "user_id", "n_clicks"
     )
-    purchases = (
-        ev.filter(expr="event_type == 'purchase'")
-        .groupby("user_id")
-        .aggregate(Count(alias_name="n_purchases"))
+    purchases = bucketed_count_per_key(
+        ev.filter(expr="event_type == 'purchase'"), "user_id", "n_purchases"
     )
     joined = full_outer_join(clicks, purchases, on="user_id", num_buckets=16)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # full_outer_join passes null keys through; the count stage drops
+        # them here, but a corpus with NULL user_id must not crash the
+        # int64 cast — filter defensively (matches the oracle's
+        # user_id IS NOT NULL), keeping the compared dtype plain int64
+        df = df[df["user_id"].notna()]
         return pd.DataFrame(
             {
                 "user_id": df["user_id"].astype("int64"),
@@ -2935,9 +2940,11 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     from .queries import HH_PERMILLE as _hh
 
     out["user_growth"] = (
+        # COALESCE → '(null)' matches the engine's NaT-first-activity
+        # sentinel (users whose timestamps are all NULL)
         "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id), "
-        "c AS (SELECT strftime(first_ts, '%Y-%m-%d') AS date_utc, COUNT(*) AS n_new "
-        "FROM f GROUP BY 1) "
+        "c AS (SELECT COALESCE(strftime(first_ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+        "COUNT(*) AS n_new FROM f GROUP BY 1) "
         "SELECT date_utc, n_new, "
         "CAST(SUM(n_new) OVER (ORDER BY date_utc ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum "
         "FROM c"
@@ -2974,10 +2981,12 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "FROM events GROUP BY 1"
     )
     out["full_join_recon"] = (
+        # user_id IS NOT NULL mirrors the engine's bucketed count stage
+        # (pandas groupby drops null keys) — symmetric null-key semantics
         "WITH c AS (SELECT user_id, COUNT(*) AS n FROM events "
-        "WHERE event_type = 'click' GROUP BY user_id), "
+        "WHERE event_type = 'click' AND user_id IS NOT NULL GROUP BY user_id), "
         "p AS (SELECT user_id, COUNT(*) AS n FROM events "
-        "WHERE event_type = 'purchase' GROUP BY user_id) "
+        "WHERE event_type = 'purchase' AND user_id IS NOT NULL GROUP BY user_id) "
         "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
         "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_clicks, "
         "CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases "

@@ -37,6 +37,12 @@ def pivot_counts(
     from ray.data.aggregate import Sum
 
     cats = list(categories)
+    if not cats:
+        raise ValueError(
+            "pivot_counts requires at least one category (the column "
+            "contract must be known up front; discover categories with a "
+            "distinct pass if needed)"
+        )
     out_cols = [f"n_{c}" for c in cats] + [f"n_{other_name}"]
 
     def onehot_combine(t: pa.Table) -> pd.DataFrame:

@@ -120,26 +120,66 @@ def group_topk(ds, key: str, score_col: str, id_col: str, k: int):
     )
 
 
-def global_rank(ds, col: str, out_col: str = "n_le"):
+def distinct_upper_bound(ds, col: str) -> int:
+    """Σ per-block distinct values of `col` — a one-int-per-block probe
+    (driver pull = block count). Upper-bounds BOTH the global distinct count
+    and the partial-row volume a bucketed value count would shuffle, so it is
+    the right quantity to gate value-count-based operators on. One cheap
+    projected scan; exact per block via pc.count_distinct."""
+
+    def block_distinct(t: pa.Table) -> pa.Table:
+        vals = t[col].drop_null() if t.num_rows else None
+        # all-null columns may carry Arrow's `null` type, which the
+        # count_distinct kernel rejects — they have 0 distinct values
+        if vals is None or len(vals) == 0 or pa.types.is_null(vals.type):
+            n = 0
+        else:
+            n = pc.count_distinct(vals).as_py()
+        return pa.table({"d": pa.array([int(n)], pa.int64())})
+
+    block_distinct.__name__ = "block_distinct_probe"
+    s = (
+        ds.select_columns([col])
+        .map_batches(block_distinct, batch_format="pyarrow", batch_size=None)
+        .sum("d")
+    )
+    return int(s or 0)
+
+
+def global_rank(ds, col: str, out_col: str = "n_le", max_distinct: int = 1_000_000):
     """Append each row's global cumulative rank `out_col` = COUNT of rows with
     `col` ≤ this row's value (NULLs excluded from both the count and the
     output) — the distribution-position signal behind percentile capping /
     'drop the bottom X%' curation rules, exact and shuffle-free for the row
     data itself.
 
-    Scale shape: ONE value-count groupby bounded by the column's CARDINALITY
-    (the documented integer/categorical use — same bound as
-    quantile_threshold_filter's integer path; continuous float columns should
-    go through that operator's histogram ladder instead), a tiny driver
-    cumsum, then a broadcast (ray.put) sorted-values + cumulative-counts pair
-    consumed by a map-only searchsorted pass. The corpus itself never
-    shuffles.
+    Scale shape: a one-int-per-block distinct probe ENFORCES the
+    `max_distinct` bound (the operator fundamentally broadcasts the sorted
+    value list, so corpus-cardinality columns cannot use it — a clear
+    ValueError routes them to quantile_threshold_filter's histogram ladder
+    or ordered_prefix_sum instead of hitting the sort-aggregate
+    group-cardinality pathology, BASELINE.md addendum); then a BUCKETED
+    value count (per-batch pandas partials → key-hash bucket → per-bucket
+    sum, never groupby(col).aggregate), a tiny driver cumsum, then a
+    broadcast (ray.put) sorted-values + cumulative-counts pair consumed by a
+    map-only searchsorted pass. The corpus itself never shuffles.
     SQL twin: COUNT(*) OVER (ORDER BY col RANGE UNBOUNDED PRECEDING)."""
     import numpy as np
     import ray
-    from ray.data.aggregate import Count
 
-    vc = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+    from .assembly import bucketed_count_per_key
+
+    bound = distinct_upper_bound(ds, col)
+    if bound > max_distinct:
+        raise ValueError(
+            f"global_rank({col!r}): Σ per-block distinct ≈ {bound} exceeds "
+            f"max_distinct={max_distinct}; this operator broadcasts the "
+            "sorted value list so it is integer/categorical-only. For "
+            "continuous/high-cardinality columns use "
+            "quantile_threshold_filter (histogram ladder) or "
+            "ordered_prefix_sum (sort-based order stats) instead."
+        )
+    vc = bucketed_count_per_key(ds.select_columns([col]), col, "n").to_pandas()
     vc = vc[vc[col].notna()].sort_values(col).reset_index(drop=True)
     vals = vc[col].to_numpy()
     cum = np.cumsum(vc["n"].to_numpy()).astype(np.int64)
@@ -423,10 +463,16 @@ def quantile_threshold_filter(
       corpus): bin-then-refine histogram ladder — driver pulls are bounded by
       the BIN COUNT per level plus one ≤ refine_cap exact pass, never the
       cardinality (see _float_quantile_threshold);
-    - integer / categorical columns: one value-count groupby (shuffle bounded
-      by the column's cardinality — the documented bounded-cardinality use),
-      a tiny driver cumsum to locate the quantile_disc threshold (same rank
-      rule as DuckDB: element at rank ceil(q*n), 1-based).
+    - integer / categorical columns: a one-int-per-block distinct probe
+      ENFORCES the bounded-cardinality contract (previously only documented)
+      — within the bound, a BUCKETED value count (never
+      groupby(col).aggregate, the sort-aggregate group-cardinality hazard)
+      and a tiny driver cumsum locate the quantile_disc threshold (same rank
+      rule as DuckDB: element at rank ceil(q*n), 1-based); ABOVE the bound,
+      integer columns route through the same histogram ladder as floats
+      (exact for |values| < 2^53 — the float64 mantissa; µs timestamps are
+      ~2^51), and non-numeric high-cardinality columns raise a clear error
+      instead of silently degrading.
     The corpus itself then streams through a single map-only comparison."""
     import numpy as np
 
@@ -434,16 +480,40 @@ def quantile_threshold_filter(
     ftype = dict(zip(sch.names, sch.types)).get(col)
     # ftype may be a plain Python type (e.g. an all-null pandas column) —
     # only pyarrow floating types take the histogram path
-    if isinstance(ftype, pa.DataType) and pa.types.is_floating(ftype):
+    is_arrow = isinstance(ftype, pa.DataType)
+    take_ladder = is_arrow and pa.types.is_floating(ftype)
+    if not take_ladder:
+        bound = distinct_upper_bound(ds, col)
+        if bound > max(refine_cap, 1):
+            if is_arrow and pa.types.is_integer(ftype):
+                # corpus-cardinality int (e.g. µs timestamps): histogram
+                # ladder, not a corpus-sized value-count pull
+                take_ladder = True
+            else:
+                raise ValueError(
+                    f"quantile_threshold_filter({col!r}): Σ per-block "
+                    f"distinct ≈ {bound} exceeds refine_cap={refine_cap} "
+                    "and the column is not numeric — a value-count quantile "
+                    "would pull the corpus's cardinality to the driver. "
+                    "Bucket/truncate the column first, or raise refine_cap "
+                    "deliberately."
+                )
+        if telemetry is not None:
+            telemetry["distinct_upper_bound"] = bound
+    if take_ladder:
         thr = _float_quantile_threshold(
             ds, col, q, bins=bins, refine_cap=refine_cap, telemetry=telemetry
         )
         if thr is None:
             return ds.map_batches(lambda t: t.slice(0, 0), batch_format="pyarrow")
+        if is_arrow and pa.types.is_integer(ftype):
+            # ladder computes in float64; the threshold is one of the
+            # column's own values, so it round-trips exactly below 2^53
+            thr = int(thr)
     else:
-        from ray.data.aggregate import Count
+        from .assembly import bucketed_count_per_key
 
-        vc = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
+        vc = bucketed_count_per_key(ds.select_columns([col]), col, "n").to_pandas()
         if len(vc):
             # quantile_disc ignores NULLs: drop the null/NaN group from the rank
             vc = vc[vc[col].notna()].sort_values(col).reset_index(drop=True)

@@ -391,7 +391,10 @@ def user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
 
     def day_partials(df: pd.DataFrame) -> pd.DataFrame:
         d = pd.to_datetime(df["_first_us"], unit="us").dt.strftime("%Y-%m-%d")
-        c = d.value_counts()
+        # a user whose timestamps are all NULL has NaT first-activity — count
+        # it under the '(null)' sentinel (dropna would silently drop the
+        # group; the SQL twin COALESCEs to the same sentinel)
+        c = d.fillna("(null)").value_counts()
         return pd.DataFrame(
             {"date_utc": c.index, "_n": c.to_numpy().astype("int64")}
         )

@@ -1,0 +1,189 @@
+"""Round-5 additions: enforced cardinality guards on the value-count
+operators (VERDICT r4 item 3), null-date sentinel in user_growth, bucketed
+full_join_recon inputs, and pivot_counts input validation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_quantile_filter_high_cardinality_int_routes_ladder(ray_session):
+    """A per-row-distinct int64 column (the µs-timestamp shape) must NOT take
+    the value-count path (driver pull = cardinality, sort-aggregate
+    pathology) — the probe routes it through the histogram ladder, exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    base = 1_700_000_000_000_000  # ~2^50.6: realistic µs epoch
+    ts = base + np.sort(rng.choice(n * 50, size=n, replace=False)).astype(np.int64)
+    df = pd.DataFrame({"id": range(n), "ts_us": ts})
+    assert df["ts_us"].nunique() == n
+    tel = {}
+    got = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(
+            rd.from_pandas(df).repartition(8),
+            "ts_us",
+            0.9,
+            bins=64,
+            refine_cap=500,
+            telemetry=tel,
+        ).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT id FROM df WHERE ts_us >= "
+            "(SELECT quantile_disc(ts_us, 0.9) FROM df)"
+        ).df()["id"]
+    )
+    assert got == want and len(got) == n - int(np.ceil(0.9 * n)) + 1
+    # probe recorded, ladder actually ran, exact pass bounded
+    assert tel["distinct_upper_bound"] >= n
+    assert tel["levels"] >= 1
+    assert tel["exact_rows"] <= 500
+
+
+def test_quantile_filter_high_cardinality_string_raises(ray_session):
+    """Non-numeric corpus-cardinality columns can't ladder — clear error, not
+    a silent corpus-sized driver pull."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    df = pd.DataFrame({"s": [f"doc-{i:08d}" for i in range(5_000)]})
+    with pytest.raises(ValueError, match="distinct"):
+        quantile_threshold_filter(
+            rd.from_pandas(df).repartition(4), "s", 0.5, refine_cap=100
+        )
+
+
+def test_quantile_filter_bounded_int_still_exact(ray_session):
+    """Bounded-cardinality ints keep the (now bucketed) value-count path and
+    stay exact vs quantile_disc."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"id": range(2_000), "v": rng.integers(-40, 40, 2_000)})
+    tel = {}
+    got = sorted(
+        r["id"]
+        for r in quantile_threshold_filter(
+            rd.from_pandas(df).repartition(6), "v", 0.25, telemetry=tel
+        ).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT id FROM df WHERE v >= (SELECT quantile_disc(v, 0.25) FROM df)"
+        ).df()["id"]
+    )
+    assert got == want
+    assert "levels" not in tel  # value-count path, not the ladder
+    assert tel["distinct_upper_bound"] <= 80 * 6
+
+
+def test_global_rank_enforces_max_distinct(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import global_rank
+
+    df = pd.DataFrame({"v": np.arange(3_000, dtype=np.int64)})
+    ds = rd.from_pandas(df).repartition(4)
+    with pytest.raises(ValueError, match="max_distinct"):
+        global_rank(ds, "v", max_distinct=100)
+
+
+def test_global_rank_matches_sql_window(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import global_rank
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"id": range(1_500), "v": rng.integers(0, 50, 1_500)})
+    got = (
+        global_rank(rd.from_pandas(df).repartition(5), "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT id, v, COUNT(*) OVER (ORDER BY v RANGE UNBOUNDED PRECEDING) "
+            "AS n_le FROM df"
+        )
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert (got["n_le"].to_numpy() == want["n_le"].to_numpy()).all()
+
+
+def test_distinct_upper_bound_probe(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import distinct_upper_bound
+
+    df = pd.DataFrame({"v": [1, 1, 2, 2, 3, None, None, 3]})
+    b = distinct_upper_bound(rd.from_pandas(df).repartition(2), "v")
+    # >= global distinct (3), <= rows; nulls never counted
+    assert 3 <= b <= 6
+
+
+def test_user_growth_null_ts_sentinel(ray_session):
+    """Users whose timestamps are ALL NULL land in the '(null)' cohort on
+    both engines (previously the engine silently dropped them)."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.windows import user_growth
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3, 3, 4],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 10:00:00",
+                    "2024-01-02 10:00:00",
+                    "2024-01-02 09:00:00",
+                    None,
+                    None,
+                    "2024-01-01 23:00:00",
+                ]
+            ),
+        }
+    )
+    got = (
+        user_growth(rd.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("date_utc")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM df GROUP BY user_id), "
+        "c AS (SELECT COALESCE(strftime(first_ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+        "COUNT(*) AS n_new FROM f GROUP BY 1) "
+        "SELECT date_utc, CAST(n_new AS BIGINT) AS n_new, "
+        "CAST(SUM(n_new) OVER (ORDER BY date_utc ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+        "AS n_cum FROM c ORDER BY date_utc"
+    ).df()
+    assert got["date_utc"].tolist() == want["date_utc"].tolist()
+    assert got["n_new"].tolist() == want["n_new"].tolist()
+    assert got["n_cum"].tolist() == want["n_cum"].tolist()
+    assert "(null)" in got["date_utc"].tolist()
+
+
+def test_pivot_counts_empty_categories_raises(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.reshape import pivot_counts
+
+    ds = rd.from_pandas(pd.DataFrame({"d": ["a"], "t": ["x"]}))
+    with pytest.raises(ValueError, match="category"):
+        pivot_counts(ds, row_col="d", col_col="t", categories=[])
