@@ -116,20 +116,44 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     _headline(rd.read_parquet(files[: len(files) // repeat]), spec)
 
     queries: dict[str, float] = {}
+    query_runs: dict[str, list[float]] = {}
 
     # min-of-N per query (round-3 item 6): the shared host swings wall times
     # 2-3x with co-tenant noise; the min over N back-to-back runs is the
     # repeatable number (the --scaling path has used this discipline since
-    # round 1 — applied to every standard-run query from round 3)
-    min_of = max(1, int(os.environ.get("GRAFT_BENCH_MIN_OF", "2")))
+    # round 1 — applied to every standard-run query from round 3). Round-5
+    # noise control (VERDICT r4 item 2): min_of raised to 3, a FIXED no-op
+    # control workload (driver-local numpy matmul, constant FLOPs) runs
+    # interleaved before every timed attempt, and its swing + every per-query
+    # attempt list ship in the JSON — so a slow record is attributable to
+    # host noise (control swings with it) vs a code regression (control flat).
+    min_of = max(1, int(os.environ.get("GRAFT_BENCH_MIN_OF", "3")))
 
-    def _timed(fn, repeats: int = 0) -> float:
+    import numpy as _np
+
+    _ctrl_a = _np.random.default_rng(0).standard_normal((384, 384))
+    control_runs: list[float] = []
+
+    def _control() -> None:
+        a = _ctrl_a.copy()
+        t0 = time.time()
+        for _ in range(40):
+            a = a @ _ctrl_a
+            a /= _np.abs(a).max()
+        control_runs.append(round(time.time() - t0, 4))
+
+    def _timed(fn, repeats: int = 0, label: str | None = None) -> float:
         best = None
+        runs: list[float] = []
         for _ in range(repeats or min_of):
+            _control()
             t0 = time.time()
             fn()
             dt = time.time() - t0
+            runs.append(round(dt, 3))
             best = dt if best is None or dt < best else best
+        if label is not None:
+            query_runs[label] = runs
         return best
 
     counts_box: dict = {}
@@ -137,9 +161,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     def _run_headline():
         counts_box["counts"] = _headline(read(), spec)
 
-    headline = _timed(_run_headline, 3 if os.environ.get("GRAFT_BENCH_ONLY") else 0)
+    headline = _timed(_run_headline, 3 if os.environ.get("GRAFT_BENCH_ONLY") else 0, label="validate_scalar")
     counts = counts_box["counts"]
     queries["validate_scalar"] = round(headline, 3)
+
+    def _control_summary() -> dict:
+        lo, hi = min(control_runs), max(control_runs)
+        return {
+            "runs": control_runs,
+            "min": lo,
+            "max": hi,
+            # swing > ~1.5 means the host was contended during this session:
+            # read the per-query minima, not the means, and expect BASELINE.md
+            # quiet-window envelopes to be faster than this record
+            "swing": round(hi / lo, 3) if lo > 0 else None,
+        }
 
     if os.environ.get("GRAFT_BENCH_ONLY"):
         # scaling mode: measure only the headline (compute-bound, larger
@@ -156,14 +192,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "n_turns": n_turns,
             "turns_per_sec": round(n_turns / headline, 1),
             "status_counts": counts,
+            "query_runs": query_runs,
+            "control": _control_summary(),
         }
 
     queries["conversation_checks"] = round(
-        _timed(lambda: conversation_violations(read(), spec).count()), 3
+        _timed(lambda: conversation_violations(read(), spec).count(), label="conversation_checks"), 3
     )
 
     queries["conversation_checks_salted"] = round(
-        _timed(lambda: conversation_violations_salted(read(), spec, chunk=1000).count()), 3
+        _timed(
+            lambda: conversation_violations_salted(read(), spec, chunk=1000).count(),
+            label="conversation_checks_salted",
+        ), 3
     )
 
     queries["sketch_profile"] = round(
@@ -175,7 +216,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                     "turn_idx": ("stats", "tdigest"),
                     "role": ("cathist",),
                 },
-            )
+            ),
+            label="sketch_profile",
         ),
         3,
     )
@@ -186,12 +228,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     docs = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs):
         queries["dedup_minhash"] = round(
-            _timed(lambda: minhash_lsh_dedup(rd.read_parquet(docs), threshold=0.8)), 3
+            _timed(lambda: minhash_lsh_dedup(rd.read_parquet(docs), threshold=0.8), label="dedup_minhash"), 3
         )
     emb = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.exists(emb):
         queries["ann_topk"] = round(
-            _timed(lambda: ann_topk(rd.read_parquet(emb), [0, 1, 2, 3, 4], k=10)), 3
+            _timed(lambda: ann_topk(rd.read_parquet(emb), [0, 1, 2, 3, 4], k=10), label="ann_topk"), 3
         )
 
     from events_validator_ray.pipelines.report import failures_by_day
@@ -206,7 +248,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         )
         failures_by_day(log, dim="field").count()
 
-    queries["report_failures_by_day"] = round(_timed(_report), 3)
+    queries["report_failures_by_day"] = round(_timed(_report, label="report_failures_by_day"), 3)
 
     # nested-document validation (list<struct> items + struct meta) over the
     # deterministic nested corpus
@@ -224,7 +266,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             zero_copy_batch=True,
         ).count()
 
-    queries["validate_nested"] = round(_timed(_nested), 3)
+    queries["validate_nested"] = round(_timed(_nested, label="validate_nested"), 3)
 
     result = {
         "metric": "validated turns/sec (scalar+ref validation over transcript corpus)",
@@ -236,6 +278,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
         "status_counts": counts,
+        "query_runs": query_runs,
+        "control": _control_summary(),
     }
     ray.shutdown()
     return result

@@ -272,6 +272,49 @@ def valid_rows_condition(spec: Spec, col_kinds: dict[str, str], include_refs: bo
     return "NOT (" + " OR ".join(conds) + ")"
 
 
+def valid_fields_sql(
+    spec: Spec,
+    table: str,
+    col_kinds: dict[str, str],
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> str:
+    """SQL twin of ValidateBatch(log_valid_fields=True)'s status='valid'
+    per-field rows (logValidField, loggingHelpers.js:33-46; M9): one row per
+    (event, field) whose TYPE check passed — optional fields skip null /
+    trim-empty values; `value` = JSON.stringify(rule.type)."""
+    import json as _json
+
+    eid = _eid(key_cols)
+    parts: list[str] = []
+    for rule in spec.fields.values():
+        kind = col_kinds.get(rule.name)
+        if rule.type is None or kind is None:
+            continue
+        if rule.type in ("array", "object") and rule.nested:
+            continue  # nested recursion logs inner fields, not the parent
+        type_conds = [
+            cond
+            for cond, _f, etype, _e, _a in _scalar_conditions(rule, kind)
+            if etype == "type"
+        ]
+        fail = " OR ".join(f"({c})" for c in type_conds) if type_conds else "FALSE"
+        c = rule.name
+        if rule.optional:
+            if kind == "string":
+                skip = f"({c} IS NULL OR {_trim(c)} = '')"
+            else:
+                skip = f"({c} IS NULL)"
+            where = f"NOT ({fail}) AND NOT {skip}"
+        else:
+            where = f"NOT ({fail})"
+        parts.append(
+            f"SELECT {eid} AS event_id, {_lit(c)} AS field, "
+            f"{_lit(_json.dumps(rule.type))} AS value, 'valid' AS status, "
+            f"{_lit(spec.event_name)} AS event_name FROM {table} WHERE {where}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def nested_array_violations_sql(
     rule: FieldRule,
     table: str,

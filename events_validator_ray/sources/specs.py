@@ -123,6 +123,162 @@ def find_impacted_specs(repo: dict[str, Any], param_name: str) -> list[str]:
     return sorted(meta.get("usedInSchemas", []))
 
 
+def read_spec_doc(spec_dir: str, event_name: str) -> dict[str, Any]:
+    """Raw schema document (export-format dict) for one event — the
+    readSchemaToJson analog (gcp.py). Returns {} when absent, matching the
+    reference's swallow-and-return-empty behavior (updater.py:100-107)."""
+    path = os.path.join(spec_dir, f"{event_name}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_spec_doc(doc: dict[str, Any], spec_dir: str, event_name: str) -> str:
+    os.makedirs(spec_dir, exist_ok=True)
+    path = os.path.join(spec_dir, f"{event_name}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=2, sort_keys=False)
+    os.replace(tmp, path)
+    return path
+
+
+#: document keys the lifecycle ops never treat as parameters (updater.py:161,232)
+_DOC_META_KEYS = ("event_name", "version")
+
+
+def rebuild_dry_run(
+    spec_dir: str, event_name: str, param_name: str, new_param: dict[str, Any]
+) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Dry-run rebuild (rebuild_schema_dry_run, updater.py:95-118): load the
+    existing schema document, swap ONE param's rule for the canonicalized new
+    repo definition, and return (original_doc, new_doc) WITHOUT writing.
+    Missing/empty schema -> ({}, {}), matching the reference. The param is
+    only replaced if already present in the document (updater.py:114-116)."""
+    import copy
+
+    original = read_spec_doc(spec_dir, event_name)
+    if not original:
+        return {}, {}
+    new_doc = copy.deepcopy(original)
+    if param_name in new_doc:
+        new_doc[param_name] = canonicalize_param(new_param)
+    return original, new_doc
+
+
+def _norm_health_value(v: Any) -> Any:
+    return None if v in ("Any", "", None) else v
+
+
+def check_spec_health(
+    schema_doc: dict[str, Any], repo: dict[str, Any]
+) -> dict[str, list[str]]:
+    """Schema×repo health report (check_schema_health, updater.py:151-217):
+    per param present in BOTH the document and the repo —
+    - critical: type mismatch vs the canonicalized repo definition;
+    - minor: description or default-value drift (values normalized through
+      the Any/empty/None rule; numbers compared as floats), or nested
+      key-set / nested type / nested description drift on arrays.
+    Params absent from the repo and the event_name/version meta keys are
+    skipped, like the reference."""
+    health: dict[str, list[str]] = {"critical": [], "minor": []}
+    for param_name, schema_param in schema_doc.items():
+        if param_name in _DOC_META_KEYS or param_name not in repo:
+            continue
+        meta = repo[param_name]
+        expected = canonicalize_param(meta.get("definition", meta))
+        if schema_param.get("type") != expected.get("type"):
+            health["critical"].append(param_name)
+            continue
+        mismatch = schema_param.get("description", "") != expected.get(
+            "description", ""
+        )
+        s_val = _norm_health_value(schema_param.get("value"))
+        e_val = _norm_health_value(expected.get("value"))
+        if schema_param.get("type") == "number":
+            try:
+                s_val = float(s_val) if s_val is not None and str(s_val).strip() != "" else None
+                e_val = float(e_val) if e_val is not None and str(e_val).strip() != "" else None
+            except (TypeError, ValueError):
+                pass
+        if s_val != e_val:
+            mismatch = True
+        if expected.get("type") == "array" and "nestedSchema" in expected:
+            cur_n = schema_param.get("nestedSchema", {})
+            exp_n = expected["nestedSchema"]
+            if len(cur_n) != len(exp_n):
+                mismatch = True
+            else:
+                for nk, ev in exp_n.items():
+                    cv = cur_n.get(nk)
+                    if (
+                        cv is None
+                        or cv.get("type") != ev.get("type")
+                        or cv.get("description", "") != ev.get("description", "")
+                    ):
+                        mismatch = True
+                        break
+        if mismatch:
+            health["minor"].append(param_name)
+    return health
+
+
+def smart_update(
+    spec_dir: str, event_name: str, repo: dict[str, Any]
+) -> tuple[bool, list[str]]:
+    """Full smart update (update_schema_full, updater.py:219-261): rebuild
+    every repo-known param of the schema document from the repo definition,
+    PRESERVING the document's custom `value` when the types match (top-level
+    and per nested key — the value-preservation rule, updater.py:239-249),
+    then write the document back atomically. Returns (updated, errors)."""
+    import copy
+
+    current = read_spec_doc(spec_dir, event_name)
+    if not current:
+        return False, ["Schema not found"]
+    new_doc = copy.deepcopy(current)
+    updated = False
+    for param_name in list(new_doc.keys()):
+        if param_name in _DOC_META_KEYS or param_name not in repo:
+            continue
+        meta = repo[param_name]
+        new_props = canonicalize_param(meta.get("definition", meta))
+        if new_doc[param_name].get("type") == new_props.get("type"):
+            if "value" in new_doc[param_name]:
+                new_props["value"] = new_doc[param_name]["value"]
+            if new_props.get("type") == "array" and "nestedSchema" in new_props:
+                cur_nested = new_doc[param_name].get("nestedSchema", {})
+                for nk, nv in new_props["nestedSchema"].items():
+                    cn = cur_nested.get(nk)
+                    if cn is not None and cn.get("type") == nv.get("type"):
+                        if "value" in cn:
+                            nv["value"] = cn["value"]
+        new_doc[param_name] = new_props
+        updated = True
+    if updated:
+        _write_spec_doc(new_doc, spec_dir, event_name)
+        return True, []
+    return False, ["No updates needed"]
+
+
+def apply_updates(
+    schema_map: dict[str, dict[str, Any]], spec_dir: str
+) -> tuple[int, list[str]]:
+    """Batch apply (apply_updates, updater.py:120-134): write each
+    event_name -> new document; per-document failures are collected, not
+    raised. Returns (success_count, errors)."""
+    success = 0
+    errors: list[str] = []
+    for event_name, doc in schema_map.items():
+        try:
+            _write_spec_doc(doc, spec_dir, event_name)
+            success += 1
+        except OSError as e:  # pragma: no cover - filesystem failure path
+            errors.append(f"{event_name}: {e}")
+    return success, errors
+
+
 def spec_from_repo(repo: dict[str, Any], event_name: str) -> Spec:
     """Rebuild a spec for an event from the param repository (the dry-run
     rebuild analog, updater.py:95-118)."""

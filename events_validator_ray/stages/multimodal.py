@@ -230,17 +230,19 @@ class DecodeImage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        widths, heights, feats = [], [], []
+        widths, heights, feats, sums = [], [], [], []
         for p in payloads:
             p = p or b""
             if is_png(p):
                 w, h, px = png_decode(p)
                 f = np.resize(_pool8(png_gray(px)).reshape(-1) / 255.0, self.feature_dim)
+                s = int(px.sum(dtype=np.int64))
             elif self._pil is not None:
                 import io
 
                 with self._pil.open(io.BytesIO(p)) as img:
                     w, h = img.size
+                    s = int(np.asarray(img.convert("RGB"), dtype=np.int64).sum())
                     arr = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float32)
                     f = arr.reshape(-1) / 255.0
                     f = np.resize(f, self.feature_dim)
@@ -248,6 +250,7 @@ class DecodeImage:
                 d = hashlib.sha256(p).digest()
                 w, h = 64 + d[0] % 192, 64 + d[1] % 192
                 f = _digest_floats(p, self.feature_dim)
+                s = -1  # stub: no real pixels to sum
             else:
                 raise ValueError(
                     f"unsupported image payload (magic {p[:8]!r}): not PNG, PIL "
@@ -256,11 +259,16 @@ class DecodeImage:
             widths.append(w)
             heights.append(h)
             feats.append(f)
+            sums.append(s)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
+                # decoded-pixel checksum: lets a DuckDB oracle value-check the
+                # decode against generation-time truth (pix_sum of the raw
+                # RGB array; -1 only on the allow_fake stub path)
+                "pix_sum": pa.array(sums, pa.int64()),
                 "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
             }
         )
@@ -451,6 +459,46 @@ def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
     audio payloads REAL 16-bit PCM WAVs (built with the stdlib encoders
     above), so the decode stages exercise their real codec paths end to end.
     Video stays an opaque byte stream (no stdlib video container format)."""
+    return _synthetic_media_real_build(n, seed)[0]
+
+
+def synthetic_media_real_truth(n: int = 64, seed: int = 5) -> pa.Table:
+    """Generation-time ground truth for the IMAGE rows of
+    ``synthetic_media_real(n, seed)``: (media_id, width, height, pix_sum)
+    where pix_sum is the int64 sum of all RGB pixel values BEFORE encoding.
+    A decode that round-trips the encoder must reproduce these exactly —
+    the value-checked oracle for the decode stage."""
+    return _synthetic_media_real_build(n, seed)[1]
+
+
+MEDIA_CACHE_ROOT = "/tmp/graft_media_v1"
+
+
+def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str]:
+    """Write (once, cached) the real-codec media corpus and its ground-truth
+    table as parquet under MEDIA_CACHE_ROOT; returns (media_path,
+    expected_path). Pure function of (n, seed) — bump the root suffix
+    whenever generation changes (CLAUDE.md corpus invariant). The engine
+    reads the media parquet; the DuckDB oracle reads the expected parquet,
+    so both see identical bytes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    media_p = os.path.join(MEDIA_CACHE_ROOT, f"media_{n}_{seed}.parquet")
+    exp_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_{n}_{seed}.parquet")
+    if os.path.exists(media_p) and os.path.exists(exp_p):
+        return media_p, exp_p
+    os.makedirs(MEDIA_CACHE_ROOT, exist_ok=True)
+    media, expected = _synthetic_media_real_build(n, seed)
+    for path, tbl in ((media_p, media), (exp_p, expected)):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return media_p, exp_p
+
+
+def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
     import io
     import wave
 
@@ -459,6 +507,7 @@ def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
     kinds = [("image", "audio", "video")[i % 3] for i in range(n)]
     payloads: list[bytes] = []
     widths, heights, durations = [], [], []
+    truth_rows: list[tuple[str, int, int, int]] = []
     for i, kind in enumerate(kinds):
         if kind == "image":
             w = int(rng.integers(8, 48))
@@ -468,6 +517,7 @@ def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
             widths.append(w)
             heights.append(h)
             durations.append(-1)
+            truth_rows.append((ids[i], w, h, int(px.sum(dtype=np.int64))))
         elif kind == "audio":
             rate = 16_000
             n_samp = int(rng.integers(256, 2048))
@@ -490,7 +540,7 @@ def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
             heights.append(-1)
             durations.append(-1)
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "application/octet-stream"}
-    return pa.table(
+    media = pa.table(
         {
             "media_id": pa.array(ids, pa.string()),
             "kind": pa.array(kinds, pa.string()),
@@ -502,6 +552,15 @@ def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+    expected = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in truth_rows], pa.string()),
+            "width": pa.array([r[1] for r in truth_rows], pa.int32()),
+            "height": pa.array([r[2] for r in truth_rows], pa.int32()),
+            "pix_sum": pa.array([r[3] for r in truth_rows], pa.int64()),
+        }
+    )
+    return media, expected
 
 
 def decode_images(
