@@ -142,10 +142,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             a /= _np.abs(a).max()
         control_runs.append(round(time.time() - t0, 4))
 
+    import gc as _gc
+
     def _timed(fn, repeats: int = 0, label: str | None = None) -> float:
         best = None
         runs: list[float] = []
         for _ in range(repeats or min_of):
+            # drop the previous attempt's Dataset refs so its object-store
+            # blocks free before the next attempt (otherwise a big query's
+            # garbage backpressures the following one)
+            _gc.collect()
             _control()
             t0 = time.time()
             fn()
@@ -313,11 +319,15 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # two interleaved sessions per leg (each internally min-of-3); min across
-    # sessions — spreads noisy-neighbor windows across both legs fairly
-    runs_lo, runs_hi = [one(lo)], [one(hi)]
-    runs_lo.append(one(lo))
-    runs_hi.append(one(hi))
+    # interleaved sessions per leg (each internally min-of-3); min across
+    # sessions — spreads noisy-neighbor windows across both legs fairly.
+    # GRAFT_SCALING_SESSIONS raises the session count when the host is
+    # contended (the min over more sessions approaches the quiet-window value)
+    sessions = max(1, int(os.environ.get("GRAFT_SCALING_SESSIONS", "2")))
+    runs_lo, runs_hi = [], []
+    for _ in range(sessions):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
