@@ -179,6 +179,33 @@ def test_user_growth_null_ts_sentinel(ray_session):
     assert "(null)" in got["date_utc"].tolist()
 
 
+def test_registry_head_window_order():
+    """The grading driver oracle-checks the FIRST 50 build_queries() entries
+    (CLAUDE.md invariant). Guard: every head-window entry has an oracle twin
+    (multimodal_decode included since round 5), and the round-5 rotation
+    actually put the previously-unchecked surface in the head."""
+    import __ray_entry__ as entry
+
+    names = list(entry.queries())
+    oracles = entry.oracle_sql()
+    head = names[:50]
+    missing = [n for n in head if n not in oracles]
+    assert missing == [], f"head-window entries without oracle: {missing}"
+    for must in [
+        "jaccard_ngram_pairs",
+        "split_leakage",
+        "packing_bins",
+        "cluster_assign",
+        "pii_scan",
+        "unique_event_names",
+        "valid_fields",
+        "multimodal_decode",
+        "worst_offenders",
+        "global_rank",
+    ]:
+        assert must in head, f"{must} fell out of the driver's checked window"
+
+
 def test_pivot_counts_empty_categories_raises(ray_session):
     import ray.data as rd
 
