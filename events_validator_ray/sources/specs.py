@@ -262,6 +262,27 @@ def smart_update(
     return False, ["No updates needed"]
 
 
+def sync_spec_dir(
+    spec_dir: str, repo: dict[str, Any]
+) -> dict[str, dict[str, Any]]:
+    """Explorer bulk-sync analog (explorer.py:41-103): health-check every
+    schema document in the directory against the repo, then smart-update the
+    ones with findings (value preservation on type match). Returns
+    {event_name: {"health": {...}, "updated": bool}} — the per-schema badge
+    report. Specs are small and local; a driver-side loop is the right
+    shape (the reference's 10-thread GCS pool exists only for network
+    latency, gcp.py:114-122)."""
+    report: dict[str, dict[str, Any]] = {}
+    for name in list_spec_names(spec_dir):
+        doc = read_spec_doc(spec_dir, name)
+        health = check_spec_health(doc, repo)
+        updated = False
+        if health["critical"] or health["minor"]:
+            updated, _ = smart_update(spec_dir, name, repo)
+        report[name] = {"health": health, "updated": updated}
+    return report
+
+
 def apply_updates(
     schema_map: dict[str, dict[str, Any]], spec_dir: str
 ) -> tuple[int, list[str]]:

@@ -145,6 +145,25 @@ def test_smart_update_missing_schema(tmp_path):
     assert not ok and errs == ["Schema not found"]
 
 
+def test_sync_spec_dir_bulk(tmp_path):
+    from events_validator_ray.sources.specs import sync_spec_dir
+
+    d = str(tmp_path)
+    repo = {"p": {"type": "string", "description": "fresh", "value": "dflt"}}
+    _write(d, "clean", {"p": {"type": "string", "description": "fresh", "value": "dflt"}})
+    _write(d, "stale", {"p": {"type": "string", "description": "old", "value": "KEEP"}})
+    rep = sync_spec_dir(d, repo)
+    assert rep["clean"]["health"] == {"critical": [], "minor": []}
+    assert not rep["clean"]["updated"]
+    assert rep["stale"]["health"]["minor"] == ["p"]
+    assert rep["stale"]["updated"]
+    doc = read_spec_doc(d, "stale")
+    assert doc["p"]["description"] == "fresh"  # synced from repo
+    assert doc["p"]["value"] == "KEEP"  # preserved: type matched
+    # clean doc untouched on disk
+    assert read_spec_doc(d, "clean")["p"]["value"] == "dflt"
+
+
 def test_apply_updates_batch(tmp_path):
     d = str(tmp_path)
     n, errs = apply_updates(
