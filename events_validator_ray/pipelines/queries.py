@@ -2227,10 +2227,27 @@ def q_multimodal_decode(sf_dir: str):
 
     from ..stages.multimodal import decode_images, ensure_media_real
 
-    media_path, _ = ensure_media_real(96)
+    media_path, _, _ = ensure_media_real(96)
     media = rd.read_parquet(media_path)
     return decode_images(media, feature_dim=16, concurrency=2, allow_fake=False).select_columns(
         ["media_id", "width", "height", "pix_sum"]
+    )
+
+
+def q_multimodal_audio(sf_dir: str):
+    """Audio feature-extract stage over REAL 16-bit PCM WAV payloads with
+    allow_fake=False — value-checked like the image decode: the oracle reads
+    generation-time truth (rate, sample count, raw int16 sample sum; the
+    engine's samp_sum is the same quantity recovered from the normalized
+    float samples, exact because /32768 is a power-of-two scale)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ensure_media_real, extract_audio
+
+    media_path, _, _ = ensure_media_real(96)
+    media = rd.read_parquet(media_path)
+    return extract_audio(media, feature_dim=8, concurrency=2, allow_fake=False).select_columns(
+        ["media_id", "sample_rate", "n_samples", "samp_sum"]
     )
 
 
@@ -2733,15 +2750,16 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "packing_bins": q_packing_bins,
         "worst_offenders": q_worst_offenders,
         "multimodal_decode": q_multimodal_decode,
-        # --- new this round (A4, M9) ---
+        # --- new this round (A4, M9, audio decode twin) ---
         "unique_event_names": q_unique_event_names,
         "valid_fields": q_valid_fields,
+        "multimodal_audio": q_multimodal_audio,
         # --- canaries: green in r1-r4, kept inside the checked window ---
         "validate_scalar": q_validate_scalar,
         "conversation_checks": q_conversation_checks,
         "error_rate": q_error_rate,
-        "dedup_minhash": q_dedup_minhash,
         # --- verified rounds 1-4 (green CORRECTNESS rows on record) ---
+        "dedup_minhash": q_dedup_minhash,
         "valid_turns": q_valid_turns,
         "conversation_checks_salted": q_conversation_checks_salted,
         "alternation_checks": q_alternation_checks,
@@ -2805,10 +2823,14 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     # so the file exists before DuckDB binds, like the simhash sidecars)
     from ..stages.multimodal import ensure_media_real as _emr
 
-    _, _media_expected = _emr(96)
+    _, _media_expected, _audio_expected = _emr(96)
     out["multimodal_decode"] = (
         "SELECT media_id, width, height, pix_sum "
         f"FROM read_parquet('{_media_expected}')"
+    )
+    out["multimodal_audio"] = (
+        "SELECT media_id, sample_rate, n_samples, samp_sum "
+        f"FROM read_parquet('{_audio_expected}')"
     )
     out["asof_join"] = asof_oracle()
     out["range_join"] = range_join_oracle()

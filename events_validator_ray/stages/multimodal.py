@@ -355,6 +355,12 @@ class SampleFrames:
         )
 
 
+def _samp_sum(data: np.ndarray) -> int:
+    """Checksum of decoded audio in 1/32768 units: exact raw-sample sum for
+    16-bit PCM, a deterministic scaled sum for other widths."""
+    return int(np.rint(np.asarray(data, dtype=np.float64) * 32768.0).astype(np.int64).sum())
+
+
 class ExtractAudio:
     """Actor-pool stage for audio: payload -> (media_id, sample_rate,
     n_samples, features[dim]) — loudness-style summary vector. WAV payloads
@@ -376,7 +382,7 @@ class ExtractAudio:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        rates, counts, feats = [], [], []
+        rates, counts, feats, sums = [], [], [], []
         for p in payloads:
             p = p or b""
             if is_wav(p):
@@ -384,19 +390,21 @@ class ExtractAudio:
                 rates.append(int(rate))
                 counts.append(int(len(data)))
                 feats.append(np.resize(np.abs(data), self.feature_dim))
+                sums.append(_samp_sum(data))
             elif self._codec is not None:  # pragma: no cover - lib absent here
                 import io
 
                 data, rate = self._codec.read(io.BytesIO(p))
+                data = np.asarray(data, dtype=np.float32)
                 rates.append(int(rate))
                 counts.append(int(len(data)))
-                feats.append(
-                    np.resize(np.abs(np.asarray(data, dtype=np.float32)), self.feature_dim)
-                )
+                feats.append(np.resize(np.abs(data), self.feature_dim))
+                sums.append(_samp_sum(data))
             elif self.allow_fake:
                 rates.append(16_000)
                 counts.append(len(p) * 8)
                 feats.append(_digest_floats(b"audio" + p, self.feature_dim))
+                sums.append(-1)  # stub: no real samples to sum
             else:
                 raise ValueError(
                     f"unsupported audio payload (magic {p[:4]!r}): not WAV, "
@@ -407,6 +415,11 @@ class ExtractAudio:
                 "media_id": batch["media_id"],
                 "sample_rate": pa.array(rates, pa.int32()),
                 "n_samples": pa.array(counts, pa.int64()),
+                # decoded-sample checksum in 1/32768 units (exact for 16-bit
+                # PCM: x/32768 is a power-of-two scale, so rint(x*32768)
+                # recovers the raw int sample losslessly) — lets a DuckDB
+                # oracle value-check the decode against generation truth
+                "samp_sum": pa.array(sums, pa.int64()),
                 "features": pa.array(
                     [f.tolist() for f in feats], pa.list_(pa.float32())
                 ),
@@ -467,38 +480,42 @@ def synthetic_media_real_truth(n: int = 64, seed: int = 5) -> pa.Table:
     ``synthetic_media_real(n, seed)``: (media_id, width, height, pix_sum)
     where pix_sum is the int64 sum of all RGB pixel values BEFORE encoding.
     A decode that round-trips the encoder must reproduce these exactly —
-    the value-checked oracle for the decode stage."""
+    the value-checked oracle for the decode stage. The AUDIO rows' analog
+    (sample_rate, n_samples, raw int16 sample sum) is the third table of
+    ``_synthetic_media_real_build`` / ``ensure_media_real``."""
     return _synthetic_media_real_build(n, seed)[1]
 
 
 MEDIA_CACHE_ROOT = "/tmp/graft_media_v1"
 
 
-def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str]:
+def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str]:
     """Write (once, cached) the real-codec media corpus and its ground-truth
     table as parquet under MEDIA_CACHE_ROOT; returns (media_path,
     expected_path). Pure function of (n, seed) — bump the root suffix
-    whenever generation changes (CLAUDE.md corpus invariant). The engine
-    reads the media parquet; the DuckDB oracle reads the expected parquet,
-    so both see identical bytes."""
+    whenever generation changes (CLAUDE.md corpus invariant); returns
+    (media, expected_image, expected_audio) paths. The engine reads the
+    media parquet; the DuckDB oracles read the expected parquets, so both
+    engines see identical bytes."""
     import os
 
     import pyarrow.parquet as pq
 
     media_p = os.path.join(MEDIA_CACHE_ROOT, f"media_{n}_{seed}.parquet")
     exp_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_{n}_{seed}.parquet")
-    if os.path.exists(media_p) and os.path.exists(exp_p):
-        return media_p, exp_p
+    exp_a_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_audio_{n}_{seed}.parquet")
+    if os.path.exists(media_p) and os.path.exists(exp_p) and os.path.exists(exp_a_p):
+        return media_p, exp_p, exp_a_p
     os.makedirs(MEDIA_CACHE_ROOT, exist_ok=True)
-    media, expected = _synthetic_media_real_build(n, seed)
-    for path, tbl in ((media_p, media), (exp_p, expected)):
+    media, expected, expected_audio = _synthetic_media_real_build(n, seed)
+    for path, tbl in ((media_p, media), (exp_p, expected), (exp_a_p, expected_audio)):
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
-    return media_p, exp_p
+    return media_p, exp_p, exp_a_p
 
 
-def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
+def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, pa.Table]:
     import io
     import wave
 
@@ -508,6 +525,7 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
     payloads: list[bytes] = []
     widths, heights, durations = [], [], []
     truth_rows: list[tuple[str, int, int, int]] = []
+    audio_truth: list[tuple[str, int, int, int]] = []
     for i, kind in enumerate(kinds):
         if kind == "image":
             w = int(rng.integers(8, 48))
@@ -522,6 +540,9 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
             rate = 16_000
             n_samp = int(rng.integers(256, 2048))
             samples = rng.integers(-32768, 32768, size=n_samp, dtype=np.int16)
+            audio_truth.append(
+                (ids[i], rate, n_samp, int(samples.astype(np.int64).sum()))
+            )
             buf = io.BytesIO()
             with wave.open(buf, "wb") as wf:
                 wf.setnchannels(1)
@@ -560,7 +581,16 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table]:
             "pix_sum": pa.array([r[3] for r in truth_rows], pa.int64()),
         }
     )
-    return media, expected
+    expected_audio = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in audio_truth], pa.string()),
+            "sample_rate": pa.array([r[1] for r in audio_truth], pa.int32()),
+            "n_samples": pa.array([r[2] for r in audio_truth], pa.int64()),
+            # raw int16 sample sum == the engine's 1/32768-unit checksum
+            "samp_sum": pa.array([r[3] for r in audio_truth], pa.int64()),
+        }
+    )
+    return media, expected, expected_audio
 
 
 def decode_images(
