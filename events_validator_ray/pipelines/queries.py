@@ -2227,7 +2227,7 @@ def q_multimodal_decode(sf_dir: str):
 
     from ..stages.multimodal import decode_images, ensure_media_real
 
-    media_path, _, _ = ensure_media_real(96)
+    media_path = ensure_media_real(96)[0]
     media = rd.read_parquet(media_path)
     return decode_images(media, feature_dim=16, concurrency=2, allow_fake=False).select_columns(
         ["media_id", "width", "height", "pix_sum"]
@@ -2244,10 +2244,27 @@ def q_multimodal_audio(sf_dir: str):
 
     from ..stages.multimodal import ensure_media_real, extract_audio
 
-    media_path, _, _ = ensure_media_real(96)
+    media_path = ensure_media_real(96)[0]
     media = rd.read_parquet(media_path)
     return extract_audio(media, feature_dim=8, concurrency=2, allow_fake=False).select_columns(
         ["media_id", "sample_rate", "n_samples", "samp_sum"]
+    )
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling over REAL mono YUV4MPEG2 streams with
+    allow_fake=False — the stdlib y4m parser decodes every frame, the stage
+    samples n_frames evenly-spaced source frames ((j*(nf-1))//(k-1), the
+    same integer floor division the oracle computes), and each sampled
+    frame's luma pixel-sum is value-checked against generation truth."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ensure_media_real, sample_frames
+
+    media_path = ensure_media_real(96)[0]
+    media = rd.read_parquet(media_path)
+    return sample_frames(media, n_frames=4, concurrency=2, allow_fake=False).select_columns(
+        ["media_id", "frame_idx", "src_frame", "width", "height", "luma_sum"]
     )
 
 
@@ -2754,11 +2771,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "unique_event_names": q_unique_event_names,
         "valid_fields": q_valid_fields,
         "multimodal_audio": q_multimodal_audio,
+        "multimodal_frames": q_multimodal_frames,
         # --- canaries: green in r1-r4, kept inside the checked window ---
         "validate_scalar": q_validate_scalar,
         "conversation_checks": q_conversation_checks,
-        "error_rate": q_error_rate,
         # --- verified rounds 1-4 (green CORRECTNESS rows on record) ---
+        "error_rate": q_error_rate,
         "dedup_minhash": q_dedup_minhash,
         "valid_turns": q_valid_turns,
         "conversation_checks_salted": q_conversation_checks_salted,
@@ -2823,7 +2841,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     # so the file exists before DuckDB binds, like the simhash sidecars)
     from ..stages.multimodal import ensure_media_real as _emr
 
-    _, _media_expected, _audio_expected = _emr(96)
+    _, _media_expected, _audio_expected, _video_expected = _emr(96)
     out["multimodal_decode"] = (
         "SELECT media_id, width, height, pix_sum "
         f"FROM read_parquet('{_media_expected}')"
@@ -2831,6 +2849,19 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["multimodal_audio"] = (
         "SELECT media_id, sample_rate, n_samples, samp_sum "
         f"FROM read_parquet('{_audio_expected}')"
+    )
+    out["multimodal_frames"] = (
+        # same evenly-spaced sample rule as the engine: (j*(nf-1)) // (k-1),
+        # k=4 — DuckDB // is the identical integer floor division
+        f"WITH t AS (SELECT * FROM read_parquet('{_video_expected}')), "
+        "m AS (SELECT DISTINCT media_id, n_frames, width, height FROM t), "
+        "j AS (SELECT unnest(generate_series(0, 3)) AS frame_idx), "
+        "s AS (SELECT m.media_id, CAST(j.frame_idx AS INTEGER) AS frame_idx, "
+        "CAST((j.frame_idx * (m.n_frames - 1)) // 3 AS INTEGER) AS src_frame, "
+        "m.width, m.height FROM m CROSS JOIN j) "
+        "SELECT s.media_id, s.frame_idx, s.src_frame, s.width, s.height, "
+        "t.luma_sum FROM s JOIN t ON t.media_id = s.media_id "
+        "AND t.src_frame = s.src_frame"
     )
     out["asof_join"] = asof_oracle()
     out["range_join"] = range_join_oracle()

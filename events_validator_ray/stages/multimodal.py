@@ -180,6 +180,74 @@ def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
         arr = arr.reshape(-1, nch).mean(axis=1)
     return rate, arr
 
+#: YUV4MPEG2 stream signature (the y4m plain container: one ASCII header
+#: line, then `FRAME\n` + raw planar YUV per frame — public format, fully
+#: parseable with the stdlib)
+Y4M_SIG = b"YUV4MPEG2 "
+
+
+def is_y4m(payload: bytes) -> bool:
+    return payload[: len(Y4M_SIG)] == Y4M_SIG
+
+
+def y4m_decode(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Pure-stdlib Y4M decode: returns (width, height, [luma planes (h, w)
+    uint8, one per frame]). Supports Cmono / C420* / C444 (chroma planes are
+    skipped — frame sampling and luma features need Y only). Raises
+    ValueError on anything else — never guesses."""
+    if not is_y4m(payload):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = None
+    cs = "420jpeg"  # y4m default when C is absent
+    for tok in payload[len(Y4M_SIG) : nl].decode("ascii").split():
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "C":
+            cs = tok[1:]
+    if not w or not h:
+        raise ValueError("corrupt y4m: missing W/H in stream header")
+    if cs.startswith("mono"):
+        fsize = w * h
+    elif cs.startswith("420"):
+        fsize = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs.startswith("444"):
+        fsize = 3 * w * h
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{cs}")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("corrupt y4m: expected FRAME marker")
+        pos = payload.index(b"\n", pos) + 1
+        y = payload[pos : pos + w * h]
+        if len(y) != w * h:
+            raise ValueError("truncated y4m frame")
+        frames.append(np.frombuffer(y, np.uint8).reshape(h, w))
+        pos += fsize
+    return w, h, frames
+
+
+def y4m_encode_mono(frames: list[np.ndarray], fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Pure-stdlib Y4M encode of uint8 (h, w) luma frames (Cmono)."""
+    h, w = frames[0].shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 Cmono\n".encode()
+    return head + b"".join(
+        b"FRAME\n" + np.ascontiguousarray(f, np.uint8).tobytes() for f in frames
+    )
+
+
+def sampled_frame_indices(n_source_frames: int, k: int) -> list[int]:
+    """Evenly-spaced sample: src_j = (j * (nf - 1)) // (k - 1) — shared with
+    the DuckDB oracle (integer floor division on both engines)."""
+    if n_source_frames <= 1 or k == 1:
+        return [0] * k
+    return [(j * (n_source_frames - 1)) // (k - 1) for j in range(k)]
+
+
 #: schema contract for a multimodal corpus shard
 MEDIA_SCHEMA = pa.schema(
     [
@@ -327,32 +395,89 @@ class ResizeImage:
 
 class SampleFrames:
     """Actor-pool stage for video: payload -> `n_frames` evenly-spaced frame
-    payloads (stub: deterministic slices of the byte stream). Output is
-    exploded: one row per sampled frame."""
+    rows (exploded: one row per sampled frame). Y4M payloads (YUV4MPEG2 —
+    the plain public container) decode for REAL via the stdlib parser above:
+    src_frame is the evenly-spaced source index, `frame` is the sampled luma
+    plane re-encoded as a real PNG (so downstream DecodeImage composes), and
+    luma_sum is the int64 pixel-sum checksum the DuckDB oracle value-checks.
+    Other containers (mp4/webm need a codec library this container lacks)
+    use the deterministic stub only with ``allow_fake=True`` (sentinel
+    width/height/src_frame/luma_sum = -1); ``allow_fake=False`` raises
+    ValueError on any non-Y4M payload, so a stub can never pass for a
+    decode."""
 
     def __init__(self, n_frames: int = 4, allow_fake: bool = True):
         self.n_frames = n_frames
+        self.allow_fake = allow_fake
         self._codec = None  # no video lib in this container
-        if not allow_fake:
-            raise NotImplementedError("video decoding requires a codec library")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        out_ids, out_idx, out_frames = [], [], []
+        out: dict[str, list] = {
+            "media_id": [], "frame_idx": [], "src_frame": [],
+            "width": [], "height": [], "luma_sum": [], "frame": [],
+        }
         for mid, p in zip(ids, payloads):
             p = p or b""
-            for j in range(self.n_frames):
-                out_ids.append(mid)
-                out_idx.append(j)
-                out_frames.append(hashlib.sha256(p + j.to_bytes(2, "little")).digest())
+            if is_y4m(p):
+                w, h, frames = y4m_decode(p)
+                srcs = sampled_frame_indices(len(frames), self.n_frames)
+                for j, si in enumerate(srcs):
+                    luma = frames[si]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["src_frame"].append(si)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["luma_sum"].append(int(luma.sum(dtype=np.int64)))
+                    out["frame"].append(png_encode(luma))
+            elif self.allow_fake:
+                for j in range(self.n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(j)
+                    out["src_frame"].append(-1)
+                    out["width"].append(-1)
+                    out["height"].append(-1)
+                    out["luma_sum"].append(-1)
+                    out["frame"].append(
+                        hashlib.sha256(p + j.to_bytes(2, "little")).digest()
+                    )
+            else:
+                raise ValueError(
+                    f"unsupported video payload (magic {p[:10]!r}): not "
+                    "YUV4MPEG2, no codec library, and allow_fake=False"
+                )
         return pa.table(
             {
-                "media_id": pa.array(out_ids, pa.string()),
-                "frame_idx": pa.array(out_idx, pa.int32()),
-                "frame": pa.array(out_frames, pa.binary()),
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+                "src_frame": pa.array(out["src_frame"], pa.int32()),
+                "width": pa.array(out["width"], pa.int32()),
+                "height": pa.array(out["height"], pa.int32()),
+                "luma_sum": pa.array(out["luma_sum"], pa.int64()),
+                "frame": pa.array(out["frame"], pa.binary()),
             }
         )
+
+
+def sample_frames(
+    ds,
+    n_frames: int = 4,
+    concurrency: int = 2,
+    batch_size: int = 32,
+    allow_fake: bool = True,
+):
+    """Canonical wiring for the video frame-sample stage (small batches,
+    actor pool, binary-safe Arrow end to end)."""
+    return ds.filter(expr="kind == 'video'").map_batches(
+        SampleFrames,
+        fn_constructor_kwargs={"n_frames": n_frames, "allow_fake": allow_fake},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
 
 
 def _samp_sum(data: np.ndarray) -> int:
@@ -469,9 +594,9 @@ def synthetic_media(n: int = 64, seed: int = 5) -> pa.Table:
 
 def synthetic_media_real(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic media corpus whose image payloads are REAL PNGs and
-    audio payloads REAL 16-bit PCM WAVs (built with the stdlib encoders
-    above), so the decode stages exercise their real codec paths end to end.
-    Video stays an opaque byte stream (no stdlib video container format)."""
+    audio payloads REAL 16-bit PCM WAVs and video payloads REAL mono
+    YUV4MPEG2 streams (all built with the stdlib encoders above), so every
+    decode stage exercises its real codec path end to end."""
     return _synthetic_media_real_build(n, seed)[0]
 
 
@@ -486,10 +611,11 @@ def synthetic_media_real_truth(n: int = 64, seed: int = 5) -> pa.Table:
     return _synthetic_media_real_build(n, seed)[1]
 
 
-MEDIA_CACHE_ROOT = "/tmp/graft_media_v1"
+# v2: video payloads became real Y4M streams (bump on generation change)
+MEDIA_CACHE_ROOT = "/tmp/graft_media_v2"
 
 
-def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str]:
+def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str, str]:
     """Write (once, cached) the real-codec media corpus and its ground-truth
     table as parquet under MEDIA_CACHE_ROOT; returns (media_path,
     expected_path). Pure function of (n, seed) — bump the root suffix
@@ -504,18 +630,19 @@ def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str]:
     media_p = os.path.join(MEDIA_CACHE_ROOT, f"media_{n}_{seed}.parquet")
     exp_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_{n}_{seed}.parquet")
     exp_a_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_audio_{n}_{seed}.parquet")
-    if os.path.exists(media_p) and os.path.exists(exp_p) and os.path.exists(exp_a_p):
-        return media_p, exp_p, exp_a_p
+    exp_v_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_video_{n}_{seed}.parquet")
+    paths = (media_p, exp_p, exp_a_p, exp_v_p)
+    if all(os.path.exists(pth) for pth in paths):
+        return paths
     os.makedirs(MEDIA_CACHE_ROOT, exist_ok=True)
-    media, expected, expected_audio = _synthetic_media_real_build(n, seed)
-    for path, tbl in ((media_p, media), (exp_p, expected), (exp_a_p, expected_audio)):
+    for path, tbl in zip(paths, _synthetic_media_real_build(n, seed)):
         tmp = f"{path}.tmp.{os.getpid()}"
         pq.write_table(tbl, tmp)
         os.replace(tmp, path)
-    return media_p, exp_p, exp_a_p
+    return paths
 
 
-def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, pa.Table]:
+def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
     import io
     import wave
 
@@ -526,6 +653,7 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, 
     widths, heights, durations = [], [], []
     truth_rows: list[tuple[str, int, int, int]] = []
     audio_truth: list[tuple[str, int, int, int]] = []
+    video_truth: list[tuple[str, int, int, int, int, int]] = []
     for i, kind in enumerate(kinds):
         if kind == "image":
             w = int(rng.integers(8, 48))
@@ -554,13 +682,23 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, 
             heights.append(-1)
             durations.append(int(n_samp * 1000 / rate))
         else:
-            payloads.append(
-                rng.integers(0, 256, size=int(rng.integers(64, 512)), dtype=np.uint8).tobytes()
-            )
-            widths.append(-1)
-            heights.append(-1)
-            durations.append(-1)
-    mimes = {"image": "image/png", "audio": "audio/wav", "video": "application/octet-stream"}
+            # REAL video: a mono YUV4MPEG2 stream (public plain container,
+            # stdlib-parseable) — per-frame luma sums recorded as truth
+            w = int(rng.integers(8, 32))
+            h = int(rng.integers(8, 32))
+            nf = int(rng.integers(4, 16))
+            frames = [
+                rng.integers(0, 256, size=(h, w), dtype=np.uint8) for _ in range(nf)
+            ]
+            payloads.append(y4m_encode_mono(frames, fps=(25, 1)))
+            widths.append(w)
+            heights.append(h)
+            durations.append(int(nf * 1000 / 25))
+            for si, fr in enumerate(frames):
+                video_truth.append(
+                    (ids[i], si, w, h, nf, int(fr.sum(dtype=np.int64)))
+                )
+    mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/x-yuv4mpeg"}
     media = pa.table(
         {
             "media_id": pa.array(ids, pa.string()),
@@ -590,7 +728,17 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, 
             "samp_sum": pa.array([r[3] for r in audio_truth], pa.int64()),
         }
     )
-    return media, expected, expected_audio
+    expected_video = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in video_truth], pa.string()),
+            "src_frame": pa.array([r[1] for r in video_truth], pa.int32()),
+            "width": pa.array([r[2] for r in video_truth], pa.int32()),
+            "height": pa.array([r[3] for r in video_truth], pa.int32()),
+            "n_frames": pa.array([r[4] for r in video_truth], pa.int64()),
+            "luma_sum": pa.array([r[5] for r in video_truth], pa.int64()),
+        }
+    )
+    return media, expected, expected_audio, expected_video
 
 
 def decode_images(

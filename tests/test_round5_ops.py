@@ -179,6 +179,54 @@ def test_user_growth_null_ts_sentinel(ray_session):
     assert "(null)" in got["date_utc"].tolist()
 
 
+def test_y4m_roundtrip_and_frame_sampling():
+    """Pure-stdlib Y4M: encode mono frames -> decode recovers every luma
+    plane byte-exact; sampled_frame_indices matches the SQL floor-division
+    rule; SampleFrames with allow_fake=False refuses junk."""
+    from events_validator_ray.stages.multimodal import (
+        SampleFrames,
+        is_y4m,
+        sampled_frame_indices,
+        y4m_decode,
+        y4m_encode_mono,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, size=(6, 9), dtype=np.uint8) for _ in range(7)]
+    payload = y4m_encode_mono(frames)
+    assert is_y4m(payload)
+    w, h, got = y4m_decode(payload)
+    assert (w, h, len(got)) == (9, 6, 7)
+    for a, b in zip(frames, got):
+        assert (a == b).all()
+    # evenly-spaced rule == (j*(nf-1))//(k-1)
+    assert sampled_frame_indices(7, 4) == [0, 2, 4, 6]
+    assert sampled_frame_indices(1, 4) == [0, 0, 0, 0]
+    assert sampled_frame_indices(16, 4) == [0, 5, 10, 15]
+    # real stage path, no Ray needed: call the actor class directly
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"media_id": pa.array(["v1"]), "payload": pa.array([payload], pa.binary())}
+    )
+    out = SampleFrames(n_frames=4, allow_fake=False)(batch)
+    rows = out.to_pylist()
+    assert [r["src_frame"] for r in rows] == [0, 2, 4, 6]
+    assert all(r["width"] == 9 and r["height"] == 6 for r in rows)
+    assert rows[1]["luma_sum"] == int(frames[2].sum())
+    # sampled frame re-encodes as a real PNG that round-trips
+    from events_validator_ray.stages.multimodal import png_decode
+
+    pw, ph, px = png_decode(rows[3]["frame"])
+    assert (pw, ph) == (9, 6) and (px[:, :, 0] == frames[6]).all()
+    # junk payload with allow_fake=False -> clear error, never a stub
+    junk = pa.table(
+        {"media_id": pa.array(["bad"]), "payload": pa.array([b"\x00\x01junk"], pa.binary())}
+    )
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        SampleFrames(n_frames=2, allow_fake=False)(junk)
+
+
 def test_registry_head_window_order():
     """The grading driver oracle-checks the FIRST 50 build_queries() entries
     (CLAUDE.md invariant). Guard: every head-window entry has an oracle twin
@@ -200,6 +248,8 @@ def test_registry_head_window_order():
         "unique_event_names",
         "valid_fields",
         "multimodal_decode",
+        "multimodal_audio",
+        "multimodal_frames",
         "worst_offenders",
         "global_rank",
     ]:
