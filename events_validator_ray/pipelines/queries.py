@@ -2251,6 +2251,45 @@ def q_multimodal_audio(sf_dir: str):
     )
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Two-stage image chain: real PNG decode -> shared nearest-neighbor
+    resample (multimodal.nn_resize — the identical index map generates the
+    ground truth) -> real PNG re-encode -> real decode; the oracle
+    value-checks dims + resampled pixel sum, so any drift anywhere in the
+    decode/resample/encode chain hash-mismatches."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        RESIZE_TRUTH_DIMS,
+        DecodeImage,
+        ResizeImage,
+        ensure_media_real,
+    )
+
+    rw, rh = RESIZE_TRUTH_DIMS
+    media_path = ensure_media_real(96)[0]
+    media = rd.read_parquet(media_path)
+    # one actor per pool: TWO chained pools at concurrency=2 would reserve
+    # 4 CPUs and starve the read tasks in a 4-CPU session (pool sizing must
+    # leave CPUs for the non-actor stages — the actor-pool sizing rule)
+    resized = media.filter(expr="kind == 'image'").map_batches(
+        ResizeImage,
+        fn_constructor_kwargs={"width": rw, "height": rh, "allow_fake": False},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=1,
+        num_cpus=1,
+    )
+    return resized.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"feature_dim": 8, "allow_fake": False},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=1,
+        num_cpus=1,
+    ).select_columns(["media_id", "width", "height", "pix_sum"])
+
+
 def q_multimodal_frames(sf_dir: str):
     """Video frame-sampling over REAL mono YUV4MPEG2 streams with
     allow_fake=False — the stdlib y4m parser decodes every frame, the stage
@@ -2824,6 +2863,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "full_join_recon": q_full_join_recon,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -2841,7 +2881,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     # so the file exists before DuckDB binds, like the simhash sidecars)
     from ..stages.multimodal import ensure_media_real as _emr
 
-    _, _media_expected, _audio_expected, _video_expected = _emr(96)
+    _, _media_expected, _audio_expected, _video_expected, _resize_expected = _emr(96)
     out["multimodal_decode"] = (
         "SELECT media_id, width, height, pix_sum "
         f"FROM read_parquet('{_media_expected}')"
@@ -2849,6 +2889,10 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["multimodal_audio"] = (
         "SELECT media_id, sample_rate, n_samples, samp_sum "
         f"FROM read_parquet('{_audio_expected}')"
+    )
+    out["multimodal_resize"] = (
+        "SELECT media_id, width, height, pix_sum "
+        f"FROM read_parquet('{_resize_expected}')"
     )
     out["multimodal_frames"] = (
         # same evenly-spaced sample rule as the engine: (j*(nf-1)) // (k-1),

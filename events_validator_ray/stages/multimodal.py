@@ -156,6 +156,16 @@ def _pool8(gray: np.ndarray) -> np.ndarray:
     return out
 
 
+def nn_resize(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of uint8 (h, w[, ch]) pixels to
+    (height, width) — index map (i*src)//dst, clipped. Shared by ResizeImage
+    and the ground-truth generator so the two can never drift."""
+    h, w = px.shape[0], px.shape[1]
+    yi = np.minimum((np.arange(height) * h) // height, h - 1)
+    xi = np.minimum((np.arange(width) * w) // width, w - 1)
+    return px[yi][:, xi]
+
+
 def wav_decode(payload: bytes) -> tuple[int, np.ndarray]:
     """Stdlib WAV decode (`wave` module): returns (sample_rate, float32 mono
     samples in [-1, 1]); multi-channel input is mean-downmixed. 8/16/32-bit
@@ -365,10 +375,8 @@ class ResizeImage:
         for p in payloads:
             p = p or b""
             if is_png(p):
-                w, h, px = png_decode(p)
-                yi = np.minimum((np.arange(self.height) * h) // self.height, h - 1)
-                xi = np.minimum((np.arange(self.width) * w) // self.width, w - 1)
-                out.append(png_encode(px[yi][:, xi]))
+                _w, _h, px = png_decode(p)
+                out.append(png_encode(nn_resize(px, self.width, self.height)))
             elif self._pil is not None:
                 import io
 
@@ -615,7 +623,7 @@ def synthetic_media_real_truth(n: int = 64, seed: int = 5) -> pa.Table:
 MEDIA_CACHE_ROOT = "/tmp/graft_media_v2"
 
 
-def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str, str]:
+def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str, str, str]:
     """Write (once, cached) the real-codec media corpus and its ground-truth
     table as parquet under MEDIA_CACHE_ROOT; returns (media_path,
     expected_path). Pure function of (n, seed) — bump the root suffix
@@ -631,7 +639,8 @@ def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str, str]:
     exp_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_{n}_{seed}.parquet")
     exp_a_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_audio_{n}_{seed}.parquet")
     exp_v_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_video_{n}_{seed}.parquet")
-    paths = (media_p, exp_p, exp_a_p, exp_v_p)
+    exp_r_p = os.path.join(MEDIA_CACHE_ROOT, f"expected_resize_{n}_{seed}.parquet")
+    paths = (media_p, exp_p, exp_a_p, exp_v_p, exp_r_p)
     if all(os.path.exists(pth) for pth in paths):
         return paths
     os.makedirs(MEDIA_CACHE_ROOT, exist_ok=True)
@@ -642,7 +651,11 @@ def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str, str]:
     return paths
 
 
-def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table]:
+#: fixed output dims of the resize ground truth (engine queries must match)
+RESIZE_TRUTH_DIMS = (16, 12)
+
+
+def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, pa.Table, pa.Table, pa.Table]:
     import io
     import wave
 
@@ -654,6 +667,8 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, 
     truth_rows: list[tuple[str, int, int, int]] = []
     audio_truth: list[tuple[str, int, int, int]] = []
     video_truth: list[tuple[str, int, int, int, int, int]] = []
+    resize_truth: list[tuple[str, int]] = []
+    rw, rh = RESIZE_TRUTH_DIMS
     for i, kind in enumerate(kinds):
         if kind == "image":
             w = int(rng.integers(8, 48))
@@ -664,6 +679,9 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, 
             heights.append(h)
             durations.append(-1)
             truth_rows.append((ids[i], w, h, int(px.sum(dtype=np.int64))))
+            resize_truth.append(
+                (ids[i], int(nn_resize(px, rw, rh).sum(dtype=np.int64)))
+            )
         elif kind == "audio":
             rate = 16_000
             n_samp = int(rng.integers(256, 2048))
@@ -738,7 +756,17 @@ def _synthetic_media_real_build(n: int, seed: int) -> tuple[pa.Table, pa.Table, 
             "luma_sum": pa.array([r[5] for r in video_truth], pa.int64()),
         }
     )
-    return media, expected, expected_audio, expected_video
+    expected_resize = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in resize_truth], pa.string()),
+            "width": pa.array([rw] * len(resize_truth), pa.int32()),
+            "height": pa.array([rh] * len(resize_truth), pa.int32()),
+            # pixel sum AFTER the shared nn_resize — checks the full
+            # decode -> resample -> re-encode -> decode chain
+            "pix_sum": pa.array([r[1] for r in resize_truth], pa.int64()),
+        }
+    )
+    return media, expected, expected_audio, expected_video, expected_resize
 
 
 def decode_images(
