@@ -463,6 +463,81 @@ def cluster_purity(
     )
 
 
+def semantic_dedup(
+    ds,
+    centroids: np.ndarray,
+    threshold: float = 0.98,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    k-means topic clusters — exact pairwise cosine WITHIN each cluster,
+    connected components per cluster, keeper = lowest id. Cross-cluster
+    near-dups are out of scope BY DESIGN (the paper's approximation: with k
+    scaled so clusters hold ~10k docs, intra-cluster pairs capture near-all
+    semantic dups at ~n²/k cost instead of n²).
+
+    Output: (id_col, cluster_id, rep_id, is_dup) for EVERY input vector —
+    rep_id = min id of the vector's within-cluster cosine component, is_dup
+    = 1 iff the vector is not its component's keeper.
+
+    Scale shape: one broadcast map (nearest-centroid assignment, centroids
+    ray.put once) + ONE shuffle co-locating each cluster + per-cluster
+    vectorized work (normalize, gram matrix, local union-find). Components
+    never span clusters, so labels are GROUP-LOCAL: no global label
+    propagation, no driver pull — the labeling streams straight out of
+    map_groups. Per-task cost is O((n/k)²·dim) flops and O((n/k)·dim)
+    memory; pick k ∝ corpus size (the paper uses 50k clusters for
+    LAION-440M) to bound both. Fixed-dim list columns ride the groupby
+    shuffle like `_bucket_pairs`' emb_norm extra_col does."""
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "cluster_id": pd.Series([], dtype="int64"),
+                    "rep_id": pd.Series([], dtype="int64"),
+                    "is_dup": pd.Series([], dtype="int64"),
+                }
+            )
+        from .dedup import _union_find
+
+        ids = df[id_col].to_numpy(dtype="int64")
+        E = np.stack(df[col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(E, axis=1)
+        norms[norms == 0.0] = 1.0
+        En = E / norms[:, None]
+        # pairwise cosine of the normalized rows — same per-pair value as
+        # cosine_verify_pairs' einsum; the DuckDB twin's
+        # list_cosine_similarity(DOUBLE[]) rounds differently (dot/(|a||b|))
+        # but the corpora keep a wide margin around the threshold (see
+        # embedding_components_oracle's note)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = (En @ En.T)[iu, ju] >= threshold
+        labels = _union_find(
+            [
+                (int(a), int(b))
+                for a, b in zip(ids[iu[hit]], ids[ju[hit]], strict=True)
+            ]
+        )
+        rep = np.array([labels.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": df["cluster_id"].to_numpy(dtype="int64"),
+                "rep_id": rep,
+                "is_dup": (rep != ids).astype("int64"),
+            }
+        )
+
+    dedup_group.__name__ = "semantic_dedup_cluster"
+    assigned = kmeans_assign(ds, centroids, col=col, id_col=id_col, keep_cols=(col,))
+    return assigned.groupby("cluster_id").map_groups(
+        dedup_group, batch_format="pandas"
+    )
+
+
 class _CosinePairsBlock:
     """map_batches stage: each batch's vectors vs the broadcast corpus matrix;
     emits (a, b, score) for a < b with cosine >= threshold."""

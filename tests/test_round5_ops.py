@@ -300,8 +300,70 @@ def test_registry_head_window_order():
         "multimodal_frames",
         "worst_offenders",
         "global_rank",
+        "semantic_dedup",
+        "multimodal_resize",
     ]:
         assert must in head, f"{must} fell out of the driver's checked window"
+
+
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup semantics on a planted corpus with explicit centroids:
+    intra-cluster near-dup pair and chain collapse to their min-id keeper;
+    the deliberately-planted CROSS-cluster near-dup pair is NOT merged (the
+    paper's documented approximation — components never span clusters)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.similarity import semantic_dedup
+
+    d = 8
+    C = np.zeros((3, d))
+    C[0, 0] = 1.0  # cluster 0 ~ +x
+    C[1, 1] = 1.0  # cluster 1 ~ +y
+    C[2, 2] = 1.0  # cluster 2 ~ +z
+
+    def unit(v):
+        v = np.asarray(v, dtype=np.float64)
+        return v / np.linalg.norm(v)
+
+    vecs = {
+        # cluster 0: 10/11 a near-dup pair (cos ≈ 1), 12 distinct
+        10: unit(C[0] + 0.001 * C[1]),
+        11: unit(C[0] + 0.002 * C[1]),
+        12: unit(C[0] + 0.5 * C[1] * 0.3 + 0.4 * C[2]),
+        # cluster 1: 20-21-22 a chain (20~21 and 21~22 close; 20~22 still
+        # within threshold through the component, directly or not)
+        20: unit(C[1] + 0.001 * C[2]),
+        21: unit(C[1] + 0.003 * C[2]),
+        22: unit(C[1] + 0.005 * C[2]),
+        # cluster 2: singleton
+        30: unit(C[2] + 0.3 * C[0]),
+        # cross-cluster planted dup: 44° and 46° off +x toward +y —
+        # cos(2°) ≈ 0.9994 ≥ 0.98 between them, but nearest centroids differ
+        40: unit(np.cos(np.radians(44)) * C[0] + np.sin(np.radians(44)) * C[1]),
+        41: unit(np.cos(np.radians(46)) * C[0] + np.sin(np.radians(46)) * C[1]),
+    }
+    assert float(vecs[40] @ vecs[41]) >= 0.98
+    df = pd.DataFrame(
+        {
+            "vec_id": list(vecs),
+            "embedding": [v.astype(np.float32) for v in vecs.values()],
+        }
+    )
+    out = (
+        semantic_dedup(rd.from_pandas(df).repartition(3), C, threshold=0.98)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    got = {int(r.vec_id): (int(r.cluster_id), int(r.rep_id), int(r.is_dup)) for r in out.itertuples()}
+    assert got[10] == (0, 10, 0) and got[11] == (0, 10, 1)
+    assert got[12][1] == 12 and got[12][2] == 0
+    assert got[20] == (1, 20, 0) and got[21] == (1, 20, 1) and got[22] == (1, 20, 1)
+    assert got[30] == (2, 30, 0)
+    # the cross-cluster pair lands in clusters 0 and 1 and stays unmerged
+    assert got[40] == (0, 40, 0)
+    assert got[41] == (1, 41, 0)
+    assert len(out) == len(vecs)
 
 
 def test_pivot_counts_empty_categories_raises(ray_session):
