@@ -207,6 +207,108 @@ def q_hll_distinct_conv(sf_dir: str):
     )
 
 
+def ensure_hll_hash_sidecar(sf_dir: str) -> str:
+    """Emit (conv_id, h) — hash64 of each DISTINCT transcript conv_id — to a
+    /tmp sidecar so the DuckDB twin can recompute the HLL REGISTER STATE
+    with pure bit ops. hash64 (pandas' SipHash-based hash_array) is the only
+    non-SQL-expressible step; the register index (top p bits), rank
+    (leading-zeros of the low 64-p bits via smear + bit_count), per-register
+    maxima and the rank histogram are all SQL. Repeated values hash
+    identically, so the distinct projection leaves registers unchanged.
+    Correctness apparatus only (the k-means-centroid / simhash-signature
+    sidecar precedent); keyed on the transcript corpus files' identity so a
+    regenerated corpus can never pair with a stale sidecar."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.sketches import hash64
+
+    tdir = _tdir(sf_dir)
+    parts = sorted(glob.glob(os.path.join(tdir, "*.parquet")))
+    sig = sum(os.stat(p).st_size for p in parts)
+    mt = max(int(os.stat(p).st_mtime) for p in parts)
+    path = f"/tmp/graft_hllhash_v1/conv_{len(parts)}_{sig}_{mt}.parquet"
+    if not os.path.exists(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        uniq = pc.unique(
+            pq.read_table(tdir, columns=["conv_id"])["conv_id"]
+        ).drop_null()
+        h = hash64(uniq.to_numpy(zero_copy_only=False))
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": uniq,
+                    "h": pa.array(np.asarray(h, dtype=np.uint64), pa.uint64()),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+HLL_P = 14  # stages.sketches.HLL default — twin constants derive from it
+
+
+def q_hll_registers(sf_dir: str):
+    """HLL register-state census over conv_id: the distributed sketch's
+    final register array reduced to (reg_rank, n_registers). Unlike the
+    estimate (a float channel), register maxima are ORDER-INDEPENDENT
+    integers — merge is element-wise max, commutative and associative — so
+    the whole partial→combine→driver-merge plumbing is exactly
+    hash-checkable. The estimate is a closed-form function of this
+    histogram, which upgrades the HLL path from rows-only to value-checked
+    (only the t-digest, whose merge is order-dependent, stays rows-only)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.sketches import sketch_dataset
+
+    ds = _read_transcripts(sf_dir)
+    sk = sketch_dataset(ds, {"conv_id": ("hll",)})
+    regs = sk[("conv_id", "hll")].registers
+    ranks, counts = np.unique(regs, return_counts=True)
+    return pd.DataFrame(
+        {
+            "reg_rank": ranks.astype("int64"),
+            "n_registers": counts.astype("int64"),
+        }
+    )
+
+
+def hll_registers_oracle(sf_dir: str) -> str:
+    """Recompute the registers from the hash sidecar in SQL: idx = top p
+    bits, rank = 51 - bit_length(low 50 bits) (leading zeros + 1; the
+    smear-then-popcount chain is exact bit_length), MAX per idx, histogram
+    by rank with the untouched-register (rank 0) bucket reconstructed as
+    m - |occupied|."""
+    path = ensure_hll_hash_sidecar(sf_dir)
+    m = 1 << HLL_P
+    bits = 64 - HLL_P
+    mask = (1 << bits) - 1
+    return (
+        f"WITH v AS (SELECT CAST(h >> {bits} AS BIGINT) AS idx, "
+        f"CAST(h & {mask} AS BIGINT) AS wf FROM read_parquet('{path}')), "
+        "s1 AS (SELECT idx, wf|(wf>>1) AS a FROM v), "
+        "s2 AS (SELECT idx, a|(a>>2) AS a FROM s1), "
+        "s3 AS (SELECT idx, a|(a>>4) AS a FROM s2), "
+        "s4 AS (SELECT idx, a|(a>>8) AS a FROM s3), "
+        "s5 AS (SELECT idx, a|(a>>16) AS a FROM s4), "
+        "s6 AS (SELECT idx, a|(a>>32) AS a FROM s5), "
+        f"r AS (SELECT idx, MAX({bits + 1} - CAST(bit_count(a) AS BIGINT)) "
+        "AS reg_rank FROM s6 GROUP BY idx), "
+        "hist AS (SELECT reg_rank, COUNT(*) AS n_registers FROM r GROUP BY reg_rank "
+        f"UNION ALL SELECT 0, {m} - c FROM (SELECT COUNT(*) AS c FROM r) WHERE c < {m}) "
+        "SELECT reg_rank, n_registers FROM hist ORDER BY reg_rank"
+    )
+
+
 def q_quantiles_turn_idx(sf_dir: str):
     """t-digest quantiles (approx; rows-only check)."""
     import pandas as pd
@@ -2816,7 +2918,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 head: driver-unverified until now ---
         "attribution_join": q_attribution_join,
         "curate_docs": q_curate_docs,
-        "near_dup_pairs": q_near_dup_pairs,
+        # hll_registers took near_dup_pairs' head slot: the register census
+        # is new this round (upgrades HLL from rows-only to hash-checked)
+        # while near_dup_pairs is green since r1 and dedup.py is untouched
+        # in round 5.
+        "hll_registers": q_hll_registers,
         "jaccard_ngram_pairs": q_jaccard_ngram_pairs,
         "containment_pairs": q_containment_pairs,
         "bloom_semi_join": q_bloom_semi_join,
@@ -2922,6 +3028,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "turn_text_digest": q_turn_text_digest,
+        "near_dup_pairs": q_near_dup_pairs,
     }
 
 
@@ -2990,6 +3097,9 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     import os as _os
 
     _docs_dir = f"/root/testdata/sf{sf:g}"
+    # HLL register twin recomputes over the engine's emitted conv_id-hash
+    # sidecar (hash64 is the one non-SQL step; registers/ranks are bit ops)
+    out["hll_registers"] = hll_registers_oracle(_docs_dir)
     if _os.path.exists(_os.path.join(_docs_dir, "documents.parquet")):
         out["dedup_simhash"] = simhash_components_oracle(_docs_dir)
         out["fingerprints"] = fingerprints_oracle(_docs_dir)

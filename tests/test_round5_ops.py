@@ -302,8 +302,54 @@ def test_registry_head_window_order():
         "global_rank",
         "semantic_dedup",
         "multimodal_resize",
+        "hll_registers",
     ]:
         assert must in head, f"{must} fell out of the driver's checked window"
+
+
+def test_hll_register_sql_parity_fuzz():
+    """The hll_registers twin's bit arithmetic (idx = top p bits, rank =
+    51 - bit_length(low 50 bits) via smear+popcount, MAX per idx, rank-0
+    bucket = m - occupied) must equal the numpy HLL register path exactly —
+    fuzzed over random uint64 hashes including planted edge words (0,
+    all-ones, single low bit → max rank)."""
+    import duckdb
+
+    from events_validator_ray.stages.sketches import HLL
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    h = np.concatenate(
+        [h, np.array([0, 2**64 - 1, 1, 2**50 - 1, 2**50, 123 << 50], dtype=np.uint64)]
+    )
+    hll = HLL()
+    hll.add_hashes(h)
+    ranks, counts = np.unique(hll.registers, return_counts=True)
+    want = pd.DataFrame(
+        {"reg_rank": ranks.astype("int64"), "n_registers": counts.astype("int64")}
+    )
+
+    hdf = pd.DataFrame({"h": h})
+    m, bits, mask = 1 << 14, 50, (1 << 50) - 1
+    got = duckdb.sql(
+        f"WITH v AS (SELECT CAST(h >> {bits} AS BIGINT) AS idx, "
+        f"CAST(h & {mask} AS BIGINT) AS wf FROM hdf), "
+        "s1 AS (SELECT idx, wf|(wf>>1) AS a FROM v), "
+        "s2 AS (SELECT idx, a|(a>>2) AS a FROM s1), "
+        "s3 AS (SELECT idx, a|(a>>4) AS a FROM s2), "
+        "s4 AS (SELECT idx, a|(a>>8) AS a FROM s3), "
+        "s5 AS (SELECT idx, a|(a>>16) AS a FROM s4), "
+        "s6 AS (SELECT idx, a|(a>>32) AS a FROM s5), "
+        f"r AS (SELECT idx, MAX({bits + 1} - CAST(bit_count(a) AS BIGINT)) "
+        "AS reg_rank FROM s6 GROUP BY idx), "
+        "hist AS (SELECT reg_rank, COUNT(*) AS n_registers FROM r GROUP BY reg_rank "
+        f"UNION ALL SELECT 0, {m} - c FROM (SELECT COUNT(*) AS c FROM r) WHERE c < {m}) "
+        "SELECT reg_rank, n_registers FROM hist ORDER BY reg_rank"
+    ).df()
+    got["n_registers"] = got["n_registers"].astype("int64")
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
 
 
 def test_semantic_dedup_planted(ray_session):
