@@ -2190,6 +2190,53 @@ def q_packing_bins(sf_dir: str):
     return packing_bins(docs, "doc_id", "n_chars", PACK_BUDGET)
 
 
+SHUFFLE_SEED = 0x5EED20260818  # < 2^63: safe as a plain SQL integer literal
+
+
+def q_shuffle_export(sf_dir: str):
+    """Reproducible epoch shuffle for training export: every document gets
+    its 0-based position under the seeded splitmix64(doc_id ^ seed) total
+    order — key attach map-only, ONE range-partition sort, per-block offsets
+    (stages/sampling.py:deterministic_shuffle). Positions (not just an
+    order) make sharded export resumable (shard = pos // shard_size) and a
+    new epoch is just a new seed."""
+    from ..stages.sampling import deterministic_shuffle
+
+    docs = _read_table(sf_dir, "documents", columns=["doc_id"])
+    return deterministic_shuffle(docs, "doc_id", seed=SHUFFLE_SEED)
+
+
+def shuffle_export_oracle(seed: int) -> str:
+    """splitmix64(doc_id ^ seed) in SQL — 64-bit wrapping multiply via
+    32-bit limbs in HUGEINT (a*b mod 2^64 = al*bl + ((ah*bl + al*bh) mod
+    2^32)·2^32, every intermediate < 2^65), xorshifts on UBIGINT — then
+    ROW_NUMBER under the key order. Bit-exact vs the numpy kernel
+    (fuzzed in tests/test_round5_ops.py)."""
+    m32 = (1 << 32) - 1
+    m64 = 1 << 64
+
+    def mulmod(c: int) -> str:
+        ch, cl = c >> 32, c & m32
+        return (
+            f"CAST(((CAST(z & {m32} AS HUGEINT) * {cl}) + "
+            f"((((CAST(z >> 32 AS HUGEINT) * {cl}) + "
+            f"(CAST(z & {m32} AS HUGEINT) * {ch})) % 4294967296) * 4294967296)) "
+            f"% {m64} AS UBIGINT)"
+        )
+
+    return (
+        "WITH t0 AS (SELECT doc_id, CAST((CAST(xor(CAST(doc_id AS UBIGINT), "
+        f"{seed}) AS HUGEINT) + {0x9E3779B97F4A7C15}) % {m64} AS UBIGINT) AS z "
+        "FROM documents), "
+        "t1 AS (SELECT doc_id, xor(z, z >> 30) AS z FROM t0), "
+        f"t2 AS (SELECT doc_id, {mulmod(0xBF58476D1CE4E5B9)} AS z FROM t1), "
+        "t3 AS (SELECT doc_id, xor(z, z >> 27) AS z FROM t2), "
+        f"t4 AS (SELECT doc_id, {mulmod(0x94D049BB133111EB)} AS z FROM t3), "
+        "t5 AS (SELECT doc_id, xor(z, z >> 31) AS z FROM t4) "
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY z) - 1 AS shuffle_pos FROM t5"
+    )
+
+
 def q_mixture_sample(sf_dir: str):
     """Deterministic training-mixture sampling by language (en 100%, de 50%,
     es 30%, fr 20%, zh dropped) — systematic mod selection per group, map-only
@@ -2929,7 +2976,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orphans": q_anti_join_orphans,
         "mod_sample": q_mod_sample,
         "stratified_sample": q_stratified_sample,
-        "token_count_bpe": q_token_count_bpe,
+        # shuffle_export took token_count_bpe's head slot: the epoch shuffle
+        # is new this round while token_count_bpe is green since r1 and
+        # text.py is untouched in round 5.
+        "shuffle_export": q_shuffle_export,
         "quantile_filter": q_quantile_filter,
         "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
@@ -3029,6 +3079,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "turn_text_digest": q_turn_text_digest,
         "near_dup_pairs": q_near_dup_pairs,
+        "token_count_bpe": q_token_count_bpe,
     }
 
 
@@ -3173,6 +3224,10 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     )
     from .queries import PACK_BUDGET as _pb
 
+    from .queries import SHUFFLE_SEED as _ss
+    from .queries import shuffle_export_oracle as _seo
+
+    out["shuffle_export"] = _seo(_ss)
     out["packing_bins"] = (
         "SELECT doc_id, n_chars, "
         "CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id "

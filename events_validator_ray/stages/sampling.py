@@ -268,6 +268,66 @@ def packing_bins(ds, order_col: str, val_col: str, budget: int):
     )
 
 
+def splitmix64(x) -> "np.ndarray":
+    """Vectorized splitmix64 finalizer (Steele et al., public domain PRNG
+    mix) — a BIJECTION on uint64: add and xorshift are invertible mod 2^64
+    and both multiplier constants are odd. Used as the deterministic
+    shuffle key; bijectivity means distinct ids can never collide."""
+    import numpy as np
+
+    z = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)).astype(
+        np.uint64
+    )
+    z ^= z >> np.uint64(30)
+    z = (z * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    z ^= z >> np.uint64(27)
+    z = (z * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def deterministic_shuffle(
+    ds, id_col: str, seed: int = 0, out_col: str = "shuffle_pos"
+):
+    """Seeded global permutation for reproducible training-epoch export:
+    shuffle key = splitmix64(id ^ seed). The key attach is map-only; the
+    global order costs ONE range-partitioning sort (the unavoidable
+    all-to-all for any permutation); positions ride ordered_prefix_sum
+    (driver pull = one row per block, map-only offset attach). Output keeps
+    every input column and adds int64 `out_col` = the row's 0-based position
+    in the shuffled order — stable across reruns, worker counts and block
+    layouts, so a sharded export (shard = pos // shard_size) is resumable
+    and a new epoch is just a new seed (no data movement until the sort).
+    Requires unique, non-null integer ids (bijectivity then guarantees
+    unique keys, which ordered_prefix_sum's block-min offset lookup needs).
+    SQL twin: ROW_NUMBER() OVER (ORDER BY splitmix64(id ^ seed)) - 1 with
+    the mix in 32-bit limb arithmetic — pipelines/queries.py
+    shuffle_export_oracle. (Contrast ds.random_shuffle(): cluster-random,
+    not reproducible across layouts, and no position column.)"""
+    import numpy as np
+
+    seed_u = np.uint64(seed & 0xFFFFFFFFFFFFFFFF)
+
+    def attach_key(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_shuffle_key", pa.array([], pa.uint64())).append_column(
+                "_one", pa.array([], pa.int64())
+            )
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = splitmix64(ids ^ seed_u)
+        return t.append_column("_shuffle_key", pa.array(key, pa.uint64())).append_column(
+            "_one", pa.array(np.ones(len(key), dtype=np.int64))
+        )
+
+    keyed = ds.map_batches(attach_key, batch_format="pyarrow")
+    ranked = ordered_prefix_sum(keyed, "_shuffle_key", "_one", out_col=out_col)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_shuffle_key", "_one"])
+
+    return ranked.map_batches(finish, batch_format="pyarrow")
+
+
 def _chain_mask(v, chain, bins: int):
     """Boolean mask of finite values surviving the histogram refinement chain
     [(lo, hi, j), ...]: at each level the value's bin under the SAME clipped

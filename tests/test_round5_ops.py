@@ -352,6 +352,58 @@ def test_hll_register_sql_parity_fuzz():
     )
 
 
+def test_splitmix64_sql_parity_fuzz():
+    """The shuffle_export twin's limb-arithmetic splitmix64 must be bit-exact
+    vs the numpy kernel over random uint64 + edge words."""
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import shuffle_export_oracle
+    from events_validator_ray.stages.sampling import splitmix64
+
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 2**62, size=4000, dtype=np.uint64)
+    ids = np.unique(np.concatenate([ids, np.array([0, 1, 2**62 - 1], dtype=np.uint64)]))
+    seed = 0x5EED20260818
+    want_key = splitmix64(ids ^ np.uint64(seed))
+    want = np.asarray(ids, dtype=np.int64)[np.argsort(want_key, kind="stable")]
+
+    documents = pd.DataFrame({"doc_id": ids.astype(np.int64)})
+    got = duckdb.sql(shuffle_export_oracle(seed)).df().sort_values("shuffle_pos")
+    assert np.array_equal(got["doc_id"].to_numpy(), want)
+    assert np.array_equal(
+        got["shuffle_pos"].to_numpy(dtype=np.int64), np.arange(len(ids))
+    )
+
+
+def test_deterministic_shuffle_multiblock(ray_session):
+    """deterministic_shuffle over a multi-block dataset: positions are the
+    exact rank under the splitmix key, every input row appears once, and
+    the permutation is layout-independent (2 blocks == 7 blocks)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import deterministic_shuffle, splitmix64
+
+    ids = np.arange(1000, dtype=np.int64) * 7 + 3
+    df = pd.DataFrame({"doc_id": ids, "payload": ids * 2})
+    want_order = ids[np.argsort(splitmix64(ids.astype(np.uint64) ^ np.uint64(99)))]
+
+    for nblocks in (2, 7):
+        out = (
+            deterministic_shuffle(
+                rd.from_pandas(df).repartition(nblocks), "doc_id", seed=99
+            )
+            .to_pandas()
+            .sort_values("shuffle_pos")
+        )
+        assert np.array_equal(out["doc_id"].to_numpy(), want_order)
+        assert np.array_equal(
+            out["shuffle_pos"].to_numpy(dtype=np.int64), np.arange(len(ids))
+        )
+        assert np.array_equal(
+            out["payload"].to_numpy(), out["doc_id"].to_numpy() * 2
+        )
+
+
 def test_semantic_dedup_planted(ray_session):
     """SemDeDup semantics on a planted corpus with explicit centroids:
     intra-cluster near-dup pair and chain collapse to their min-id keeper;
