@@ -280,7 +280,7 @@ def add_pbucket(t: pa.Table, num_buckets: int) -> pa.Table:
     return t.append_column("pbucket", pa.array(pb))
 
 
-def _bucket_pairs(ds, id_col: str, num_buckets: int = 32, extra_cols: tuple[str, ...] = (), pair_cap: int = 20):
+def _bucket_pairs(ds, id_col: str, num_buckets: int = 32, extra_cols: tuple[str, ...] = (), pair_cap: int = 256):
     """(band, band_hash) buckets -> candidate (a, b) pairs. Coarse-bucketed:
     thousands of LSH buckets are processed per task with one vectorized pandas
     pass (per-bucket UDF dispatch is ~50x slower); the coarse key is a hash of
@@ -288,9 +288,16 @@ def _bucket_pairs(ds, id_col: str, num_buckets: int = 32, extra_cols: tuple[str,
     signature table regardless of band count.
 
     Pair policy (Broder/MMDS banding): buckets up to `pair_cap` emit ALL
-    within-bucket pairs (full recall); larger buckets fall back to star pairs
-    against the min id PLUS a consecutive-id chain, so verification can still
-    connect similar members that are both dissimilar to the representative.
+    within-bucket pairs (full recall — the engine is EXACT wherever every
+    bucket fits the cap); larger buckets fall back to star pairs against the
+    min id PLUS a consecutive-id chain, so verification can still connect
+    similar members that are both dissimilar to the representative. The cap
+    bounds per-task cost at cap²/2 pairs per bucket (256 → ≤33k pairs, still
+    trivial per task); it exists for the corpus-scale mega-bucket — template
+    or boilerplate families, whose members are near-identical, so their star
+    edges pass verification and the component survives the fallback. The
+    recall risk of the fallback is the mid-size DIVERSE bucket, which is
+    exactly what a generous cap absorbs (measured sf0.1 max bucket: 190).
     `extra_cols` are carried through as `<col>_a` / `<col>_b`."""
 
     def pairs_many(df: pd.DataFrame) -> pd.DataFrame:
@@ -860,6 +867,7 @@ def simhash_dedup(
     driver_max_pairs: int = 100_000,
     num_buckets: int = 32,
     broadcast_max_labels: int = 200_000,
+    pair_cap: int = 1024,
 ):
     """Near-dup clusters by simhash: banded candidates (any identical 16-bit
     band) verified by exact Hamming distance <= max_hamming.
@@ -868,10 +876,15 @@ def simhash_dedup(
     HASH of (band, band_hash), never the 4-valued raw band (which would make
     four corpus-scale groups). Verification is a vectorized map over the pair
     Dataset; cluster assembly follows the same driver/distributed policy as
-    minhash_lsh_dedup."""
+    minhash_lsh_dedup. `pair_cap` is generous here (16-bit bands make
+    mid-size DIVERSE buckets the norm — the star/chain fallback loses
+    Hamming-verified edges in them, measured at sf0.1 where buckets reach
+    190 diverse signatures); above the cap the mega-bucket fallback applies
+    (near-identical template families, star edges verify at distance ~0)."""
     sig = ds.map_batches(SimHashSignatures(col, id_col), batch_format="pyarrow")
     pairs = _bucket_pairs(
-        sig, id_col, num_buckets=num_buckets, extra_cols=("simhash",)
+        sig, id_col, num_buckets=num_buckets, extra_cols=("simhash",),
+        pair_cap=pair_cap,
     )
 
     def hamming_ok(df: pd.DataFrame) -> pd.DataFrame:

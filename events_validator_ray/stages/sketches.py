@@ -568,12 +568,11 @@ def heavy_hitters_exact(ds, col: str, threshold_permille: int = 8):
     )
     cand = sorted({r[col] for r in cand_rows})
     if not cand:
-        import ray.data as rd
-
+        # pa.Table, not from_arrow: see the return-type note at the finish
         sch = ds.schema()
         col_type = dict(zip(sch.names, sch.types))[col]
-        return rd.from_arrow(
-            pa.table({col: pa.array([], type=col_type), "n": pa.array([], pa.int64())})
+        return pa.table(
+            {col: pa.array([], type=col_type), "n": pa.array([], pa.int64())}
         )
     ref = ray.put(set(cand))
 
@@ -604,7 +603,7 @@ def heavy_hitters_exact(ds, col: str, threshold_permille: int = 8):
                 }
             )
 
-    return (
+    agg = (
         ds.select_columns([col])
         .map_batches(
             CountCandidates,
@@ -614,5 +613,23 @@ def heavy_hitters_exact(ds, col: str, threshold_permille: int = 8):
         )
         .groupby(col)
         .aggregate(Sum("_n", alias_name="n"))
-        .filter(expr=f"n >= {int(support)}")
+        .take_all()
+    )
+    # bounded driver finish: <= |candidates| rows, the SAME bound class as
+    # the pass-1 candidate pull. A Dataset-side `.filter()` that removes
+    # every row would hand downstream an empty NO-COLUMN frame (schema
+    # instability on the no-heavy-hitter corpus); building the typed table
+    # here keeps the (col, n) schema whether 0 or 10k hitters survive.
+    kept = [(r[col], int(r["n"])) for r in agg if int(r["n"]) >= support]
+    kept.sort()
+    sch = ds.schema()
+    col_type = dict(zip(sch.names, sch.types))[col]
+    # returned as a pyarrow Table, not a Dataset: ray.data.from_arrow on an
+    # EMPTY table loses the schema at to_pandas (no-column frame), and this
+    # result is already driver-materialized and bounded
+    return pa.table(
+        {
+            col: pa.array([v for v, _ in kept], type=col_type),
+            "n": pa.array([n for _, n in kept], pa.int64()),
+        }
     )

@@ -352,6 +352,50 @@ def test_hll_register_sql_parity_fuzz():
     )
 
 
+def test_heavy_hitters_empty_keeps_schema(ray_session):
+    """A corpus where nothing crosses the support threshold must still
+    return a TYPED (col, n) result — the old Dataset `.filter()` finish
+    handed back a no-column frame (Ray loses schema on fully-filtered /
+    empty datasets), which the driver records as a schema mismatch."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sketches import heavy_hitters_exact
+
+    df = pd.DataFrame({"user_id": np.arange(2000, dtype=np.int64)})  # all unique
+    out = heavy_hitters_exact(
+        rd.from_pandas(df).repartition(4), "user_id", threshold_permille=8
+    ).to_pandas()
+    assert list(out.columns) == ["user_id", "n"]
+    assert len(out) == 0
+    assert str(out["n"].dtype) == "int64"
+
+
+def test_bucket_pairs_exact_below_cap(ray_session):
+    """Buckets up to pair_cap emit ALL within-bucket pairs — the exactness
+    contract the simhash twin leans on (a 100-member diverse bucket under
+    the old cap=20 fell back to star+chain and lost Hamming-verified edges
+    at sf0.1)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.dedup import _bucket_pairs
+
+    n = 100
+    sig = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "band": np.zeros(n, dtype=np.int32),
+            "band_hash": np.full(n, 777, dtype=np.int64),
+        }
+    )
+    pairs = (
+        _bucket_pairs(rd.from_pandas(sig).repartition(3), "doc_id")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    assert len(pairs) == n * (n - 1) // 2
+    assert (pairs["a"] < pairs["b"]).all()
+
+
 def test_splitmix64_sql_parity_fuzz():
     """The shuffle_export twin's limb-arithmetic splitmix64 must be bit-exact
     vs the numpy kernel over random uint64 + edge words."""
