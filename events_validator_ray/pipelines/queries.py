@@ -253,7 +253,8 @@ def ensure_hll_hash_sidecar(sf_dir: str) -> str:
     return path
 
 
-HLL_P = 14  # stages.sketches.HLL default — twin constants derive from it
+from ..stages.sketches import HLL_DEFAULT_P as HLL_P  # twin constants derive
+# from the sketch's own default — a p change can't desynchronize the oracle
 
 
 def q_hll_registers(sf_dir: str):

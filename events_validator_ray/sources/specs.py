@@ -188,6 +188,12 @@ def check_spec_health(
             continue
         meta = repo[param_name]
         expected = canonicalize_param(meta.get("definition", meta))
+        if not isinstance(schema_param, dict):
+            # a hand-edited/drifted document can hold a bare scalar where a
+            # param definition belongs — that's a shape mismatch, i.e.
+            # critical drift, not a crash
+            health["critical"].append(param_name)
+            continue
         if schema_param.get("type") != expected.get("type"):
             health["critical"].append(param_name)
             continue
@@ -274,12 +280,18 @@ def sync_spec_dir(
     latency, gcp.py:114-122)."""
     report: dict[str, dict[str, Any]] = {}
     for name in list_spec_names(spec_dir):
-        doc = read_spec_doc(spec_dir, name)
-        health = check_spec_health(doc, repo)
-        updated = False
-        if health["critical"] or health["minor"]:
-            updated, _ = smart_update(spec_dir, name, repo)
-        report[name] = {"health": health, "updated": updated}
+        # per-document failures are collected, not raised — one malformed
+        # file must not abort the sweep for every other spec (the
+        # reference's per-schema swallow, updater.py:100-107)
+        try:
+            doc = read_spec_doc(spec_dir, name)
+            health = check_spec_health(doc, repo)
+            updated = False
+            if health["critical"] or health["minor"]:
+                updated, _ = smart_update(spec_dir, name, repo)
+            report[name] = {"health": health, "updated": updated}
+        except Exception as e:
+            report[name] = {"health": None, "updated": False, "error": str(e)}
     return report
 
 

@@ -625,12 +625,12 @@ MEDIA_CACHE_ROOT = "/tmp/graft_media_v2"
 
 def ensure_media_real(n: int = 96, seed: int = 5) -> tuple[str, str, str, str, str]:
     """Write (once, cached) the real-codec media corpus and its ground-truth
-    table as parquet under MEDIA_CACHE_ROOT; returns (media_path,
-    expected_path). Pure function of (n, seed) — bump the root suffix
-    whenever generation changes (CLAUDE.md corpus invariant); returns
-    (media, expected_image, expected_audio) paths. The engine reads the
-    media parquet; the DuckDB oracles read the expected parquets, so both
-    engines see identical bytes."""
+    tables as parquet under MEDIA_CACHE_ROOT. Returns the 5-tuple of paths
+    (media, expected_image, expected_audio, expected_video,
+    expected_resize). Pure function of (n, seed) — bump the root suffix
+    whenever generation changes (CLAUDE.md corpus invariant). The engine
+    reads the media parquet; the DuckDB oracles read the expected parquets,
+    so both engines see identical bytes."""
     import os
 
     import pyarrow.parquet as pq

@@ -146,6 +146,36 @@ def distinct_upper_bound(ds, col: str) -> int:
     return int(s or 0)
 
 
+def _int_minmax(ds, col: str) -> tuple[int, int]:
+    """Global (min, max) of an integer column — one int pair per block to
+    the driver (the distinct_upper_bound probe shape). (0, 0) for an
+    empty/all-null column."""
+
+    def block_minmax(t: pa.Table) -> pa.Table:
+        vals = t[col].drop_null() if t.num_rows else None
+        if vals is None or len(vals) == 0 or pa.types.is_null(vals.type):
+            return pa.table(
+                {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+            )
+        mm = pc.min_max(vals)
+        return pa.table(
+            {
+                "lo": pa.array([mm["min"].as_py()], pa.int64()),
+                "hi": pa.array([mm["max"].as_py()], pa.int64()),
+            }
+        )
+
+    block_minmax.__name__ = "block_minmax_probe"
+    df = (
+        ds.select_columns([col])
+        .map_batches(block_minmax, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    if not len(df):
+        return (0, 0)
+    return (int(df["lo"].min()), int(df["hi"].max()))
+
+
 def global_rank(ds, col: str, out_col: str = "n_le", max_distinct: int = 1_000_000):
     """Append each row's global cumulative rank `out_col` = COUNT of rows with
     `col` ≤ this row's value (NULLs excluded from both the count and the
@@ -153,16 +183,23 @@ def global_rank(ds, col: str, out_col: str = "n_le", max_distinct: int = 1_000_0
     'drop the bottom X%' curation rules, exact and shuffle-free for the row
     data itself.
 
-    Scale shape: a one-int-per-block distinct probe ENFORCES the
-    `max_distinct` bound (the operator fundamentally broadcasts the sorted
-    value list, so corpus-cardinality columns cannot use it — a clear
-    ValueError routes them to quantile_threshold_filter's histogram ladder
-    or ordered_prefix_sum instead of hitting the sort-aggregate
-    group-cardinality pathology, BASELINE.md addendum); then a BUCKETED
-    value count (per-batch pandas partials → key-hash bucket → per-bucket
-    sum, never groupby(col).aggregate), a tiny driver cumsum, then a
-    broadcast (ray.put) sorted-values + cumulative-counts pair consumed by a
-    map-only searchsorted pass. The corpus itself never shuffles.
+    Scale shape: a two-tier distinct gate ENFORCES the `max_distinct` bound
+    (the operator fundamentally broadcasts the sorted value list, so
+    corpus-cardinality columns cannot use it — a clear ValueError routes
+    them to quantile_threshold_filter's histogram ladder or
+    ordered_prefix_sum instead of hitting the sort-aggregate
+    group-cardinality pathology, BASELINE.md addendum). Tier 1 is the
+    one-int-per-block Σ-distinct probe; because it SUMS per-block counts it
+    overcounts values repeated across blocks (it scales with block count),
+    so when it overshoots, tier 2 re-checks with a distributed HLL sketch
+    (16 KiB registers per block, partial→combine reduce, driver merge — no
+    shuffle, block-count-independent, ±~1% at p=14) before refusing: a
+    bounded-cardinality column spread over many blocks stays legal at any
+    corpus size. Within the bound: a BUCKETED value count (per-batch pandas
+    partials → key-hash bucket → per-bucket sum, never
+    groupby(col).aggregate), a tiny driver cumsum, then a broadcast
+    (ray.put) sorted-values + cumulative-counts pair consumed by a map-only
+    searchsorted pass. The corpus itself never shuffles.
     SQL twin: COUNT(*) OVER (ORDER BY col RANGE UNBOUNDED PRECEDING)."""
     import numpy as np
     import ray
@@ -171,8 +208,15 @@ def global_rank(ds, col: str, out_col: str = "n_le", max_distinct: int = 1_000_0
 
     bound = distinct_upper_bound(ds, col)
     if bound > max_distinct:
+        from .sketches import sketch_dataset
+
+        est = sketch_dataset(ds.select_columns([col]), {col: ("hll",)})[
+            (col, "hll")
+        ].estimate()
+        bound = int(round(est))
+    if bound > max_distinct:
         raise ValueError(
-            f"global_rank({col!r}): Σ per-block distinct ≈ {bound} exceeds "
+            f"global_rank({col!r}): distinct count ≈ {bound} exceeds "
             f"max_distinct={max_distinct}; this operator broadcasts the "
             "sorted value list so it is integer/categorical-only. For "
             "continuous/high-cardinality columns use "
@@ -547,7 +591,25 @@ def quantile_threshold_filter(
         if bound > max(refine_cap, 1):
             if is_arrow and pa.types.is_integer(ftype):
                 # corpus-cardinality int (e.g. µs timestamps): histogram
-                # ladder, not a corpus-sized value-count pull
+                # ladder, not a corpus-sized value-count pull. The ladder
+                # computes in float64, where distinct ints at |v| ≥ 2^53
+                # collapse to the same double — a hash-valued int64 column
+                # (hash64().view(int64), full 64-bit range) would get a
+                # silently wrong threshold. Refuse loudly, like the
+                # non-numeric case (one extra min/max probe, one int pair
+                # per block to the driver).
+                lo, hi = _int_minmax(ds, col)
+                if max(abs(lo), abs(hi)) >= 2**53:
+                    raise ValueError(
+                        f"quantile_threshold_filter({col!r}): integer "
+                        f"values span [{lo}, {hi}], beyond float64's exact "
+                        f"range (|v| < 2^53), and Σ per-block distinct "
+                        f"≈ {bound} exceeds refine_cap={refine_cap} so the "
+                        "exact value-count path is unavailable — the "
+                        "histogram ladder would be silently inexact. "
+                        "Bucket/truncate the column, or use "
+                        "ordered_prefix_sum (sort-based order stats)."
+                    )
                 take_ladder = True
             else:
                 raise ValueError(

@@ -109,8 +109,13 @@ class ColumnStats:
 # ---------------------------------------------------------------------------
 
 
+HLL_DEFAULT_P = 14  # single source of truth — the hll_registers SQL twin's
+# bit arithmetic (pipelines/queries.py) imports this so a default change
+# cannot silently desynchronize engine and oracle
+
+
 class HLL:
-    def __init__(self, p: int = 14):
+    def __init__(self, p: int = HLL_DEFAULT_P):
         self.p = p
         self.m = 1 << p
         self.registers = np.zeros(self.m, dtype=np.uint8)

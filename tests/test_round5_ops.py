@@ -516,3 +516,51 @@ def test_pivot_counts_empty_categories_raises(ray_session):
     ds = rd.from_pandas(pd.DataFrame({"d": ["a"], "t": ["x"]}))
     with pytest.raises(ValueError, match="category"):
         pivot_counts(ds, row_col="d", col_col="t", categories=[])
+
+
+def test_global_rank_block_spread_bounded_column_passes(ray_session):
+    """A bounded-cardinality column spread across many blocks must stay
+    legal at any block count: the Σ-per-block probe overcounts (32 blocks ×
+    500 shared values ≈ 16k), but the HLL tier-2 re-check sees ~500 and the
+    operator proceeds — and stays exact vs the SQL window."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import global_rank
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"id": range(16_000), "v": rng.integers(0, 500, 16_000).astype(np.int64)}
+    )
+    assert df["v"].nunique() == 500
+    got = (
+        global_rank(
+            rd.from_pandas(df).repartition(32), "v", max_distinct=2_000
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT id, COUNT(*) OVER (ORDER BY v RANGE UNBOUNDED PRECEDING) "
+        "AS n_le FROM df ORDER BY id"
+    ).df()
+    assert got["n_le"].to_list() == want["n_le"].to_list()
+
+
+def test_quantile_filter_hash_int_beyond_2p53_raises(ray_session):
+    """Hash-valued int64 columns (full 64-bit range) exceed float64's exact
+    integer range — the ladder would be silently inexact, so the gate must
+    refuse loudly instead of degrading."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import quantile_threshold_filter
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {"fp": rng.integers(-(2**62), 2**62, 5_000, dtype=np.int64)}
+    )
+    with pytest.raises(ValueError, match="exact range"):
+        quantile_threshold_filter(
+            rd.from_pandas(df).repartition(4), "fp", 0.5, refine_cap=100
+        )

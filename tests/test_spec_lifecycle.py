@@ -172,3 +172,30 @@ def test_apply_updates_batch(tmp_path):
     assert n == 2 and errs == []
     assert read_spec_doc(d, "e1")["p"]["type"] == "string"
     assert read_spec_doc(d, "e2")["q"]["type"] == "number"
+
+
+def test_check_spec_health_non_dict_param_is_critical():
+    """A hand-edited document holding a bare scalar where a param definition
+    belongs is critical drift, not an AttributeError."""
+    from events_validator_ray.sources.specs import check_spec_health
+
+    repo = {"count": {"type": "number", "description": "d", "value": ""}}
+    health = check_spec_health({"count": 5}, repo)
+    assert health["critical"] == ["count"]
+
+
+def test_sync_spec_dir_collects_per_document_errors(tmp_path):
+    """One malformed spec file must not abort the bulk sweep — its error is
+    collected and every other document still gets its report."""
+    from events_validator_ray.sources.specs import read_spec_doc, sync_spec_dir
+
+    d = str(tmp_path)
+    repo = {"p": {"type": "string", "description": "fresh", "value": "dflt"}}
+    _write(d, "good", {"p": {"type": "string", "description": "old", "value": "K"}})
+    with open(f"{d}/broken.json", "w") as f:
+        f.write("{not json")
+    rep = sync_spec_dir(d, repo)
+    assert rep["good"]["updated"] and rep["good"]["health"]["minor"] == ["p"]
+    assert rep["broken"]["health"] is None and not rep["broken"]["updated"]
+    assert "error" in rep["broken"]
+    assert read_spec_doc(d, "good")["p"]["description"] == "fresh"
