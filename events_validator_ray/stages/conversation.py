@@ -672,15 +672,17 @@ def detect_skew(
     the largest group's share of all rows (the 'detect skew from a conv_id
     heavy-hitter sketch' step, SURVEY.md §4.2). Drives the auto choice
     between the plain and salted conversation paths."""
-    from ray.data.aggregate import Count
+    from .assembly import bucketed_count_per_key
 
     # ONE execution of the sampled lineage: the distributed value-counts are
     # materialized (object-store, spillable; bounded by distinct keys in the
     # sample) and BOTH total and top-k derive from them — re-executing the
     # seeded random_sample per consumer could mix two different samples if
-    # per-task sampling isn't bit-stable across block layouts
+    # per-task sampling isn't bit-stable across block layouts. Counts via
+    # the bucketed reducer: distinct convs in the sample scale with the
+    # corpus (the sort-aggregate group-cardinality pathology, CLAUDE.md).
     sample = ds.select_columns([within]).random_sample(sample_frac, seed=seed)
-    vc = sample.groupby(within).aggregate(Count(alias_name="n")).materialize()
+    vc = bucketed_count_per_key(sample, within, "n").materialize()
     total = int(vc.sum("n") or 0)
     # only the top-k rows reach the driver (a 2% sample of 10^12 turns is
     # still 10^10 rows — never collect it)
@@ -873,7 +875,17 @@ class _Phase2Bucket:
             )
 
         if order and order.ts_monotone:
-            cm = df["max_ts"].astype("float64").groupby(df["conv"], sort=False).cummax()
+            # fillna(-inf) first: pandas cummax leaves NaN at all-null-ts
+            # chunks, and shift(1) would then feed NaN prefix to the NEXT
+            # chunk, silently masking real disorder there (same hazard
+            # BucketChecker guards within-chunk)
+            cm = (
+                df["max_ts"]
+                .astype("float64")
+                .fillna(float("-inf"))
+                .groupby(df["conv"], sort=False)
+                .cummax()
+            )
             prefix = cm.groupby(df["conv"], sort=False).shift(1)
             min_ts = df["min_ts"].astype("float64")
             m = (prefix.notna() & min_ts.notna() & (min_ts < prefix)).to_numpy()
@@ -964,6 +976,10 @@ def conversation_violations_salted(
     spec: Spec,
     run_ts: _dt.datetime = DEFAULT_RUN_TS,
     chunk: int = 10_000,
+    driver_max_rows: int = 500_000,
+    driver_max_bytes: int = 256 * 1024 * 1024,
+    take_all_max_rows: int = 2_000_000,
+    take_all_max_bytes: int = 1024 * 1024 * 1024,
 ):
     """Salted two-phase path. Produces exactly the same violation rows as
     `conversation_violations` (property-tested), but no single task ever holds
@@ -983,6 +999,11 @@ def conversation_violations_salted(
             _pc.floor(_pc.divide(_pc.cast(t["turn_idx"], pa.float64()), chunk)),
             pa.int64(),
         )
+        # clamp to chunk 0: dirty data with NEGATIVE turn_idx must land in
+        # the chunk that owns min-turn finalization (floor division would
+        # put it in chunk -1, which every chunk-0-anchored assumption —
+        # local min-zero/first-role, summary_split tagging, past0 — misses)
+        salt = _pc.max_element_wise(salt, pa.scalar(0, pa.int64()))
         return t.append_column("chunk", salt)
 
     salted = projected.map_batches(add_salt, batch_format="pyarrow")
@@ -1020,15 +1041,25 @@ def conversation_violations_salted(
 
     ts_name = spec.table.order.ts_column if spec.table.order else "ts"
     suspects: list[tuple[str, int, int]] = []
-    driver_branch = phase1.count() <= 500_000
+    # gate on BYTES as well as rows: chunk>0 summary rows carry ~chunk-sized
+    # (turn_idx, ts) CSV payloads, so row count alone understates the pull
+    # at exactly the skew this path targets (one 10^9-turn conversation is
+    # ~10^5 summary rows but tens of GB of payload)
+    phase1_bytes = phase1.size_bytes() or 0
+    driver_branch = (
+        phase1.count() <= driver_max_rows and phase1_bytes <= driver_max_bytes
+    )
     if driver_branch:
         pdf = phase1.to_pandas()
-        is_sum = (
-            pdf["status"].str.startswith("summary")
-            if len(pdf)
-            else pd.Series([], dtype=bool)
-        )
-        viol1_df = pdf[~is_sum] if len(pdf) else pdf
+        if not len(pdf):
+            # empty/fully-clean shard: an empty to_pandas loses columns (the
+            # documented Ray empty-Dataset schema hazard) — return the typed
+            # empty violation table instead of KeyError-ing downstream
+            return _rd.from_arrow(
+                pa.Table.from_pylist([], schema=VIOLATION_SCHEMA)
+            )
+        is_sum = pdf["status"].str.startswith("summary")
+        viol1_df = pdf[~is_sum]
         p2_tbl = None
         if bool(is_sum.any()):
             # phase 1 finalized chunk-0-anchored convs: unpack and merge only
@@ -1053,7 +1084,10 @@ def conversation_violations_salted(
         # driver-bounded summary table one coalesced task beats a second
         # shuffle, corpus-scale summaries take the conv-hash bucketed merge.
         summaries_raw = phase1.filter(expr="status != 'error'")
-        if phase1.count() <= 2_000_000:
+        if (
+            phase1.count() <= take_all_max_rows
+            and phase1_bytes <= take_all_max_bytes
+        ):
             # summary rows are a subset of the (materialized, counted) phase-1
             # output: one filter execution ships them to the driver and the
             # boundary merge runs locally — no repartition barrier, no task
@@ -1076,8 +1110,10 @@ def conversation_violations_salted(
                 p2_ds.take_all(), schema=VIOLATION_SCHEMA
             )
         err2 = p2_tbl.filter(pc.equal(p2_tbl["status"], "error"))
-        if err2.num_rows:
-            out = out.union(_rd.from_arrow(err2))
+        # NOTE: err2 is unioned AFTER the suspect-ts drop below — phase 2's
+        # corrected ts rows live in suspect chunks by construction, so a
+        # drop over the union would erase the very rows that replace the
+        # dropped phase-1 ones
         sus = p2_tbl.filter(pc.equal(p2_tbl["status"], "suspect"))
         for c_ch, pm in zip(
             sus["event_id"].to_pylist(), sus["expected"].to_pylist()
@@ -1097,7 +1133,11 @@ def conversation_violations_salted(
             if is_ts.any():
                 split = viol1_df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
                 conv = split.str[0]
-                ch = (split.str[1].astype("int64") // chunk).astype(str)
+                ch = (
+                    (split.str[1].astype("int64") // chunk)
+                    .clip(lower=0)
+                    .astype(str)
+                )
                 drop = is_ts.copy()
                 drop.loc[is_ts] = (conv + ":" + ch).isin(suspect_keys)
                 viol1_df = viol1_df[~drop]
@@ -1105,28 +1145,37 @@ def conversation_violations_salted(
         if err2 is not None and err2.num_rows:
             tables.append(err2)
         out = _rd.from_arrow(pa.concat_tables(tables))
-    elif suspects:
-        # distributed branch: suspect keys broadcast via the object store,
-        # never a literal expression
-        import ray as _ray
+    else:
+        if suspects:
+            # distributed branch: suspect keys broadcast via the object
+            # store, never a literal expression
+            import ray as _ray
 
-        suspect_ref = _ray.put(suspect_keys)
+            suspect_ref = _ray.put(suspect_keys)
 
-        def drop_suspect_ts(df: "pd.DataFrame") -> pa.Table:
-            keys = suspect_ref
-            if isinstance(keys, _ray.ObjectRef):
-                keys = _ray.get(keys)
-            is_ts = (df["field"] == ts_name) & (df["error_type"] == "order")
-            if is_ts.any():
-                split = df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
-                conv = split.str[0]
-                ch = (split.str[1].astype("int64") // chunk).astype(str)
-                drop = is_ts.copy()
-                drop.loc[is_ts] = (conv + ":" + ch).isin(keys)
-                df = df[~drop]
-            # emit ARROW in the canonical schema so the downstream union mixes
-            # no pandas-vs-arrow block representations
-            return _violation_table(df)
+            def drop_suspect_ts(df: "pd.DataFrame") -> pa.Table:
+                keys = suspect_ref
+                if isinstance(keys, _ray.ObjectRef):
+                    keys = _ray.get(keys)
+                is_ts = (df["field"] == ts_name) & (df["error_type"] == "order")
+                if is_ts.any():
+                    split = df.loc[is_ts, "event_id"].str.rsplit(":", n=1)
+                    conv = split.str[0]
+                    ch = (
+                        (split.str[1].astype("int64") // chunk)
+                        .clip(lower=0)
+                        .astype(str)
+                    )
+                    drop = is_ts.copy()
+                    drop.loc[is_ts] = (conv + ":" + ch).isin(keys)
+                    df = df[~drop]
+                # emit ARROW in the canonical schema so the downstream union
+                # mixes no pandas-vs-arrow block representations
+                return _violation_table(df)
 
-        out = out.map_batches(drop_suspect_ts, batch_format="pandas")
+            out = out.map_batches(drop_suspect_ts, batch_format="pandas")
+        # union phase 2's corrected rows only AFTER the drop: they live in
+        # suspect chunks by construction and must survive
+        if err2.num_rows:
+            out = out.union(_rd.from_arrow(err2))
     return out

@@ -84,8 +84,10 @@ def keep_best_dedup(ds, col: str = "text", id_col: str = "doc_id", pref_col: str
     hash + ~30 bytes/row. NULL preference packs as '' (sorts FIRST; the SQL
     twin mirrors with coalesce(pref, '')). Assumes non-negative ids (zfill
     packing is lexicographic == numeric only then), like every id column in
-    the corpus."""
-    from ray.data.aggregate import Min
+    the corpus — and preference labels free of control characters below
+    0x1f (a pref containing e.g. '\\n' would compare below the separator
+    and mis-order against a longer pref sharing its prefix; source labels
+    are identifiers, so this is a documented contract like the id one)."""
 
     def pack(df: pd.DataFrame) -> pd.DataFrame:
         h = hash64(df[col].fillna("").to_numpy(dtype=object))
@@ -252,6 +254,19 @@ class MinHashSignatures:
         self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # Ray does produce empty blocks at small scale; pa.array of an
+            # empty object ndarray would flip the id column to null type and
+            # desynchronize block schemas (mirrors HyperplaneLSH)
+            return pa.table(
+                {
+                    self.id_col: pa.array(
+                        [], type=batch.schema.field(self.id_col).type
+                    ),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
         texts = batch[self.col].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         M = minhash_matrix(texts, self.p, self.ngram)
@@ -414,12 +429,20 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
       near-dup nodes) stay off the driver entirely.
 
     Convergence is a DISTRIBUTED changed-label count (union old+new, one
-    groupby(src) min/max, sum of mismatches) — no driver-side frame compare.
+    bucketed min/max reduce per src, sum of mismatches) — no driver-side
+    frame compare. Every per-src reduce uses the bucketed pandas reducers,
+    never `groupby(src).aggregate()` (src cardinality scales with the
+    corpus — the sort-aggregate group-cardinality pathology, CLAUDE.md).
 
-    Round: label(x) = min(label(x), min(label(n)) for n in neighbors(x)).
-    Converges in O(diameter) rounds; near-dup clusters are tiny cliques/stars
-    so 2-3 rounds typically suffice. Returns a Dataset (src, label)."""
-    from ray.data.aggregate import Max, Min
+    Round: label(x) = min(label(x), min(label(n)) for n in neighbors(x)),
+    then a POINTER-JUMP (label(x) = label(label(x))) so chain-shaped
+    components (the _bucket_pairs chain fallback's worst case) converge in
+    O(log diameter) rounds, not O(diameter); the broadcast regime compresses
+    paths to fixpoint on the driver instead (labels are already there). If
+    `max_rounds` is exhausted without convergence the function RAISES — a
+    silently split component is a wrong dedup answer. Returns a Dataset
+    (src, label)."""
+    from .assembly import bucketed_reduce_per_key
 
     # undirected edge list, one row per direction
     def sym(b: pd.DataFrame) -> pd.DataFrame:
@@ -432,7 +455,7 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
 
     edges = pairs_ds.map_batches(sym, batch_format="pandas").materialize()
     # initial labels: own id (+ self-edge keeps isolated direction stable)
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    labels = bucketed_reduce_per_key(edges, "src", [("label", "dst", "min")])
 
     def clip_self(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -441,14 +464,16 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
 
     labels = labels.map_batches(clip_self, batch_format="pandas").materialize()
     n_labels = labels.count()  # bounded: one row per node IN a candidate pair
+    if n_labels == 0:
+        return labels
     use_broadcast = n_labels <= broadcast_max_labels
 
     def n_changed(old_ds, new_ds) -> int:
         """Distributed count of srcs whose label changed: union the two label
-        tables, groupby(src) min/max, sum of (min != max)."""
+        tables, bucketed per-src min/max, sum of (min != max)."""
         u = old_ds.union(new_ds)
-        agg = u.groupby("src").aggregate(
-            Min("label", alias_name="lo"), Max("label", alias_name="hi")
+        agg = bucketed_reduce_per_key(
+            u, "src", [("lo", "label", "min"), ("hi", "label", "max")]
         )
         return int(
             agg.map_batches(
@@ -458,7 +483,26 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
             or 0
         )
 
-    lbl_df = labels.to_pandas().sort_values("src").reset_index(drop=True) if use_broadcast else None
+    def compress(df: "pd.DataFrame") -> "pd.DataFrame":
+        """Driver-side path compression to fixpoint: every label value is
+        itself a src (symmetric edges + clip_self), so label∘label is total;
+        O(log depth) passes over a ≤broadcast_max_labels frame."""
+        lab = df.set_index("src")["label"]
+        while True:
+            nxt = lab.map(lab)
+            if nxt.equals(lab):
+                break
+            lab = nxt
+        df = df.copy()
+        df["label"] = lab.to_numpy()
+        return df
+
+    lbl_df = None
+    if use_broadcast:
+        lbl_df = compress(
+            labels.to_pandas().sort_values("src").reset_index(drop=True)
+        )
+    changed = -1
     for _ in range(max_rounds):
         if use_broadcast:
             import ray
@@ -484,22 +528,60 @@ def distributed_components(pairs_ds, max_rounds: int = 10, broadcast_max_labels:
                 edges, lbl_d, on="dst"
             ).map_batches(lambda df: df[["src", "cand"]], batch_format="pandas")
         new_labels = (
-            prop.groupby("src")
-            .aggregate(Min("cand", alias_name="label"))
+            bucketed_reduce_per_key(prop, "src", [("label", "cand", "min")])
             .map_batches(clip_self, batch_format="pandas")
             .materialize()
         )
         if use_broadcast:
             # labels are already on the driver each round in this regime —
-            # compare there instead of paying an extra union+groupby shuffle
-            new_df = new_labels.to_pandas().sort_values("src").reset_index(drop=True)
-            changed = int((new_df["label"].to_numpy() != lbl_df["label"].to_numpy()).sum())
+            # compress paths to fixpoint and compare there instead of paying
+            # an extra union + bucketed reduce
+            new_df = compress(
+                new_labels.to_pandas().sort_values("src").reset_index(drop=True)
+            )
+            changed = int(
+                (new_df["label"].to_numpy() != lbl_df["label"].to_numpy()).sum()
+            )
             lbl_df = new_df
+            labels = new_labels
         else:
-            changed = n_changed(labels, new_labels)
-        labels = new_labels
+            # distributed pointer-jump: label(x) <- label(label(x)) — one
+            # extra bucketed join per round buys O(log diameter) convergence
+            from .joins import bucketed_hash_join as _bhj
+
+            as_map = new_labels.map_batches(
+                lambda df: df.rename(columns={"src": "dst", "label": "cand"}),
+                batch_format="pandas",
+            )
+            as_edge = new_labels.map_batches(
+                lambda df: df.rename(columns={"label": "dst"}),
+                batch_format="pandas",
+            )
+            jumped = (
+                _bhj(as_edge, as_map, on="dst")
+                .map_batches(
+                    lambda df: df.rename(columns={"cand": "label"})[
+                        ["src", "label"]
+                    ],
+                    batch_format="pandas",
+                )
+                .materialize()
+            )
+            changed = n_changed(labels, jumped)
+            labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"distributed_components: not converged after {max_rounds} rounds "
+            f"({changed} labels still changing) — the pair graph contains a "
+            "component deeper than the round budget covers even with pointer "
+            "jumping; raise max_rounds."
+        )
+    if use_broadcast:
+        import ray.data as _rd
+
+        return _rd.from_pandas(lbl_df)
     return labels
 
 
@@ -612,20 +694,19 @@ def jaccard_verify_distributed(
     below `broadcast_max_ids` and a `bloom_semi_join` above it (dup-heavy
     corpora: billions of candidate ids never reach the driver either).
     Returns a Dataset (a, b) of verified pairs."""
-    from ray.data.aggregate import Count
-
+    from .assembly import bucketed_distinct_values
     from .joins import bloom_semi_join, bucketed_hash_join
 
-    ids_ds = (
+    # DISTINCT candidate ids via the bucketed reducer, never
+    # groupby(id).aggregate() — id cardinality scales with the corpus
+    # (the sort-aggregate group-cardinality pathology, CLAUDE.md)
+    ids_ds = bucketed_distinct_values(
         pairs_ds.map_batches(
             lambda b: pd.DataFrame({id_col: pd.concat([b["a"], b["b"]], ignore_index=True)}),
             batch_format="pandas",
-        )
-        .groupby(id_col)
-        .aggregate(Count(alias_name="_n"))
-        .select_columns([id_col])
-        .materialize()
-    )
+        ),
+        id_col,
+    ).materialize()
     if ids_ds.count() <= broadcast_max_ids:
         cand = [r[id_col] for r in ids_ds.take_all()]  # bounded by candidates
         sets = _shingle_set_dataset(ds, cand, col, id_col, ngram).materialize()
@@ -830,6 +911,18 @@ class SimHashSignatures:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # typed empty emission — see MinHashSignatures/HyperplaneLSH
+            return pa.table(
+                {
+                    self.id_col: pa.array(
+                        [], type=batch.schema.field(self.id_col).type
+                    ),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
         texts = batch[self.col].to_numpy(zero_copy_only=False)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sh = simhash_vector(texts)
@@ -1203,8 +1296,23 @@ def embedding_candidate_pairs(
     — a hot bucket of near-identical vectors emits O(bucket) pairs, never
     O(bucket^2), and no task ever densifies a whole bucket's matrix."""
     if dim is None:
-        first = ds.take(1)[0][col]
-        dim = len(first)
+        head = ds.take(1)
+        if not head:
+            # empty / fully-filtered input: no pairs by definition — emit the
+            # typed empty pair table instead of IndexError-ing on take(1)
+            import ray.data as _rd
+
+            return _rd.from_arrow(
+                pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "emb_norm_a": pa.array([], pa.list_(pa.float32())),
+                        "emb_norm_b": pa.array([], pa.list_(pa.float32())),
+                    }
+                )
+            )
+        dim = len(head[0][col])
     sig = ds.map_batches(
         HyperplaneLSH(dim, n_bits, bands, col=col, id_col=id_col), batch_format="pyarrow"
     )

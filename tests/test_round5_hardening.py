@@ -1,0 +1,273 @@
+"""Round-5 hardening regressions (self-review findings): the salted
+conversation path's distributed branch and edge cases (corrected-row drop
+ordering, all-null-ts chunk prefix carry, negative turn_idx, empty input),
+distributed_components convergence on chain components, and typed
+empty-batch emission in the LSH signature stages."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from events_validator_ray.spec import transcript_spec
+from events_validator_ray.stages.conversation import (
+    conversation_violations,
+    conversation_violations_salted,
+)
+
+VCOLS = ["event_id", "field", "error_type", "expected", "actual"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    return (
+        df[VCOLS]
+        .fillna("")
+        .sort_values(VCOLS)
+        .reset_index(drop=True)
+        .astype(str)
+    )
+
+
+def _conv_with_forward_outlier() -> pa.Table:
+    """One conversation where an EARLY chunk holds the running ts max and a
+    LATER chunk has within-chunk disorder — the suspect-chunk scenario whose
+    corrected rows the distributed branch used to drop."""
+    base = 1_704_067_200_000_000
+    n = 14
+    ts = base + np.arange(n, dtype=np.int64) * 100_000_000
+    ts[5] = base + 1_000_000_000_000  # forward outlier (chunk 0 at chunk=10)
+    ts[12] = ts[11] - 50_000_000  # within-chunk disorder in chunk 1
+    return pa.table(
+        {
+            "conv_id": pa.array(["conv_00000000"] * n),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(
+                ["user" if i % 2 == 0 else "assistant" for i in range(n)]
+            ),
+            "text": pa.array([f"turn {i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+@pytest.mark.parametrize("take_all_max_rows", [2_000_000, 0])
+def test_salted_distributed_branch_equals_unsalted(
+    ray_session, take_all_max_rows
+):
+    """Force the distributed branch (driver_max_rows=0) on the suspect-chunk
+    fixture: phase 2's corrected ts rows must survive the suspect-row drop
+    (the drop runs on phase 1's rows BEFORE the union). Parametrized over
+    the take_all and bucketed phase-2 merge sub-branches."""
+    import ray.data as rd
+
+    tbl = _conv_with_forward_outlier()
+    spec = transcript_spec()
+    plain = norm(
+        conversation_violations(rd.from_arrow(tbl), spec)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    assert (plain["error_type"] == "order").any()  # fixture actually fires
+    salted = norm(
+        conversation_violations_salted(
+            rd.from_arrow(tbl),
+            spec,
+            chunk=10,
+            driver_max_rows=0,
+            take_all_max_rows=take_all_max_rows,
+        )
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_allnull_ts_chunk_carries_prefix(ray_session):
+    """An all-null-ts chunk between the running max and later disorder must
+    not reset the cross-chunk prefix (cummax leaves NaN at all-null chunks;
+    the fillna(-inf) guard keeps the carry alive)."""
+    import ray.data as rd
+
+    base = 1_704_067_200_000_000
+    n = 12  # chunk=4 -> chunks 0..2
+    ts = [base + i * 100_000_000 for i in range(n)]
+    ts[3] = base + 1_000_000_000_000  # chunk-0 running max
+    for i in range(4, 8):  # chunk 1: all-null ts
+        ts[i] = None
+    # chunk 2 starts below chunk 0's max -> cross-chunk violation
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv_00000000"] * n),
+            "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+            "role": pa.array(
+                ["user" if i % 2 == 0 else "assistant" for i in range(n)]
+            ),
+            "text": pa.array([f"turn {i}" for i in range(n)]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+    spec = transcript_spec()
+    plain = norm(
+        conversation_violations(rd.from_arrow(tbl), spec)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    assert (plain["error_type"] == "order").any()
+    for forced in ({}, {"driver_max_rows": 0}):
+        salted = norm(
+            conversation_violations_salted(
+                rd.from_arrow(tbl), spec, chunk=4, **forced
+            )
+            .select_columns(VCOLS)
+            .to_pandas()
+        )
+        pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_negative_turn_idx_equals_unsalted(ray_session):
+    """Dirty data with negative turn_idx: floor division would put it in
+    chunk -1, outside every chunk-0-anchored assumption — the clamp folds it
+    into chunk 0 and the salted path stays row-identical to the unsalted."""
+    import ray.data as rd
+
+    base = 1_704_067_200_000_000
+    turns = np.arange(-2, 6, dtype=np.int32)  # -2..5
+    n = len(turns)
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["conv_00000000"] * n),
+            "turn_idx": pa.array(turns),
+            "role": pa.array(
+                ["user" if i % 2 == 0 else "assistant" for i in range(n)]
+            ),
+            "text": pa.array([f"turn {t}" for t in turns]),
+            "tool": pa.array([None] * n, type=pa.string()),
+            "ts": pa.array(
+                base + np.arange(n, dtype=np.int64) * 100_000_000,
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    spec = transcript_spec()
+    plain = norm(
+        conversation_violations(rd.from_arrow(tbl), spec)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    # min-turn violation fires (min turn is -2, not 0)
+    assert ("-2" == plain["actual"]).any()
+    salted = norm(
+        conversation_violations_salted(rd.from_arrow(tbl), spec, chunk=4)
+        .select_columns(VCOLS)
+        .to_pandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_empty_input_returns_empty(ray_session):
+    """Empty/fully-clean shard: the driver branch must return the typed
+    empty violation table, not KeyError on a column-less to_pandas frame."""
+    import ray.data as rd
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    out = conversation_violations_salted(
+        rd.from_arrow(tbl), transcript_spec(), chunk=4
+    )
+    assert out.count() == 0
+    assert "event_id" in out.schema().names
+
+
+def _chain_pairs(n: int):
+    import ray.data as rd
+
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": np.arange(n - 1, dtype=np.int64),
+                "b": np.arange(1, n, dtype=np.int64),
+            }
+        )
+    )
+
+
+def test_distributed_components_long_chain_broadcast(ray_session):
+    """A 30-hop chain (the _bucket_pairs chain-fallback worst case) must
+    resolve to ONE component within the default round budget — driver path
+    compression makes broadcast-mode convergence O(log diameter)."""
+    from events_validator_ray.stages.dedup import distributed_components
+
+    labels = {
+        r["src"]: r["label"]
+        for r in distributed_components(_chain_pairs(30)).take_all()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 30
+
+
+def test_distributed_components_long_chain_join_mode(ray_session):
+    """Join mode (broadcast_max_labels=0): the distributed pointer-jump must
+    converge a 40-hop chain within the default budget."""
+    from events_validator_ray.stages.dedup import distributed_components
+
+    labels = {
+        r["src"]: r["label"]
+        for r in distributed_components(
+            _chain_pairs(40), broadcast_max_labels=0
+        ).take_all()
+    }
+    assert set(labels.values()) == {0} and len(labels) == 40
+
+
+def test_distributed_components_nonconvergence_raises(ray_session):
+    """Exhausting max_rounds without convergence must raise, never return a
+    silently split component."""
+    from events_validator_ray.stages.dedup import distributed_components
+
+    with pytest.raises(RuntimeError, match="not converged"):
+        distributed_components(
+            _chain_pairs(64), broadcast_max_labels=0, max_rounds=2
+        )
+
+
+def test_signature_stages_typed_empty_batches():
+    """Empty blocks must keep the id column's type (string here), never flip
+    it to Arrow null type and desynchronize block schemas."""
+    from events_validator_ray.stages.dedup import (
+        MinHashSignatures,
+        SimHashSignatures,
+    )
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.string()), "text": pa.array([], pa.string())}
+    )
+    for stage in (MinHashSignatures(), SimHashSignatures()):
+        out = stage(empty)
+        assert out.num_rows == 0
+        assert out.schema.field("doc_id").type == pa.string()
+        assert out.schema.field("band_hash").type == pa.int64()
+
+
+def test_embedding_candidate_pairs_empty_input(ray_session):
+    """Empty embedding input: no pairs, not IndexError on dim inference."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.dedup import embedding_candidate_pairs
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_candidate_pairs(rd.from_arrow(empty))
+    assert out.count() == 0
