@@ -100,11 +100,15 @@ def bucketed_count_per_key(
     from .sketches import hash64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _canon_key_str
+
         out = df.groupby(key_col, sort=False).size().rename("_n").reset_index()
         out["_n"] = out["_n"].astype("int64")
+        # canonical key form for the bucket hash: a key arriving int64 in
+        # one block and float64 in another (int64-with-nulls Arrow->pandas)
+        # must land in the SAME bucket or its partials never re-merge
         out["_kb"] = (
-            hash64(out[key_col].astype(str).to_numpy(dtype=object))
-            % np.uint64(num_buckets)
+            hash64(_canon_key_str(out[key_col])) % np.uint64(num_buckets)
         ).astype(np.int64)
         return out
 
@@ -141,12 +145,15 @@ def bucketed_distinct_values(ds, col: str, num_buckets: int = 64):
     from .sketches import hash64
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _canon_key_str
+
         d = df[[col]].drop_duplicates()
+        # canonical value form for the bucket hash (int64-with-nulls blocks
+        # render 5 as '5.0' — see bucketed_count_per_key)
         d = d.assign(
-            _kb=(
-                hash64(d[col].astype(str).to_numpy(dtype=object))
-                % np.uint64(num_buckets)
-            ).astype(np.int64)
+            _kb=(hash64(_canon_key_str(d[col])) % np.uint64(num_buckets)).astype(
+                np.int64
+            )
         )
         return d
 
@@ -186,7 +193,15 @@ def distinct_count_per_key(pairs_ds, key_col: str, val_col: str, out_col: str, m
     from .sketches import hash64
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        pair = df[key_col].astype(str).str.cat(df[val_col].astype(str), sep=":")
+        from .joins import _canon_key_str
+
+        # canonical forms for BOTH pair components: a (key, val) pair must
+        # hash to one bucket regardless of per-block int64/float64 dtype
+        # (int64-with-nulls Arrow->pandas), or the cross-bucket dedup
+        # double-counts it
+        pair = pd.Series(_canon_key_str(df[key_col])).str.cat(
+            pd.Series(_canon_key_str(df[val_col])), sep=":"
+        )
         b = (hash64(pair.to_numpy(dtype=object)) % np.uint64(num_buckets)).astype(
             np.int64
         )
@@ -195,12 +210,13 @@ def distinct_count_per_key(pairs_ds, key_col: str, val_col: str, out_col: str, m
     bucketize.__name__ = "pair_bucket_combiner"
 
     def partial_counts(g: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _canon_key_str
+
         d = g.drop_duplicates([key_col, val_col])
         out = d.groupby(key_col, sort=False).size().rename("_n").reset_index()
         out["_n"] = out["_n"].astype("int64")
         out["_kb"] = (
-            hash64(out[key_col].astype(str).to_numpy(dtype=object))
-            % np.uint64(num_buckets)
+            hash64(_canon_key_str(out[key_col])) % np.uint64(num_buckets)
         ).astype(np.int64)
         return out
 
@@ -627,7 +643,14 @@ def small_group_rollup(ds, key_col: str, aggs: list, sort: bool = True):
 
     partial.__name__ = "small_group_partials"
     cols = [key_col] + [a[0] for a in aggs]
-    pdf = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # project before the scan: the partial reads only the key + agg sources,
+    # so wide payload columns must not pay the Arrow->pandas conversion
+    in_cols = [key_col] + sorted({a[1] for a in aggs if a[1]})
+    pdf = (
+        ds.select_columns(in_cols)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()
+    )
     if pdf.empty:
         out = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
         out[key_col] = out[key_col].astype(object)
@@ -657,9 +680,11 @@ def bucketed_reduce_per_key(ds, key_col: str, aggs: list, num_buckets: int = 64)
         for out_col, src, how in aggs:
             out[out_col] = g.size() if how == "size" else getattr(g[src], how)()
         p = pd.DataFrame(out).reset_index()
+        from .joins import _canon_key_str
+
+        # canonical key form for the bucket hash (see bucketed_count_per_key)
         p["_kb"] = (
-            hash64(p[key_col].astype(str).to_numpy(dtype=object))
-            % np.uint64(num_buckets)
+            hash64(_canon_key_str(p[key_col])) % np.uint64(num_buckets)
         ).astype(np.int64)
         return p
 

@@ -170,11 +170,23 @@ def asof_join(
 
     def join_bucket(g: pa.Table) -> pd.DataFrame:
         l, r = _split_sides(g, left_cols, [by, on] + out_right)
+        # pandas merge_asof RAISES on null on-keys (and by-nulls are
+        # dtype-dependent); SQL ASOF LEFT JOIN keeps such left rows
+        # unmatched (NULL never satisfies the equi/inequality condition) —
+        # split them out, join the rest, append them back with null right
+        # columns
+        null_mask = (l[on].isna() | l[by].isna()) if len(l) else l[on].isna()
+        null_on = l[null_mask] if len(l) else l
+        l = l[~null_mask] if len(l) else l
         l = l.sort_values(on, kind="stable")
         r = _nullable_ints(r.sort_values(on, kind="stable"), skip=(by, on))
         # empty sides keep their Arrow-derived dtypes through merge_asof, so
         # empty buckets emit the same block schema as full ones
         merged = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        if len(null_on):
+            for c in out_right:
+                null_on = null_on.assign(**{c: pd.NA})
+            merged = pd.concat([merged, null_on[all_cols]], ignore_index=True)
         return merged[all_cols]
 
     join_bucket.__name__ = "asof_bucket"
@@ -204,6 +216,16 @@ def range_join(
     left_cols = list(left.schema().names)
     right_cols = list(right.schema().names)
     out_right = [c for c in right_cols if c != on]
+    clash = set(left_cols) & set(out_right)
+    if clash:
+        # no implicit suffixing here (unlike asof_join's rename map): a
+        # shared payload column would duplicate entries in the tagged-union
+        # projection and break the per-bucket merge — fail loudly up front
+        raise ValueError(
+            f"range_join: column(s) {sorted(clash)} exist on both sides; "
+            "rename the right side's payload columns before joining "
+            f"(only the key {on!r} may be shared)."
+        )
     all_cols = left_cols + out_right
 
     def tag(side: str):
@@ -254,11 +276,11 @@ class BloomFilter:
 
     @staticmethod
     def _h2(h1: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            z = (h1 + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return (z ^ (z >> np.uint64(31))) | np.uint64(1)  # odd -> full cycle
+        # one shared splitmix64 finalizer (stages/sampling.py), forced odd
+        # so the double-hash stride cycles the full table
+        from .sampling import splitmix64
+
+        return splitmix64(h1) | np.uint64(1)
 
     def _positions(self, keys) -> np.ndarray:
         from ..stages.sketches import hash64
@@ -299,6 +321,11 @@ def build_bloom(keys_ds, on: str, n_bits_log2: int = 22, k: int = 4) -> BloomFil
         return pd.DataFrame({"payload": [pickle.dumps(b.bits)]})
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            # empty partition (repartition can make them; whether the UDF
+            # runs on empty blocks is Ray-version-dependent) — emit zero
+            # rows, never a pickled None the driver OR can't consume
+            return pd.DataFrame({"payload": pd.Series([], dtype=object)})
         acc = None
         for p in df["payload"]:
             bits = pickle.loads(p)
@@ -341,8 +368,6 @@ def bloom_semi_join(
     cardinalities; use `semi_join_filter` when the key set comfortably fits
     an object-store broadcast."""
     import ray
-
-    from ray.data.aggregate import Count
 
     bloom_ref = ray.put(build_bloom(keys_ds, on, n_bits_log2, k))
     holder: dict = {}
@@ -399,8 +424,6 @@ def bloom_anti_join(
     preferred to materializing it or to shuffling the miss rows through the
     join."""
     import ray
-
-    from ray.data.aggregate import Count
 
     bloom_ref = ray.put(build_bloom(keys_ds, on, n_bits_log2, k))
     holder: dict = {}

@@ -80,6 +80,10 @@ def mixture_sample(ds, group_col: str, id_col: str, rates: dict, scale: int = 10
     thresholds = {g: int(round(r * scale)) for g, r in rates.items()}
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
+        # NULL ids drop (the SQL twin's `id % scale` is NULL -> row dropped;
+        # mod_sample does the same) — and a float64 id column carrying NaN
+        # (int64-with-nulls Arrow->pandas) would crash the int64 cast
+        df = df[df[id_col].notna()]
         thr = df[group_col].map(thresholds).fillna(0).to_numpy(dtype=np.int64)
         ids = df[id_col].to_numpy(dtype=np.int64)
         return df[np.fmod(ids, scale) < thr]
@@ -670,14 +674,39 @@ def grouped_quantiles(ds, key: str, col: str, qs=(0.5, 0.9, 0.99)):
     distribution stats (e.g. price quantiles per priority class, turn-count
     quantiles per role).
 
-    Scale shape: ONE groupby((key, col)) value-count shuffle (bounded by the
-    joint cardinality, never the corpus), then a per-key vectorized rank walk
-    inside map_groups. Returns a Dataset (key, q_permille, value)."""
+    Scale shape: per-batch pandas (key, col) pair counts → KEY-hash bucket →
+    per-bucket partial merge + rank walk, one shuffle whose volume is
+    bounded by blocks × per-block joint cardinality, never the corpus — and
+    never `groupby([key, col]).aggregate()`, whose sort degrades with GROUP
+    cardinality (a continuous col makes the pair count ≈ the corpus; the
+    CLAUDE.md group-cardinality rule). Bucketing by KEY keeps every key's
+    pairs in one task, which the exact rank walk requires anyway. Returns a
+    Dataset (key, q_permille, value)."""
     import numpy as np
 
-    from ray.data.aggregate import Count
+    from .sketches import hash64
 
-    vc = ds.select_columns([key, col]).groupby([key, col]).aggregate(Count(alias_name="n"))
+    num_buckets = 64
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _canon_key_str
+
+        out = (
+            df.groupby([key, col], sort=False, dropna=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        out["_kb"] = (
+            hash64(_canon_key_str(out[key])) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    pair_partials.__name__ = "grouped_quantile_partials"
+    vc_parts = ds.select_columns([key, col]).map_batches(
+        pair_partials, batch_format="pandas"
+    )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         group_val = g[key].iloc[0]
@@ -706,5 +735,15 @@ def grouped_quantiles(ds, key: str, col: str, qs=(0.5, 0.9, 0.99)):
             )
         return pd.DataFrame(rows)
 
-    per_key.__name__ = "grouped_quantiles"
-    return vc.groupby(key).map_groups(per_key, batch_format="pandas")
+    def bucket_final(g: pd.DataFrame) -> pd.DataFrame:
+        # merge cross-block partials (sum per pair), then walk each key
+        m = (
+            g.groupby([key, col], sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        outs = [per_key(sub) for _, sub in m.groupby(key, sort=False, dropna=False)]
+        return pd.concat(outs, ignore_index=True)
+
+    bucket_final.__name__ = "grouped_quantiles"
+    return vc_parts.groupby("_kb").map_groups(bucket_final, batch_format="pandas")

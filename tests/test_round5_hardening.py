@@ -271,3 +271,140 @@ def test_embedding_candidate_pairs_empty_input(ray_session):
     )
     out = embedding_candidate_pairs(rd.from_arrow(empty))
     assert out.count() == 0
+
+
+def test_bucketed_reducers_merge_mixed_dtype_key_blocks(ray_session):
+    """A key arriving int64 in one block and float64 in another (the
+    int64-with-nulls Arrow->pandas round trip) must land in ONE bucket and
+    merge — non-canonical astype(str) bucketing split it ('5' vs '5.0') and
+    emitted duplicate key rows."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import (
+        bucketed_count_per_key,
+        bucketed_distinct_values,
+        bucketed_reduce_per_key,
+        distinct_count_per_key,
+    )
+
+    # block A: int64 keys (no nulls); block B: same keys + a null -> pandas
+    # float64 in the partial stage
+    a = pa.table({"k": pa.array([5, 5, 7], pa.int64()), "v": pa.array([1, 2, 3], pa.int64())})
+    b = pa.table({"k": pa.array([5, 7, None], pa.int64()), "v": pa.array([4, 5, 6], pa.int64())})
+    ds = rd.from_arrow(a).union(rd.from_arrow(b))
+
+    counts = bucketed_count_per_key(ds, "k", "n").to_pandas()
+    got = {int(r.k): int(r.n) for r in counts.itertuples() if pd.notna(r.k)}
+    assert got == {5: 3, 7: 2}
+    assert len(counts[counts["k"].notna()]) == 2  # one row per key, merged
+
+    distinct = bucketed_distinct_values(ds, "k").to_pandas()
+    vals = sorted(int(v) for v in distinct["k"] if pd.notna(v))
+    assert vals == [5, 7]
+
+    red = bucketed_reduce_per_key(ds, "k", [("s", "v", "sum")]).to_pandas()
+    rgot = {int(r.k): int(r.s) for r in red.itertuples() if pd.notna(r.k)}
+    assert rgot == {5: 1 + 2 + 4, 7: 3 + 5}
+
+    dc = distinct_count_per_key(ds, "k", "v", "nv").to_pandas()
+    dgot = {int(r.k): int(r.nv) for r in dc.itertuples() if pd.notna(r.k)}
+    assert dgot == {5: 3, 7: 2}
+
+
+def test_asof_join_null_left_keys_kept_unmatched(ray_session):
+    """Left rows with NULL on/by keys must survive as unmatched (SQL ASOF
+    LEFT JOIN), not crash pandas merge_asof."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import asof_join
+
+    left = pa.table(
+        {
+            "u": pa.array([1, 1, None, 2], pa.int64()),
+            "t": pa.array([10, None, 5, 8], pa.int64()),
+            "ev": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    right = pa.table(
+        {
+            "u": pa.array([1, 2], pa.int64()),
+            "t": pa.array([7, 9], pa.int64()),
+            "price": pa.array([100, 200], pa.int64()),
+        }
+    )
+    out = (
+        asof_join(rd.from_arrow(left), rd.from_arrow(right), on="t", by="u")
+        .to_pandas()
+        .sort_values("ev")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 4  # every left row kept
+    by_ev = out.set_index("ev")
+    assert int(by_ev.loc["a", "price"]) == 100  # 10 >= 7 matched
+    assert pd.isna(by_ev.loc["b", "price"])  # null t -> unmatched
+    assert pd.isna(by_ev.loc["c", "price"])  # null u -> unmatched
+    assert pd.isna(by_ev.loc["d", "price"])  # 8 < 9 -> no as-of match
+
+
+def test_mixture_sample_null_ids_dropped(ray_session):
+    """NULL ids drop (the SQL twin's id % scale is NULL), never crash the
+    int64 cast on a NaN-bearing float column."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import mixture_sample
+
+    t = pa.table(
+        {
+            "src": pa.array(["web"] * 4),
+            "doc_id": pa.array([0, 999, None, 499], pa.int64()),
+        }
+    )
+    out = mixture_sample(
+        rd.from_arrow(t), "src", "doc_id", rates={"web": 0.5}, scale=1000
+    ).to_pandas()
+    assert sorted(int(x) for x in out["doc_id"]) == [0, 499]
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    """The bucketed pair-count shape must stay exact vs quantile_disc on a
+    continuous column (the shape the old corpus-cardinality aggregate paid
+    its sort on)."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.sampling import grouped_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "seg": rng.choice(["a", "b", "c"], 4_000),
+            "price": np.round(rng.uniform(1, 1000, 4_000), 2),
+        }
+    )
+    got = (
+        grouped_quantiles(rd.from_pandas(df).repartition(6), "seg", "price")
+        .to_pandas()
+        .sort_values(["seg", "q_permille"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT seg, q_permille, value FROM ("
+        "  SELECT seg, 500 AS q_permille, quantile_disc(price, 0.5) AS value FROM df GROUP BY seg"
+        "  UNION ALL SELECT seg, 900, quantile_disc(price, 0.9) FROM df GROUP BY seg"
+        "  UNION ALL SELECT seg, 990, quantile_disc(price, 0.99) FROM df GROUP BY seg"
+        ") ORDER BY seg, q_permille"
+    ).df()
+    assert got["seg"].to_list() == want["seg"].to_list()
+    assert got["q_permille"].to_list() == want["q_permille"].to_list()
+    assert np.allclose(got["value"].to_numpy(), want["value"].to_numpy())
+
+
+def test_range_join_column_collision_raises(ray_session):
+    import ray.data as rd
+
+    from events_validator_ray.stages.joins import range_join
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1]), "p": pa.array([5]), "v": pa.array([1])}))
+    r = rd.from_arrow(pa.table({"k": pa.array([1]), "lo": pa.array([0]), "hi": pa.array([9]), "v": pa.array([2])}))
+    with pytest.raises(ValueError, match="both sides"):
+        range_join(l, r, on="k", point="p", lo="lo", hi="hi")
