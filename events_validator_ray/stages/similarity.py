@@ -27,14 +27,30 @@ def _normalize(M: np.ndarray) -> np.ndarray:
 
 class BruteForceTopK:
     """map_batches stage: per-batch cosine top-k against the broadcast query
-    matrix (queries fetched from the object store once per worker)."""
+    matrix (queries fetched from the object store once per worker).
 
-    def __init__(self, queries_ref, k: int, col: str = "embedding", id_col: str = "vec_id"):
-        self.queries_ref = queries_ref  # ray.ObjectRef to (q_ids, Q) or the tuple itself
+    `bucket_col` + a probe matrix in the broadcast tuple restrict each QUERY
+    to its own probed IVF buckets — without it, ann_topk_ivf scored every
+    query against the UNION of all queries' buckets, which approaches brute
+    force as the query count grows (the per-query probe lists were dead)."""
+
+    def __init__(
+        self,
+        queries_ref,
+        k: int,
+        col: str = "embedding",
+        id_col: str = "vec_id",
+        bucket_col: str | None = None,
+    ):
+        # ray.ObjectRef to (q_ids, Q) or (q_ids, Q, probe) — probe is an
+        # (n_q, nprobe) int bucket matrix, required when bucket_col is set
+        self.queries_ref = queries_ref
         self.k = k
         self.col = col
         self.id_col = id_col
+        self.bucket_col = bucket_col
         self._q = None
+        self._probe = None
 
     def _queries(self):
         if self._q is None:
@@ -46,7 +62,11 @@ class BruteForceTopK:
                     obj = ray.get(obj)
             except Exception:
                 pass
-            q_ids, Q = obj
+            if len(obj) == 3:
+                q_ids, Q, probe = obj
+                self._probe = np.asarray(probe)
+            else:
+                q_ids, Q = obj
             self._q = (np.asarray(q_ids), _normalize(np.asarray(Q, dtype=np.float64)))
         return self._q
 
@@ -64,12 +84,28 @@ class BruteForceTopK:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         E = _normalize(np.stack(batch[self.col].to_numpy(zero_copy_only=False)).astype(np.float64))
         sims = Q @ E.T  # (n_queries, batch)
+        if self.bucket_col is not None and self._probe is not None:
+            # per-query IVF restriction: -inf out columns whose bucket this
+            # query did not probe (nprobe × n_q small; batch-sized mask)
+            b = batch[self.bucket_col].to_numpy(zero_copy_only=False)
+            allowed = (self._probe[:, :, None] == b[None, None, :]).any(axis=1)
+            sims = np.where(allowed, sims, -np.inf)
         k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        # kth-largest per query, then keep score >= kth INCLUDING boundary
+        # ties: a bare argpartition keeps an arbitrary k of a tied set, and
+        # the global (score DESC, vec_id ASC) tie-break can't recover a
+        # candidate the batch already dropped (exact-duplicate embeddings
+        # make bit-identical scores the normal case on a near-dup corpus)
+        kth = -np.partition(-sims, k - 1, axis=1)[:, k - 1]
         rows_q, rows_v, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            idx = top[qi]
-            rows_q.append(np.full(k, q_ids[qi]))
+            cand = np.nonzero(sims[qi] >= kth[qi])[0]
+            order = np.lexsort((ids[cand], -sims[qi][cand]))
+            idx = cand[order[:k]]
+            # masked-out columns surface as -inf: a query with < k allowed
+            # candidates in this batch emits only the real ones
+            idx = idx[np.isfinite(sims[qi, idx])]
+            rows_q.append(np.full(len(idx), q_ids[qi]))
             rows_v.append(ids[idx])
             rows_s.append(sims[qi, idx])
         return pa.table(
@@ -212,9 +248,13 @@ def ann_topk_ivf(
         return t.filter(pa.array(np.isin(b, buckets)))
 
     filtered = assigned.map_batches(keep_probed, batch_format="pyarrow")
-    qref = ray.put((q_ids, Q))
+    # ship the per-query probe matrix so scoring restricts each query to ITS
+    # buckets — scoring the union of all queries' buckets approaches brute
+    # force as the query count grows
+    qref = ray.put((q_ids, Q, probe.astype(np.int32)))
     partials = filtered.map_batches(
-        BruteForceTopK(qref, k, col, id_col), batch_format="pyarrow"
+        BruteForceTopK(qref, k, col, id_col, bucket_col="ivf_bucket"),
+        batch_format="pyarrow",
     ).to_pandas()
     partials = partials.sort_values(
         ["query_id", "score", "vec_id"], ascending=[True, False, True]
@@ -659,6 +699,18 @@ class _KnnGraphBlock:
         n, m = sims.shape
         kk = min(self.k + 1, m)  # +1: the self column is dropped below
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # rows with MORE than kk candidates tied at the kk-th score got an
+        # arbitrary subset from argpartition — repair those rows with the
+        # full tied set + the deterministic (score DESC, id ASC) order (the
+        # normal case on near-dup corpora: bit-identical duplicate vectors)
+        kthv = np.take_along_axis(
+            sims, part[:, kk - 1 : kk], axis=1
+        ).ravel()  # kk-th largest per row (any element of the boundary tie)
+        overflow = (sims >= kthv[:, None]).sum(axis=1) > kk
+        for ri in np.nonzero(overflow)[0]:
+            cand = np.nonzero(sims[ri] >= kthv[ri])[0]
+            order = np.lexsort((all_ids[cand], -sims[ri][cand]))
+            part[ri] = cand[order[:kk]]
         ps = np.take_along_axis(sims, part, axis=1)
         pid = all_ids[part]
         row = np.repeat(np.arange(n, dtype=np.int64), kk)

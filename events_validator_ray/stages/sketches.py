@@ -189,25 +189,24 @@ class TDigest:
         order = np.argsort(self.means, kind="stable")
         means, weights = self.means[order], self.weights[order]
         total = weights.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cur_m, cur_w = means[0], weights[0]
-        w_so_far = 0.0
-        for m, w in zip(means[1:], weights[1:]):
-            q0 = w_so_far / total
-            q1 = (w_so_far + cur_w + w) / total
-            if self._k(np.array([q1]))[0] - self._k(np.array([q0]))[0] <= 1.0:
-                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
-                cur_w += w
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                w_so_far += cur_w
-                cur_m, cur_w = m, w
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.array(out_m)
-        self.weights = np.array(out_w)
+        # vectorized unit-k-bin clustering (the MergingDigest bin-assignment
+        # variant): each sorted centroid lands in floor(k(q_mid)); k1 is
+        # monotone, so bins are consecutive runs each spanning k-width <= 1
+        # — the t-digest size invariant — merged with one add.at pass. The
+        # previous sequential greedy paid a Python loop with two 1-element
+        # numpy k() calls PER VALUE on every sketched batch.
+        cum = np.cumsum(weights)
+        q_mid = (cum - weights / 2) / total
+        bins = np.floor(self._k(q_mid)).astype(np.int64)
+        first = np.r_[True, bins[1:] != bins[:-1]]
+        gidx = np.cumsum(first) - 1
+        n = int(gidx[-1]) + 1
+        w_out = np.zeros(n)
+        np.add.at(w_out, gidx, weights)
+        mw = np.zeros(n)
+        np.add.at(mw, gidx, means * weights)
+        self.means = mw / w_out
+        self.weights = w_out
 
     def quantile(self, q: float) -> float | None:
         if not self.means.size:
@@ -298,13 +297,27 @@ class NumHist:
         vals = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
         if not vals.size:
             return
-        idx = np.floor((vals - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
-        under = idx < 0
-        over = idx >= self.bins
+        # classify by VALUE comparison, never by the float->int64 cast of
+        # the bin index: NaN and overflow-huge values cast to INT64_MIN
+        # (undefined), which silently misbinned them as LOW-side drift.
+        # NaN counts with the missing bucket (the engine's NaN-as-null
+        # stance); ±inf and out-of-range land in under/over correctly.
+        nan = np.isnan(vals)
+        if nan.any():
+            self.counts[-1] += int(nan.sum())
+            vals = vals[~nan]
+            if not vals.size:
+                return
+        under = vals < self.lo
+        over = vals >= self.hi
         mid = ~(under | over)
         self.counts[0] += int(under.sum())
         self.counts[self.bins + 1] += int(over.sum())
-        np.add.at(self.counts, idx[mid] + 1, 1)
+        idx = np.floor(
+            (vals[mid] - self.lo) / (self.hi - self.lo) * self.bins
+        ).astype(np.int64)
+        # float edge rounding can nudge an in-range value onto a boundary
+        np.add.at(self.counts, np.clip(idx, 0, self.bins - 1) + 1, 1)
 
     def merge(self, other: "NumHist") -> "NumHist":
         self.counts += other.counts
@@ -321,7 +334,11 @@ class NumHist:
 # Ray plumbing: partial-sketch rows -> block combine -> driver merge
 # ---------------------------------------------------------------------------
 
-_KINDS = ("stats", "hll", "tdigest", "cathist", "numhist")
+# bare 'numhist' is NOT valid — it always needs the parametrized
+# 'numhist:lo:hi:bins' form (fixed edges make partials merge associatively);
+# listing it here made plan validation accept a kind every remote batch
+# would then crash on
+_KINDS = ("stats", "hll", "tdigest", "cathist")
 
 
 def _new_sketch(kind: str, col: str):
@@ -335,7 +352,14 @@ def _new_sketch(kind: str, col: str):
         return CatHist()
     if kind.startswith("numhist"):
         # parametrized kind string: "numhist:lo:hi:bins"
-        _, lo, hi, bins = kind.split(":")
+        parts = kind.split(":")
+        if len(parts) != 4:
+            raise ValueError(
+                f"numhist requires explicit edges: 'numhist:lo:hi:bins', "
+                f"got {kind!r} (fixed edges are what makes partials merge "
+                "associatively — take them from the reference profile)"
+            )
+        _, lo, hi, bins = parts
         return NumHist(float(lo), float(hi), int(bins))
     raise ValueError(kind)
 

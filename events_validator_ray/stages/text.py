@@ -33,10 +33,12 @@ LANG_STOPWORDS: dict[str, set[str]] = {
 
 
 class TokenCount:
-    """Token count per doc (whitespace/alnum regex; the BPE-ish proxy) —
-    Arrow split/flatten kernels, no per-token Python."""
+    """Token count per doc over the engine's canonical tokenizer
+    (functions/textkernels.py:tokenize — the pattern is fixed there so the
+    SQL twins agree; no per-stage override) — Arrow split/flatten kernels,
+    no per-token Python."""
 
-    def __init__(self, col: str = "text", pattern: str = TOKEN_PATTERN):
+    def __init__(self, col: str = "text"):
         self.col = col
 
     def __call__(self, batch: "pa.Table") -> pd.DataFrame:
@@ -93,7 +95,6 @@ class QualityScore:
         min_stop_ratio: float = 0.05,
     ):
         self.col = col
-        self.word_re = re.compile(TOKEN_PATTERN)
         self.punct_re = re.compile(r"[^\w\s]")
         self.stop = LANG_STOPWORDS["en"]
         self.min_chars = min_chars
@@ -151,7 +152,6 @@ class LangId:
 
     def __init__(self, col: str = "text", min_score: float = 0.03):
         self.col = col
-        self.word_re = re.compile(TOKEN_PATTERN)
         self.profiles = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
         self.min_score = min_score
 
@@ -610,6 +610,16 @@ def _bitlen_pos(m: np.ndarray) -> np.ndarray:
 def _argmax_per_doc(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
     """One row per doc: max score, ties -> lexicographically smallest term
     (the SQL twin's ORDER BY score DESC, term ASC). Vectorized lexsort."""
+    if not len(df):
+        # np.r_[True, empty] has length 1 vs order's 0 — guard here so every
+        # caller (including map_groups finals) survives empty frames
+        return pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "top_term": pd.Series(dtype=object),
+                "top_score": pd.Series(dtype="int64"),
+            }
+        )
     tcodes = pd.factorize(df["term"], sort=True)[0].astype(np.int64)
     ids = df[id_col].to_numpy(dtype=np.int64)
     score = df["score"].to_numpy(dtype=np.int64)
@@ -650,59 +660,85 @@ def tfidf_top_terms(
 
     from .joins import bucketed_hash_join
 
-    tf_ds = ds.map_batches(TermFrequencies(col, id_col), batch_format="pyarrow")
-    df_ds = term_document_frequencies(tf_ds, num_buckets=num_buckets)
+    tf_stage = TermFrequencies(col, id_col)
+    tf_ds = ds.map_batches(tf_stage, batch_format="pyarrow")
+    # materialize the vocabulary-sized df table: count() + the consumer below
+    # would otherwise re-run the whole corpus tokenization per use (the
+    # ngram_pmi hazard, documented there)
+    df_ds = term_document_frequencies(tf_ds, num_buckets=num_buckets).materialize()
     n_terms = df_ds.count()
 
     if n_terms <= broadcast_max_terms:
         dfp = df_ds.to_pandas()
         ref = ray.put(dict(zip(dfp["term"], dfp["df"].astype("int64"))))
 
-        class ScoreAndPick:
+        class ScoreDocs:
+            """Tokenize + tf + score + per-doc argmax in ONE stage over the
+            original doc rows: the tf expansion never leaves the task, so
+            dynamic output-block splitting can never cut a document's tf
+            rows across blocks mid-argmax (output is one row per doc —
+            block splits between rows are doc-aligned by construction)."""
+
             def __init__(self, df_ref, n: int):
                 self.df_map = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
                 self.n = n
 
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                if len(batch) == 0:
+            def __call__(self, batch: "pa.Table") -> pd.DataFrame:
+                tf_tbl = tf_stage(batch)
+                tfd = tf_tbl.to_pandas()
+                if len(tfd) == 0:
                     return pd.DataFrame(
                         {id_col: pd.Series(dtype="int64"),
                          "top_term": pd.Series(dtype=object),
                          "top_score": pd.Series(dtype="int64")}
                     )
-                dfv = batch["term"].map(self.df_map).to_numpy(dtype=np.int64)
+                dfv = tfd["term"].map(self.df_map).to_numpy(dtype=np.int64)
                 idf = _bitlen_pos(np.int64(self.n) // dfv)
-                scored = batch.assign(score=batch["tf"].to_numpy(dtype=np.int64) * idf)
+                scored = tfd.assign(score=tfd["tf"].to_numpy(dtype=np.int64) * idf)
                 return _argmax_per_doc(scored, id_col)
 
-        return tf_ds.map_batches(
-            ScoreAndPick,
+        return ds.map_batches(
+            ScoreDocs,
             fn_constructor_kwargs={"df_ref": ref, "n": n_docs},
-            batch_format="pandas",
-            batch_size=None,  # whole doc-local blocks: in-batch argmax is final
+            batch_format="pyarrow",
             concurrency=(1, 8),
         )
 
+    # join path: materialize the corpus-scale tf table once — the join
+    # consumes it a second time and a lazy plan would re-tokenize
+    tf_ds = tf_ds.materialize()
     joined = bucketed_hash_join(tf_ds, df_ds, on="term", num_buckets=num_buckets)
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        from .sketches import hash64
+
         if len(batch) == 0:
             return pd.DataFrame(
                 {id_col: pd.Series(dtype="int64"),
                  "top_term": pd.Series(dtype=object),
-                 "top_score": pd.Series(dtype="int64")}
+                 "top_score": pd.Series(dtype="int64"),
+                 "_kb": pd.Series(dtype="int64")}
             )
         idf = _bitlen_pos(np.int64(n_docs) // batch["df"].to_numpy(dtype=np.int64))
         scored = batch.assign(score=batch["tf"].to_numpy(dtype=np.int64) * idf)
-        return _argmax_per_doc(scored, id_col)
+        best = _argmax_per_doc(scored, id_col)
+        # id-hash bucket for the final reduce: groupby(doc_id) pays the
+        # sort-aggregate group-cardinality cost (CLAUDE.md rule) — 64
+        # buckets don't
+        best["_kb"] = (
+            hash64(best[id_col].astype(str).to_numpy(dtype=object)) % np.uint64(64)
+        ).astype(np.int64)
+        return best
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        best = _argmax_per_doc(g.rename(columns={"top_score": "score", "top_term": "term"}), id_col)
+        best = _argmax_per_doc(
+            g.rename(columns={"top_score": "score", "top_term": "term"}), id_col
+        )
         return best
 
     return (
         joined.map_batches(partial, batch_format="pandas")
-        .groupby(id_col)
+        .groupby("_kb")
         .map_groups(final, batch_format="pandas")
     )
 
@@ -715,14 +751,16 @@ def ngram_topk(ds, n: int = 2, k: int = 50, col: str = "text"):
 
     Scale shape: per-batch tokenize → adjacent-join n-grams (windows never
     cross a document) → per-batch value_counts COMBINER, so the shuffle
-    carries one row per (block, distinct gram); single-key groupby Sum; the
-    final sort runs over the distinct-gram table (vocabulary-sized, not
-    corpus-sized) with ties broken on the gram so the LIMIT boundary is
-    engine-independent."""
+    carries one row per (block, distinct gram); the gram sum is a BUCKETED
+    pandas reduce (distinct n-grams grow super-linearly with the corpus —
+    a groupby(gram).aggregate would pay the sort-aggregate group-cardinality
+    cost, CLAUDE.md rule); the final sort runs over the distinct-gram table
+    (vocabulary-sized, not corpus-sized) with ties broken on the gram so
+    the LIMIT boundary is engine-independent."""
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     from ..functions.textkernels import tokenize
+    from .assembly import bucketed_reduce_per_key
 
     def partial_counts(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -750,10 +788,13 @@ def ngram_topk(ds, n: int = 2, k: int = 50, col: str = "text"):
 
     partial_counts.__name__ = f"ngram{n}_partial_counts"
     return (
-        ds.select_columns([col])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("gram")
-        .aggregate(Sum("_n", alias_name="n"))
+        bucketed_reduce_per_key(
+            ds.select_columns([col]).map_batches(
+                partial_counts, batch_format="pyarrow"
+            ),
+            "gram",
+            [("n", "_n", "sum")],
+        )
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
@@ -768,16 +809,17 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text", broadcast_max_terms: in
 
     Scale shape: bigram and unigram count tables are built with per-batch
     value_counts combiners (one row per block × distinct gram on the
-    shuffle), single-key groupby Sums; the bigram table is then min_count-
-    filtered (small) and enriched with the two unigram counts. The unigram
+    shuffle) and BUCKETED pandas sum reduces (distinct grams scale with the
+    corpus — the CLAUDE.md group-cardinality rule); the bigram table is then
+    min_count-filtered (small) and enriched with the two unigram counts. The unigram
     attach is GATED like tfidf's: a vocabulary ≤ broadcast_max_terms is
     ray.put once and mapped in (two shuffle-free lookups); above the gate it
     takes TWO bucketed hash joins (stages/joins.py:bucketed_hash_join) —
     tested path-equal."""
     import pyarrow as pa
-    from ray.data.aggregate import Sum
 
     from ..functions.textkernels import tokenize
+    from .assembly import bucketed_reduce_per_key
     from .joins import bucketed_hash_join
 
     def bigram_partials(t: pa.Table) -> pa.Table:
@@ -821,21 +863,19 @@ def ngram_pmi(ds, min_count: int = 5, col: str = "text", broadcast_max_terms: in
 
     unigram_partials.__name__ = "unigram_partial_counts"
     docs = ds.select_columns([col])
-    bg = (
-        docs.map_batches(bigram_partials, batch_format="pyarrow")
-        .groupby("_g")
-        .aggregate(Sum("_n", alias_name="n_xy"))
-        .filter(expr=f"n_xy >= {int(min_count)}")
-    )
-    uni = (
-        docs.map_batches(unigram_partials, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("_n", alias_name="_n_tok"))
+    bg = bucketed_reduce_per_key(
+        docs.map_batches(bigram_partials, batch_format="pyarrow"),
+        "_g",
+        [("n_xy", "_n", "sum")],
+    ).filter(expr=f"n_xy >= {int(min_count)}")
+    uni = bucketed_reduce_per_key(
+        docs.map_batches(unigram_partials, batch_format="pyarrow"),
+        "tok",
+        [("_n_tok", "_n", "sum")],
         # materialize ONCE: both joins consume this table, and a lazy plan
         # would re-run the whole corpus tokenization per join. The table is
         # vocabulary-sized (never corpus-sized) — a bounded materialization
-        .materialize()
-    )
+    ).materialize()
 
     def split_gram(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:

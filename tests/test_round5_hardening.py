@@ -408,3 +408,89 @@ def test_range_join_column_collision_raises(ray_session):
     r = rd.from_arrow(pa.table({"k": pa.array([1]), "lo": pa.array([0]), "hi": pa.array([9]), "v": pa.array([2])}))
     with pytest.raises(ValueError, match="both sides"):
         range_join(l, r, on="k", point="p", lo="lo", hi="hi")
+
+
+def test_numhist_nan_and_overflow_binning():
+    """NaN counts as missing and huge/infinite values land in over/under by
+    VALUE comparison — the float->int64 index cast sent both to INT64_MIN
+    and reported them as low-side drift."""
+    from events_validator_ray.stages.sketches import NumHist
+
+    h = NumHist(0, 500, 10)
+    h.add_column(pa.array([1e30, float("nan"), 600.0, -5.0, 100.0, float("inf"), float("-inf")]))
+    d = h.as_dict()
+    assert d["<under>"] == 2  # -5.0, -inf
+    assert d["<over>"] == 3  # 1e30, 600.0, +inf
+    assert d["<null>"] == 1  # NaN counts as missing
+    assert d["bin_2"] == 1  # 100.0
+
+
+def test_sketch_plan_rejects_bare_numhist():
+    from events_validator_ray.stages.sketches import SketchPartials
+
+    with pytest.raises(ValueError, match="numhist"):
+        SketchPartials({"v": ("numhist",)})
+    SketchPartials({"v": ("numhist:0:10:5",)})  # parametrized form ok
+
+
+def test_ann_topk_tie_break_across_batches(ray_session):
+    """Exact-duplicate embeddings (bit-identical scores) spanning more than
+    k candidates in one batch: the batch-level truncation must keep the
+    smallest vec_ids, not an arbitrary argpartition subset."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.similarity import ann_topk
+
+    base = np.array([1.0, 0.0, 0.0, 0.0], dtype=np.float32)
+    other = np.array([0.0, 1.0, 0.0, 0.0], dtype=np.float32)
+    n_dup = 12
+    rows = [{"vec_id": i, "embedding": base.copy()} for i in range(n_dup)]
+    rows += [{"vec_id": 100 + i, "embedding": other.copy()} for i in range(4)]
+    ds = rd.from_pandas(pd.DataFrame(rows))  # one block: all dups in a batch
+    out = ann_topk(ds, query_ids=[0], k=5)
+    got = out[out["query_id"] == 0].sort_values("rank")["vec_id"].to_list()
+    assert got == [0, 1, 2, 3, 4]  # smallest ids among the 12 tied duplicates
+
+
+def test_knn_graph_tie_break_with_duplicates(ray_session):
+    """knn_graph neighbor sets under >k-way score ties must match the SQL
+    order (score DESC, neighbor_id ASC)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.similarity import knn_graph
+
+    base = np.array([1.0, 0.0, 0.0], dtype=np.float32)
+    n_dup = 9
+    rows = [{"vec_id": i, "embedding": base.copy()} for i in range(n_dup)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = knn_graph(ds, k=3).to_pandas()
+    # every vector's 3 neighbors = the 3 smallest OTHER ids
+    for vid, g in out.groupby("vec_id"):
+        want = [i for i in range(n_dup) if i != vid][:3]
+        assert sorted(g["neighbor_id"].to_list()) == want, (vid, g)
+
+
+def test_ann_topk_ivf_probes_per_query(ray_session):
+    """nprobe < n_centroids must restrict each query to ITS probed buckets;
+    the full-probe config stays exact vs brute force (the oracle config)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.similarity import ann_topk, ann_topk_ivf
+
+    rng = np.random.default_rng(7)
+    emb = rng.standard_normal((300, 8)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": range(300), "embedding": list(emb)})
+    ds = rd.from_pandas(df).repartition(4)
+    exact = ann_topk(ds, query_ids=[3, 50], k=5)
+    full = ann_topk_ivf(ds, query_ids=[3, 50], k=5, n_centroids=8, nprobe=8)
+    pd.testing.assert_frame_equal(
+        exact.reset_index(drop=True), full.reset_index(drop=True)
+    )
+    # approximate config still returns k rows per query with sane recall
+    approx = ann_topk_ivf(ds, query_ids=[3, 50], k=5, n_centroids=8, nprobe=3)
+    assert (approx.groupby("query_id").size() == 5).all()
+    hits = len(
+        set(map(tuple, approx[["query_id", "vec_id"]].to_numpy()))
+        & set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+    )
+    assert hits >= 5  # >= 50% recall across the 10 exact pairs
