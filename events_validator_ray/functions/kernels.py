@@ -39,6 +39,34 @@ def js_string_cast(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arra
     specials: JS says 'NaN'/'Infinity', Arrow says 'nan'/'inf'."""
     if is_string_type(col.type):
         return col
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        # JS Array.prototype.toString(): elements joined with ',', null
+        # elements render '' (spec.js_tostring semantics) — Arrow's plain
+        # cast raises NotImplementedError here, which crashed any
+        # value/enum/regex rule over a list column
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        inner = js_string_cast(arr.values)
+        if isinstance(inner, pa.ChunkedArray):
+            inner = inner.combine_chunks()
+        inner = pc.fill_null(pc.cast(inner, pa.string()), "")
+        cls = (
+            pa.LargeListArray
+            if pa.types.is_large_list(col.type)
+            else pa.ListArray
+        )
+        lst = cls.from_arrays(arr.offsets, inner)
+        joined = pc.binary_join(lst, ",")
+        return pc.if_else(
+            pc.is_valid(arr), joined, pa.scalar(None, pa.string())
+        )
+    if pa.types.is_struct(col.type):
+        # JS Object.prototype.toString() — constant (spec.js_tostring)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return pc.if_else(
+            pc.is_valid(arr),
+            pa.scalar("[object Object]"),
+            pa.scalar(None, pa.string()),
+        )
     if pa.types.is_timestamp(col.type):
         # match str(datetime) / DuckDB VARCHAR: no '.000000' suffix on whole
         # seconds; Arrow's plain cast (which keeps real 6-digit micros) for

@@ -233,11 +233,16 @@ def y4m_decode(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError("corrupt y4m: expected FRAME marker")
         pos = payload.index(b"\n", pos) + 1
-        y = payload[pos : pos + w * h]
-        if len(y) != w * h:
+        # the WHOLE frame (luma + chroma planes) must be present — checking
+        # only the luma slice would silently accept a stream truncated
+        # mid-chroma in the final frame
+        if pos + fsize > len(payload):
             raise ValueError("truncated y4m frame")
+        y = payload[pos : pos + w * h]
         frames.append(np.frombuffer(y, np.uint8).reshape(h, w))
         pos += fsize
+    if not frames:
+        raise ValueError("corrupt y4m: stream contains no frames")
     return w, h, frames
 
 
@@ -253,7 +258,11 @@ def y4m_encode_mono(frames: list[np.ndarray], fps: tuple[int, int] = (25, 1)) ->
 def sampled_frame_indices(n_source_frames: int, k: int) -> list[int]:
     """Evenly-spaced sample: src_j = (j * (nf - 1)) // (k - 1) — shared with
     the DuckDB oracle (integer floor division on both engines)."""
-    if n_source_frames <= 1 or k == 1:
+    if n_source_frames <= 0:
+        # there is no frame 0 to repeat; y4m_decode raises before this on
+        # frameless streams, so reaching here is a caller bug
+        raise ValueError("sampled_frame_indices: no source frames")
+    if n_source_frames == 1 or k == 1:
         return [0] * k
     return [(j * (n_source_frames - 1)) // (k - 1) for j in range(k)]
 

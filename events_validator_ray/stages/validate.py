@@ -605,6 +605,11 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
             p = pos["length"]
             t = col.type
             if is_string_type(t):
+                # code-POINT length, matching the Python oracle's len().
+                # Known FIXTURES quirk vs real JS String.length (UTF-16 code
+                # UNITS): an astral-plane char counts 1 here, 2 in JS — the
+                # engine-oracle pair is internally consistent, the JS
+                # reference differs on non-BMP input
                 lens = pc.fill_null(pc.utf8_length(col), 0)
             elif pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
                 lens = pc.fill_null(pc.list_value_length(col), 0)
@@ -632,8 +637,22 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
 
     if rule.regex is not None:
         pattern = rule.regex
+        # Arrow's kernel is RE2: no lookaround/backreferences. Probe once at
+        # COMPILE time; RE2-rejected patterns (valid in the JS reference and
+        # the Python oracle's re.search) fall back to a compiled-once
+        # Python-re pass instead of crashing every task at runtime.
+        try:
+            # non-empty probe: Arrow skips RE2 compilation on empty input
+            pc.match_substring_regex(pa.array([""], pa.string()), pattern)
+            py_rx = None
+        except pa.ArrowInvalid:
+            import re as _re
 
-        def regex_check(ctx: _BatchCtx, name=name, pattern=pattern, js_type=js_type) -> list[Branch]:
+            py_rx = _re.compile(pattern)
+
+        def regex_check(
+            ctx: _BatchCtx, name=name, pattern=pattern, js_type=js_type, py_rx=py_rx
+        ) -> list[Branch]:
             # validationHelpers.js:113-127: empty/null -> 'empty_value'; else
             # partial-match RegExp.test with string coercion
             out: list[Branch] = []
@@ -646,7 +665,15 @@ def _compile_field(rule: FieldRule, schema: pa.Schema) -> list[CheckFn]:
             if eidx.size:
                 out.append(Branch(eidx, name, "regex", pattern, "empty_value", p))
             strc = ctx.strcast(name)
-            matched = bool_np(pc.match_substring_regex(strc, pattern))
+            if py_rx is not None:
+                vals = strc.to_pylist()
+                matched = np.fromiter(
+                    (v is not None and py_rx.search(v) is not None for v in vals),
+                    dtype=bool,
+                    count=len(vals),
+                )
+            else:
+                matched = bool_np(pc.match_substring_regex(strc, pattern))
             mask = ~matched & ~nulls & ~empty & ~skip
             idx = np.nonzero(mask)[0]
             if idx.size:
@@ -1058,6 +1085,10 @@ class ValidateDispatchBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
 
+        if batch.num_rows == 0:
+            # empty blocks occur at small scale; the run-boundary walk below
+            # would index sidx[0] on an empty array
+            return pa.Table.from_pylist([], schema=VIOLATION_SCHEMA)
         # ONE dictionary-encode + stable sort partitions the batch into
         # contiguous per-dispatch-value slices (O(N log N) + one take),
         # instead of one full-batch string-mask pass PER SPEC — the win at

@@ -21,6 +21,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ts_us_float(series: pd.Series) -> pd.Series:
+    """Epoch-µs as float64 with NaN for NaT — unit-safe for ns and us
+    inputs (from_pandas corpora arrive as timestamp[ns], parquet as
+    timestamp[us]; µs epochs ≈ 1.7e15 stay exact in float64's 2^53).
+    The single shared normalization for every windowed class; callers
+    choose their own null policy on the NaN."""
+    tsd = pd.to_datetime(series)
+    v = tsd.astype("int64").astype("float64")
+    if str(tsd.dtype).startswith("datetime64[ns"):
+        v = v / 1000.0
+    v = v.where(tsd.notna())
+    return v
+
+
 def tumbling_window_agg(
     ds,
     key: str,
@@ -29,10 +43,19 @@ def tumbling_window_agg(
     value_col: str | None = None,
 ):
     """Per (key, tumbling window) count and optional sum. Returns a Dataset
-    with (key, window_start (epoch s), n, sum_value?)."""
-    from ray.data.aggregate import Count, Sum
+    with (key, window_start (epoch s), n, sum_value?).
 
-    def add_window(t: pa.Table) -> pa.Table:
+    Scale shape: per-batch pandas partials over (key, window) → pair-hash
+    bucket → per-bucket merge. Distinct (key, window) groups scale with
+    users × time span, so a `groupby([key, window]).aggregate()` pays the
+    sort-aggregate group-cardinality cost (CLAUDE.md rule) — the same
+    packed-pair cure sliding_window_distinct uses."""
+    out_cols = [key, "window_start", "n"] + (["sum_value"] if value_col else [])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from .joins import _canon_key_str
+        from .sketches import hash64
+
         # unit-safe: normalize to µs before the int64 view (from_pandas
         # corpora arrive as timestamp[ns]; parquet corpora as timestamp[us])
         epoch = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64())
@@ -40,18 +63,36 @@ def tumbling_window_agg(
             pc.cast(pc.floor(pc.divide(epoch, float(window_s * 1_000_000))), pa.int64()),
             window_s,
         )
-        out = pa.table({key: t[key], "window_start": win})
+        df = pd.DataFrame({key: t[key].to_pandas(), "window_start": win.to_pandas()})
         if value_col:
-            out = out.append_column(value_col, t[value_col])
+            df[value_col] = t[value_col].to_pandas()
+        g = df.groupby([key, "window_start"], sort=False)
+        out = g.size().rename("n").reset_index()
+        if value_col:
+            out["sum_value"] = g[value_col].sum().to_numpy()
+        pair = pd.Series(_canon_key_str(out[key])).str.cat(
+            out["window_start"].astype(str), sep=":"
+        )
+        out["_kb"] = (
+            hash64(pair.to_numpy(dtype=object)) % np.uint64(64)
+        ).astype(np.int64)
         return out
 
-    aggs = [Count(alias_name="n")]
-    if value_col:
-        aggs.append(Sum(value_col, alias_name="sum_value"))
+    partial.__name__ = "tumbling_partials"
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby([key, "window_start"], sort=False)
+        out = gg["n"].sum().reset_index()
+        if value_col:
+            out["sum_value"] = gg["sum_value"].sum().to_numpy()
+        out["n"] = out["n"].astype("int64")
+        return out[out_cols]
+
+    merge.__name__ = "tumbling_merge"
     return (
-        ds.map_batches(add_window, batch_format="pyarrow")
-        .groupby([key, "window_start"])
-        .aggregate(*aggs)
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -65,17 +106,31 @@ def sliding_window_agg(
     """Per (key, sliding/hopping window) count: each event belongs to every
     window [w, w+window) with w a multiple of `slide_s` covering its
     timestamp — vectorized per-batch replication (np.repeat over the
-    per-event window count, window_s/slide_s copies), then one
-    `groupby(key, window_start)`; the shuffle grows by the overlap factor,
-    never the driver."""
+    per-event window count, window_s/slide_s copies) COMBINED in-batch to
+    (key, window, n) partials, then the pair-hash bucketed merge (distinct
+    (key, window) groups scale with the corpus — a multi-key
+    groupby().aggregate() is the CLAUDE.md sort-aggregate hazard). The
+    shuffle carries one row per (block, key, window), never the replicated
+    events."""
     import numpy as np
-
-    from ray.data.aggregate import Count
 
     w_us = window_s * 1_000_000
     s_us = slide_s * 1_000_000
 
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_partial(t: pa.Table) -> pd.DataFrame:
+        from .joins import _canon_key_str
+        from .sketches import hash64
+
+        empty = pd.DataFrame(
+            {
+                key: pd.Series(dtype=object),
+                "window_start": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "_kb": pd.Series(dtype="int64"),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
         epoch = pc.cast(
             pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
         ).to_numpy(zero_copy_only=False)
@@ -85,18 +140,42 @@ def sliding_window_agg(
         first = np.maximum(first, 0)
         last = (epoch // s_us) * s_us
         counts = np.maximum(0, (last - first) // s_us + 1).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
         rep_keys = np.repeat(keys, counts)
         starts = np.repeat(first, counts)
         # offset within each event's window run: 0..counts-1
-        run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(run_starts, counts)
+        run_starts = np.cumsum(counts) - counts
+        offs = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
         wstart = (starts + offs * s_us) // 1_000_000  # epoch seconds
-        return pa.table({key: pa.array(rep_keys), "window_start": pa.array(wstart)})
+        g = pd.DataFrame({key: rep_keys, "window_start": wstart}).groupby(
+            [key, "window_start"], sort=False
+        )
+        out = g.size().rename("n").reset_index()
+        out["n"] = out["n"].astype("int64")
+        pair = pd.Series(_canon_key_str(out[key])).str.cat(
+            out["window_start"].astype(str), sep=":"
+        )
+        out["_kb"] = (
+            hash64(pair.to_numpy(dtype=object)) % np.uint64(64)
+        ).astype(np.int64)
+        return out
 
+    explode_partial.__name__ = "sliding_window_partials"
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby([key, "window_start"], sort=False)["n"].sum().reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out[[key, "window_start", "n"]]
+
+    merge.__name__ = "sliding_window_merge"
     return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby([key, "window_start"])
-        .aggregate(Count(alias_name="n"))
+        ds.map_batches(explode_partial, batch_format="pyarrow")
+        .groupby("_kb")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -111,9 +190,11 @@ class _SessionizeBucket:
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([self.key, self.ts_col], kind="stable").reset_index(drop=True)
-        ts = pd.to_datetime(df[self.ts_col]).astype("int64")
-        if str(pd.to_datetime(df[self.ts_col]).dtype).startswith("datetime64[ns"):
-            ts = ts // 1000
+        # NaN-aware µs: a NaT row joins the preceding session (NaN > gap is
+        # False — same grouping as the SQL twin's falsy `tsu - LAG > g`) and
+        # is COUNTED in n, but min/max skip it instead of poisoning
+        # session_start with NaT's int64-min cast
+        ts = _ts_us_float(df[self.ts_col])
         new_key = df[self.key] != df[self.key].shift(1)
         gap = (ts - ts.shift(1)) > self.gap_s * 1_000_000
         session = (new_key | gap).cumsum()
@@ -124,6 +205,13 @@ class _SessionizeBucket:
             .reset_index()
             .drop(columns="_s")
         )
+        # plain int64 on the (normal) null-free path — nullable Int64 only
+        # when an all-NaT session forces a NULL bound (SQL MIN-over-NULLs)
+        for c in ("session_start", "session_end"):
+            v = out[c].round()
+            out[c] = (
+                v.astype("int64") if v.notna().all() else v.astype("Int64")
+            )
         return out
 
 
@@ -259,6 +347,15 @@ def sliding_window_distinct(
     s_us = slide_s * 1_000_000
 
     def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # np.repeat with a length-1 run_starts vs empty counts raises —
+            # emit the typed empty table instead
+            return pa.table(
+                {
+                    "_k": pa.array([], pa.string()),
+                    val: pa.array([], t.schema.field(val).type),
+                }
+            )
         epoch = pc.cast(
             pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
         ).to_numpy(zero_copy_only=False)
@@ -269,7 +366,7 @@ def sliding_window_distinct(
         last = (epoch // s_us) * s_us
         counts = np.maximum(0, (last - first) // s_us + 1).astype(np.int64)
         starts = np.repeat(first, counts)
-        run_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        run_starts = np.cumsum(counts) - counts
         offs = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
             run_starts, counts
         )
@@ -328,13 +425,10 @@ class _SessionizeRowsBucket:
         self.__name__ = type(self).__name__
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ts = pd.to_datetime(df[self.ts_col])
-        us = ts.astype("int64")
-        if str(ts.dtype).startswith("datetime64[ns"):
-            us = us // 1000
-        valid = ts.notna()  # NULL-ts events have no place on a session axis
+        us = _ts_us_float(df[self.ts_col])
+        valid = us.notna()  # NULL-ts events have no place on a session axis
         sub = pd.DataFrame(
-            {self.key: df[self.key][valid], "ts_us": us[valid]}
+            {self.key: df[self.key][valid], "ts_us": us[valid].astype("int64")}
         ).sort_values([self.key, "ts_us"], kind="stable")
         new_key = sub[self.key].ne(sub[self.key].shift(1))
         gap = (sub["ts_us"] - sub["ts_us"].shift(1)) > self.gap_s * 1_000_000
@@ -435,13 +529,10 @@ class _RetentionBucket:
         self.__name__ = type(self).__name__
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ts = pd.to_datetime(df[self.ts_col])
-        us = ts.astype("int64")
-        if str(ts.dtype).startswith("datetime64[ns"):
-            us = us // 1000
+        us = _ts_us_float(df[self.ts_col])
         # NULL ts / NULL user have no place on a retention axis (the SQL
         # twin filters both; a NaN group key would also float-poison d0)
-        valid = ts.notna() & df[self.user_col].notna()
+        valid = us.notna() & df[self.user_col].notna()
         sub = pd.DataFrame(
             {
                 "u": df[self.user_col][valid],

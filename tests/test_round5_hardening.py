@@ -494,3 +494,145 @@ def test_ann_topk_ivf_probes_per_query(ray_session):
         & set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
     )
     assert hits >= 5  # >= 50% recall across the 10 exact pairs
+
+
+def test_session_window_null_ts_matches_sql_semantics(ray_session):
+    """NaT rows join the preceding session and count in n (the SQL twin's
+    falsy `tsu - LAG > g`), but MIN/MAX skip them — previously NaT's
+    int64-min cast poisoned session_start."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.windows import session_window_agg
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "ts": [base, base + pd.Timedelta(seconds=5), pd.NaT, base],
+        }
+    )
+    got = (
+        session_window_agg(rd.from_pandas(df), key="user_id", ts_col="ts", gap_s=60)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "WITH t AS (SELECT user_id, epoch_us(ts) AS tsu FROM df), "
+        "o AS (SELECT user_id, tsu, CASE WHEN LAG(tsu) OVER w IS NULL "
+        "OR tsu - LAG(tsu) OVER w > 60000000 THEN 1 ELSE 0 END AS brk "
+        "FROM t WINDOW w AS (PARTITION BY user_id ORDER BY tsu)), "
+        "s AS (SELECT user_id, tsu, SUM(brk) OVER "
+        "(PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, MIN(tsu) AS session_start, MAX(tsu) AS session_end, "
+        "COUNT(*) AS n FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"
+    ).df()
+    assert got["n"].to_list() == want["n"].to_list()
+    assert [int(x) for x in got["session_start"]] == [int(x) for x in want["session_start"]]
+    assert [int(x) for x in got["session_end"]] == [int(x) for x in want["session_end"]]
+
+
+def test_validate_dispatch_empty_batch():
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.validate import ValidateDispatchBatch
+
+    vb = ValidateDispatchBatch({"transcript": transcript_spec()}, dispatch_col="role")
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "role": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "ts": pa.array([], pa.timestamp("us")),
+        }
+    )
+    out = vb(empty)
+    assert out.num_rows == 0 and "event_id" in out.schema.names
+
+
+def test_sliding_windows_empty_block(ray_session):
+    """Empty blocks must not crash the replication kernels."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.windows import (
+        sliding_window_agg,
+        sliding_window_distinct,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {"user_id": [1, 2], "event_type": ["a", "b"], "ts": [base, base]}
+    )
+    # repartition(8) of 2 rows produces empty blocks
+    ds = rd.from_pandas(df).repartition(8)
+    out = sliding_window_agg(ds, key="user_id", ts_col="ts", window_s=86400, slide_s=43200)
+    assert out.count() == 4  # 2 users x 2 overlapping windows
+    out2 = sliding_window_distinct(
+        ds, key="event_type", val="user_id", ts_col="ts", window_s=86400, slide_s=43200
+    )
+    assert out2.count() == 4
+
+
+def test_validate_regex_on_list_column():
+    """A regex rule over a list column validates via JS toString semantics
+    (the oracle's js_tostring) instead of crashing the Arrow cast."""
+    from events_validator_ray.spec import load_spec
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    spec = load_spec(
+        {"tags": {"type": "array", "regex": "x"}}, event_name="e"
+    )
+    vb = ValidateBatch(spec, id_cols=("doc_id",))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "tags": pa.array([["ax", "b"], ["no", "match"]], pa.list_(pa.string())),
+        }
+    )
+    out = vb(t).to_pylist()
+    # doc 1: 'ax,b' partial-matches 'x' -> no violation; doc 2: 'no,match'
+    # has no 'x' -> one regex violation with the JS-joined actual
+    viol = [r for r in out if r["error_type"] == "regex"]
+    assert len(viol) == 1 and viol[0]["actual"] == "no,match"
+
+
+def test_validate_regex_lookahead_falls_back_to_python_re():
+    """RE2-rejected patterns (lookahead) must validate like the oracle's
+    re.search, not crash the task."""
+    from events_validator_ray.spec import load_spec
+    from events_validator_ray.stages.validate import ValidateBatch
+
+    spec = load_spec(
+        {"pw": {"type": "string", "regex": "^(?=.*[0-9])"}}, event_name="e"
+    )
+    vb = ValidateBatch(spec, id_cols=("doc_id",))
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "pw": pa.array(["abc1", "abc"], pa.string()),
+        }
+    )
+    out = vb(t).to_pylist()
+    viol = [r for r in out if r["error_type"] == "regex"]
+    assert len(viol) == 1 and viol[0]["actual"] == "abc"
+
+
+def test_y4m_truncated_chroma_and_frameless_raise():
+    import numpy as np
+
+    from events_validator_ray.stages.multimodal import y4m_decode
+
+    # C420 stream cut after the final frame's luma, mid-chroma
+    w = h = 4
+    y = bytes(range(16))
+    chroma = bytes(8)  # full 420 chroma = 2 * (2*2) = 8 bytes
+    head = b"YUV4MPEG2 W4 H4 F25:1 C420\n"
+    full = head + b"FRAME\n" + y + chroma
+    wd, hd, frames = y4m_decode(full)
+    assert (wd, hd, len(frames)) == (4, 4, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        y4m_decode(head + b"FRAME\n" + y + chroma[:4])
+    with pytest.raises(ValueError, match="no frames"):
+        y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Cmono\n")
