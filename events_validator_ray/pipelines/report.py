@@ -124,13 +124,10 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
     # measured 28.4s over 359k partial rows / 2136 day groups vs 0.25s for
     # this pull — the sort-aggregate cost, not data volume.
     pdf = partials.to_pandas()
-    out = (
-        pdf.groupby("date_utc", sort=False)[["_n", "_e"]]
-        .sum()
-        .reset_index()
-        .rename(columns={"_n": "n_events", "_e": "n_error_events"})
-    )
-    if out.empty:  # empty log / fully-filtered date range: typed empty frame
+    if pdf.empty:
+        # the guard must run BEFORE the groupby: an empty/fully-filtered log
+        # loses its columns at to_pandas (the documented Ray empty-Dataset
+        # hazard) and pdf.groupby('date_utc') would KeyError
         return pd.DataFrame(
             {
                 "date_utc": pd.Series([], dtype=object),
@@ -139,6 +136,12 @@ def daily_error_rate(ds, approx: bool = False, hll_p: int = 14):
                 "error_rate": pd.Series([], dtype="float64"),
             }
         )
+    out = (
+        pdf.groupby("date_utc", sort=False)[["_n", "_e"]]
+        .sum()
+        .reset_index()
+        .rename(columns={"_n": "n_events", "_e": "n_error_events"})
+    )
     out["n_error_events"] = out["n_error_events"].astype("int64")
     out["error_rate"] = (100.0 * out["n_error_events"] / out["n_events"]).round(6)
     return out.sort_values("date_utc").reset_index(drop=True)
@@ -222,6 +225,17 @@ def _daily_error_rate_hll(ds, hll_p: int):
         else:
             merged[key] = hll
     days = sorted({d for d, _ in merged})
+    if not days:
+        # typed empty frame matching the exact path's contract (a bare
+        # pd.DataFrame of empty lists defaults every column to float64)
+        return pd.DataFrame(
+            {
+                "date_utc": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64"),
+                "n_error_events": pd.Series([], dtype="int64"),
+                "error_rate": pd.Series([], dtype="float64"),
+            }
+        )
     n_ev = [int(round(merged[(d, "total")].estimate())) for d in days]
     n_err = [
         # the two sketches estimate independently; clamp so a day where every

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import glob as _glob
+import hashlib as _hashlib
 import json
 import os
 import pickle
@@ -103,9 +104,31 @@ def run_validation(
 
     # ---- stage 1: scalar validation + sketch partials, per partition
     plan = {c: tuple(k) for c, k in (sketch_plan or DEFAULT_SKETCH_PLAN).items()}
+    # the sketch PLAN is part of the resume identity: fold its hash into the
+    # spec hash used by every stage-1/profile record, or a re-run with a
+    # different plan would silently serve the OLD plan's sidecars/profile
+    plan_hash = _hashlib.sha256(
+        repr(sorted((c, tuple(k)) for c, k in plan.items())).encode()
+    ).hexdigest()[:8]
+    spec_hash = f"{spec_hash}+plan:{plan_hash}"
     parts_dir = os.path.join(out_dir, "profile_parts")
     os.makedirs(parts_dir, exist_ok=True)
-    for part_id, part_files in _partitions(files, files_per_partition):
+    parts = _partitions(files, files_per_partition)
+    # reconcile ORPHANED final outputs: a re-run with fewer inputs or a
+    # different files_per_partition leaves stale violations/part_* dirs that
+    # the read-back plane would double-count — remove any final dir not in
+    # the CURRENT partition set (tmp debris was swept above)
+    current_ids = {pid for pid, _ in parts}
+    for d in _glob.glob(os.path.join(out_dir, "violations", "part_*")):
+        if os.path.basename(d) not in current_ids:
+            _shutil.rmtree(d, ignore_errors=True)
+    for p in _glob.glob(os.path.join(parts_dir, "part_*.pkl")):
+        if os.path.basename(p).removesuffix(".pkl") not in current_ids:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    for part_id, part_files in parts:
         fp = fingerprint_files(part_files)
         done = manifest.completed(part_id, fp, spec_hash) if resume else None
         sidecar = os.path.join(parts_dir, f"{part_id}.pkl")
@@ -240,6 +263,8 @@ def run_validation(
 
 
 def read_violations(out_dir: str):
-    import ray.data as rd
+    # delegate to the documented S4 reader (sources/readers.py) so the
+    # read-back plane has ONE implementation (date pushdown included)
+    from ..sources.readers import read_violations_dir
 
-    return rd.read_parquet(os.path.join(out_dir, "violations"))
+    return read_violations_dir(os.path.join(out_dir, "violations"))

@@ -52,6 +52,7 @@ class Manifest:
         self.out_dir = out_dir
         self.path = os.path.join(out_dir, "manifest.jsonl")
         os.makedirs(out_dir, exist_ok=True)
+        self._cache: dict[str, PartitionRecord] | None = None
 
     def load(self) -> dict[str, PartitionRecord]:
         records: dict[str, PartitionRecord] = {}
@@ -62,7 +63,22 @@ class Manifest:
                 line = line.strip()
                 if not line:
                     continue
-                d = json.loads(line)
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    # a kill mid-append leaves ONE torn trailing line — the
+                    # exact crash this manifest exists to survive. Earlier
+                    # fsync'd records are intact and last-record-wins makes
+                    # the dropped partial harmless (its partition re-runs);
+                    # warn and skip instead of making resume impossible.
+                    import warnings
+
+                    warnings.warn(
+                        f"manifest: skipping unparseable line in {self.path} "
+                        "(torn append from a crashed run?)",
+                        stacklevel=2,
+                    )
+                    continue
                 records[d["partition_id"]] = PartitionRecord(**d)
         return records
 
@@ -71,10 +87,17 @@ class Manifest:
             f.write(json.dumps(dataclasses.asdict(rec)) + "\n")
             f.flush()
             os.fsync(f.fileno())
+        if self._cache is not None:
+            self._cache[rec.partition_id] = rec
 
     def completed(self, partition_id: str, fingerprint: str, spec_hash: str) -> PartitionRecord | None:
-        """The record to skip on, iff done AND inputs/spec unchanged."""
-        rec = self.load().get(partition_id)
+        """The record to skip on, iff done AND inputs/spec unchanged.
+        Records are parsed ONCE per Manifest instance and kept in sync by
+        append() — re-reading the whole JSONL per call made resume startup
+        O(partitions²)."""
+        if self._cache is None:
+            self._cache = self.load()
+        rec = self._cache.get(partition_id)
         if (
             rec
             and rec.status == "done"

@@ -636,3 +636,126 @@ def test_y4m_truncated_chroma_and_frameless_raise():
         y4m_decode(head + b"FRAME\n" + y + chroma[:4])
     with pytest.raises(ValueError, match="no frames"):
         y4m_decode(b"YUV4MPEG2 W4 H4 F25:1 Cmono\n")
+
+
+def test_manifest_tolerates_torn_trailing_line(tmp_path):
+    """A kill mid-append leaves a partial JSON line — resume must skip it
+    (that partition re-runs), never die in load()."""
+    from events_validator_ray.state.manifest import Manifest, PartitionRecord
+
+    m = Manifest(str(tmp_path))
+    m.append(
+        PartitionRecord(
+            partition_id="part_00000",
+            input_files=["a.parquet"],
+            fingerprint="f0",
+            spec_hash="s0",
+            status="done",
+        )
+    )
+    with open(m.path, "a") as f:
+        f.write('{"partition_id": "part_0')  # torn tail
+    fresh = Manifest(str(tmp_path))
+    with pytest.warns(UserWarning, match="torn"):
+        rec = fresh.completed("part_00000", "f0", "s0")
+    assert rec is not None and rec.status == "done"
+
+
+def test_daily_error_rate_empty_log(ray_session):
+    """Fully-filtered logs return the typed empty report on BOTH paths —
+    the exact path previously KeyError'd on the column-less to_pandas."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.report import daily_error_rate
+
+    ts = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame(
+        {
+            "event_id": ["a:1"],
+            "status": ["valid"],
+            "timestamp": [ts],
+            "event_name": ["e"],
+        }
+    )
+    empty = rd.from_pandas(df).filter(expr="status == 'error'").materialize()
+    for approx in (False, True):
+        out = daily_error_rate(empty, approx=approx)
+        assert len(out) == 0
+        assert list(out.columns) == [
+            "date_utc",
+            "n_events",
+            "n_error_events",
+            "error_rate",
+        ]
+        assert str(out["n_events"].dtype) == "int64"
+
+
+def test_resume_sweeps_orphaned_partitions(tmp_path, ray_session):
+    """Re-running with a different files_per_partition must remove stale
+    part_* outputs so the read-back plane can't double-count."""
+    import pyarrow.parquet as pq
+
+    from events_validator_ray.pipelines.validate_pipeline import (
+        read_violations,
+        run_validation,
+    )
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    cached = ensure_transcripts(0.001)
+    tbl = _pq.read_table(sorted(glob.glob(f"{cached}/*.parquet"))[0])
+    step = max(1, tbl.num_rows // 4)
+    for i in range(4):
+        _pq.write_table(tbl.slice(i * step, step), f"{src_dir}/f{i}.parquet")
+    from events_validator_ray.spec import transcript_spec
+
+    out_dir = str(tmp_path / "out")
+    run_validation(src_dir, out_dir, transcript_spec(), files_per_partition=1)
+    assert len(__import__("glob").glob(f"{out_dir}/violations/part_*")) == 4
+    n1 = read_violations(out_dir).count()
+    # rerun with 4 files per partition: 1 partition; orphans must vanish
+    run_validation(src_dir, out_dir, transcript_spec(), files_per_partition=4)
+    assert len(__import__("glob").glob(f"{out_dir}/violations/part_*")) == 1
+    assert read_violations(out_dir).count() == n1
+
+
+def test_resume_rebuilds_profile_on_plan_change(tmp_path, ray_session):
+    """A different sketch plan is a different computation — resume must not
+    serve the old plan's profile."""
+    import glob
+    import json
+    import os
+
+    from events_validator_ray.pipelines.validate_pipeline import run_validation
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+    from events_validator_ray.spec import transcript_spec
+
+    import pyarrow.parquet as _pq
+
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    cached = ensure_transcripts(0.001)
+    tbl = _pq.read_table(sorted(glob.glob(f"{cached}/*.parquet"))[0])
+    step = max(1, tbl.num_rows // 2)
+    for i in range(2):
+        _pq.write_table(tbl.slice(i * step, step), f"{src_dir}/f{i}.parquet")
+    out_dir = str(tmp_path / "out")
+    run_validation(src_dir, out_dir, transcript_spec(), files_per_partition=2)
+    prof1 = json.load(open(f"{out_dir}/profile.json"))
+    run_validation(
+        src_dir,
+        out_dir,
+        transcript_spec(),
+        files_per_partition=2,
+        sketch_plan={"turn_idx": ("stats",)},
+    )
+    prof2 = json.load(open(f"{out_dir}/profile.json"))
+    assert prof1 != prof2
+    cols2 = {r.get("column") for r in prof2.get("profile", [])}
+    assert cols2 == {"turn_idx"}  # ONLY the new plan's column
