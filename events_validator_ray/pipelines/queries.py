@@ -326,17 +326,17 @@ def q_quantiles_turn_idx(sf_dir: str):
 
 def q_distinct_conv_exact(sf_dir: str):
     """EXACT distributed distinct count (the HLL query's ground-truth twin):
-    per-batch dedup partial -> groupby(conv_id) -> count. Shuffles one row
-    per distinct value per block, never the corpus."""
+    per-batch dedup combiner -> value-hash bucket -> per-bucket dedup
+    (assembly.bucketed_distinct_values — distinct conv_id scales with the
+    corpus, so the sort-based groupby().count() path is out per the
+    CLAUDE.md reduction invariant). Shuffles one row per distinct value per
+    block, never the corpus."""
     import pandas as pd
-    import pyarrow as pa
+
+    from ..stages.assembly import bucketed_distinct_values
 
     ds = _read_transcripts(sf_dir).select_columns(["conv_id"])
-
-    def batch_distinct(t: pa.Table) -> pa.Table:
-        return t.group_by("conv_id").aggregate([])
-
-    n = ds.map_batches(batch_distinct, batch_format="pyarrow").groupby("conv_id").count().count()
+    n = bucketed_distinct_values(ds, "conv_id").count()
     return pd.DataFrame([{"col": "conv_id", "n_distinct": int(n)}])
 
 
@@ -661,9 +661,14 @@ def embedding_components_oracle() -> str:
     sf0.01 corpus has no pair within 0.4 of the threshold; planted-dup parity
     is tested on synthetic corpora in tests/test_dedup_oracle.py)."""
     pair_sql = (
+        # DOUBLE[] cast per the repo-wide cosine-twin rule: FLOAT-list
+        # list_cosine_similarity computes in float32 and can flip decisions
+        # within ~1e-6 of the threshold vs the engine's float64
         "epairs AS (SELECT e1.vec_id AS a, e2.vec_id AS b "
         "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
-        "WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.98)"
+        "WHERE list_cosine_similarity("
+        "list_transform(e1.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e2.embedding, x -> CAST(x AS DOUBLE))) >= 0.98)"
     )
     return _components_sql(pair_sql, "SELECT vec_id, vec_id FROM embeddings", "vec_id")
 
@@ -992,7 +997,10 @@ def q_text_stats(sf_dir: str):
     from ..stages.text import LANG_STOPWORDS, TOKEN_PATTERN
 
     word_re = re.compile(TOKEN_PATTERN)
-    punct_re = re.compile(r"[^\w\s]")
+    # re.ASCII pins \w/\s to ASCII like the RE2 classes in the DuckDB twin:
+    # without it Python treats 'é' as a word char while RE2 counts it as
+    # punctuation, so non-ASCII text would flip n_punct between engines
+    punct_re = re.compile(r"[^\w\s]", re.ASCII)
     stop = LANG_STOPWORDS["en"]
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1398,6 +1406,27 @@ def fingerprint_dups_oracle(sf_dir: str, w: int = 8) -> str:
     )
 
 
+def _explode_fingerprints(df):
+    """Explode per-doc winnowing fingerprint lists to distinct (fp int64,
+    doc_id) pairs — the shared map_batches kernel of q_fingerprint_dups and
+    q_split_leakage."""
+    import numpy as np
+    import pandas as pd
+
+    reps = df["fingerprint"].map(len).to_numpy(dtype=np.int64)
+    doc = np.repeat(df["doc_id"].to_numpy(), reps)
+    if reps.sum():
+        h = np.concatenate(
+            [np.asarray(l, dtype=np.uint64) for l in df["fingerprint"] if len(l)]
+        )
+    else:
+        h = np.array([], dtype=np.uint64)
+    return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
+
+
+_explode_fingerprints.__name__ = "explode_fingerprints"
+
+
 def q_fingerprint_dups(sf_dir: str):
     """Cross-document fingerprint collisions (MOSS-style shared-content
     triage): winnowing fingerprints shared by >= 2 distinct docs →
@@ -1406,28 +1435,13 @@ def q_fingerprint_dups(sf_dir: str):
     skew-safe distinct_count_per_key reduction (assembly.py) — a fingerprint
     shared by most of the corpus never collapses into one task; fingerprints
     shuffle, documents never do."""
-    import numpy as np
-    import pandas as pd
-
     from ..stages.assembly import distinct_count_per_key
     from ..stages.text import fingerprints
 
     ensure_gram_hashes(sf_dir)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        reps = df["fingerprint"].map(len).to_numpy(dtype=np.int64)
-        doc = np.repeat(df["doc_id"].to_numpy(), reps)
-        if reps.sum():
-            h = np.concatenate(
-                [np.asarray(l, dtype=np.uint64) for l in df["fingerprint"] if len(l)]
-            )
-        else:
-            h = np.array([], dtype=np.uint64)
-        return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
-
-    explode.__name__ = "explode_fingerprints"
     pair_ds = fingerprints(_read_table(sf_dir, "documents", columns=["doc_id", "text"])).map_batches(
-        explode, batch_format="pandas"
+        _explode_fingerprints, batch_format="pandas"
     )
     return distinct_count_per_key(pair_ds, "fp", "doc_id", "n_docs", min_count=2)
 
@@ -1443,33 +1457,17 @@ def q_split_leakage(sf_dir: str):
     exact survivor pass) and a single additive groupby(doc_id)."""
     import pandas as pd
 
-    from ray.data.aggregate import Count
-
     from ..stages.joins import bloom_semi_join
     from ..stages.text import fingerprints
 
     ensure_gram_hashes(sf_dir)
-    import numpy as np
-
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        reps = df["fingerprint"].map(len).to_numpy(dtype=np.int64)
-        doc = np.repeat(df["doc_id"].to_numpy(), reps)
-        if reps.sum():
-            h = np.concatenate(
-                [np.asarray(l, dtype=np.uint64) for l in df["fingerprint"] if len(l)]
-            )
-        else:
-            h = np.array([], dtype=np.uint64)
-        return pd.DataFrame({"fp": h.view(np.int64), "doc_id": doc}).drop_duplicates()
-
-    explode.__name__ = "explode_fingerprints"
     # materialize ONCE: three consumers (bloom build, distinct train keys,
     # test pairs) would otherwise re-execute the winnowing lineage; the
     # materialized table is 16 bytes/row (fp, doc_id) — the same
     # share-the-projection precedent as ordered_prefix_sum
     pairs = (
         fingerprints(_read_table(sf_dir, "documents", columns=["doc_id", "text"]))
-        .map_batches(explode, batch_format="pandas")
+        .map_batches(_explode_fingerprints, batch_format="pandas")
         .materialize()
     )
 
@@ -1740,7 +1738,6 @@ def q_broadcast_join(sf_dir: str):
     import pyarrow.parquet as pq
 
     from ..stages.joins import broadcast_join
-    from ray.data.aggregate import Count
 
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet")).to_pandas()
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
@@ -1777,7 +1774,6 @@ def q_left_join_enrich(sf_dir: str):
     bucketed_hash_join(how='left') as a registered, twin-checked surface
     (the internal users: curate's drop filter, dedup label attach)."""
     import pyarrow as pa
-    from ray.data.aggregate import Count, Max, Sum
 
     from ..stages.joins import bucketed_hash_join
 
@@ -1831,8 +1827,6 @@ def q_left_join_enrich(sf_dir: str):
 def q_bucketed_join(sf_dir: str):
     """Explicit partitioned hash join (both sides 'large'): orders ⨝ customer
     on custkey, one tagged-union shuffle, per-bucket pandas merge."""
-    from ray.data.aggregate import Count
-
     from ..stages.joins import bucketed_hash_join
 
     orders = _read_table(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
@@ -1920,8 +1914,7 @@ def q_asof_join(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max
-
+    from ..stages.assembly import bucketed_reduce_per_key
     from ..stages.joins import asof_join
 
     def with_tsu(t: pa.Table) -> pa.Table:
@@ -1931,11 +1924,14 @@ def q_asof_join(sf_dir: str):
     left = ds.filter(expr="event_type == 'purchase'").select_columns(
         ["event_id", "user_id", "tsu"]
     )
-    right = (
-        ds.filter(expr="event_type == 'view'")
-        .select_columns(["user_id", "tsu", "event_id"])
-        .groupby(["user_id", "tsu"])
-        .aggregate(Max("event_id", alias_name="view_event_id"))
+    # distinct (user_id, tsu) scales with the corpus -> bucketed pandas
+    # reduce, never groupby().aggregate() (CLAUDE.md reduction invariant)
+    right = bucketed_reduce_per_key(
+        ds.filter(expr="event_type == 'view'").select_columns(
+            ["user_id", "tsu", "event_id"]
+        ),
+        ["user_id", "tsu"],
+        [("view_event_id", "event_id", "max")],
     )
     joined = asof_join(left, right, on="tsu", by="user_id")
 
@@ -2029,10 +2025,14 @@ def q_near_dup_pairs(sf_dir: str):
 
 
 def near_dup_pairs_oracle() -> str:
+    # DOUBLE[] cast per the repo-wide cosine-twin rule (see
+    # embedding_components_oracle)
     return (
         "SELECT e1.vec_id AS a, e2.vec_id AS b "
         "FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id "
-        "WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.4"
+        "WHERE list_cosine_similarity("
+        "list_transform(e1.embedding, x -> CAST(x AS DOUBLE)), "
+        "list_transform(e2.embedding, x -> CAST(x AS DOUBLE))) >= 0.4"
     )
 
 
@@ -2124,8 +2124,6 @@ def q_curate_docs(sf_dir: str):
 
 
 def curate_oracle() -> str:
-    from .queries import training_ops_oracles  # self-import safe at call time
-
     quality_sql = training_ops_oracles()["quality_scores"]
     return (
         f"WITH q AS ({quality_sql}) "
@@ -2576,10 +2574,13 @@ def training_ops_oracles() -> dict[str, str]:
         # full-probe IVF is exact by construction -> shares the exact twin
         "ann_topk_ivf": _ann_exact_sql(ids),
         "text_stats": (
-            "SELECT doc_id, length(text) AS n_chars, "
-            "len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens, "
-            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct, "
-            f"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), x -> x IN ({stop_list}))) AS n_stop "
+            # coalesce(text,'') mirrors the engine's fillna('') — a NULL text
+            # row must report 0s, not NULLs (same convention as every other
+            # documents oracle in this module)
+            "SELECT doc_id, length(coalesce(text, '')) AS n_chars, "
+            "len(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS n_tokens, "
+            "length(coalesce(text, '')) - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g')) AS n_punct, "
+            f"len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'), x -> x IN ({stop_list}))) AS n_stop "
             "FROM documents"
         ),
     }
@@ -2625,12 +2626,7 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
         "conversation_checks": conv,
         "conversation_checks_salted": conv,
         "valid_fields": valid_fields_sql(spec, t, kinds),
-        "alternation_checks": conversation_violations_sql(
-            __import__(
-                "events_validator_ray.pipelines.queries", fromlist=["_alternating_spec"]
-            )._alternating_spec(),
-            t,
-        ),
+        "alternation_checks": conversation_violations_sql(_alternating_spec(), t),
         "failures_by_day": (
             f"WITH viol AS ({scalar_dated}) "
             "SELECT date_utc, field, COUNT(*) AS n_failures "
@@ -3193,13 +3189,11 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         f"'{BPE_SPLIT_PATTERN.replace(chr(39), chr(39) * 2)}')) AS n_bpe_tokens "
         "FROM documents"
     )
-    from .queries import MIXTURE_RATES as _mr
-
+    _mr = MIXTURE_RATES
     _cases = " ".join(
         f"WHEN '{g}' THEN {int(round(r * 1000))}" for g, r in sorted(_mr.items())
     )
-    from .queries import OOV_VOCAB_K as _ok
-
+    _ok = OOV_VOCAB_K
     out["oov_stats"] = (
         "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), "
         "'[a-z0-9]+')) AS tok FROM documents), "
@@ -3223,11 +3217,9 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         f"SELECT doc_id, lang FROM documents "
         f"WHERE doc_id % 1000 < CASE lang {_cases} ELSE 0 END"
     )
-    from .queries import PACK_BUDGET as _pb
-
-    from .queries import SHUFFLE_SEED as _ss
-    from .queries import shuffle_export_oracle as _seo
-
+    _pb = PACK_BUDGET
+    _ss = SHUFFLE_SEED
+    _seo = shuffle_export_oracle
     out["shuffle_export"] = _seo(_ss)
     out["packing_bins"] = (
         "SELECT doc_id, n_chars, "
@@ -3261,8 +3253,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         f"SELECT d.source, q.lang_pred, COUNT(*) AS n FROM ({out['lang_id']}) q "
         "JOIN documents d ON d.doc_id = q.doc_id GROUP BY d.source, q.lang_pred"
     )
-    from .queries import KNN_K as _kk
-
+    _kk = KNN_K
     out["knn_graph"] = (
         # float64 throughout: list_cosine_similarity on FLOAT lists runs in
         # float32 and flips ~5% of micro-roundings vs the engine's float64
@@ -3321,8 +3312,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "SELECT gram, COUNT(*) AS n FROM g GROUP BY gram "
         "ORDER BY n DESC, gram LIMIT 50"
     )
-    from .queries import PMI_MIN_COUNT as _pmc
-
+    _pmc = PMI_MIN_COUNT
     out["ngram_pmi"] = (
         "WITH w AS (SELECT regexp_extract_all(lower(coalesce(text, '')), "
         "'[a-z0-9]+') AS ws FROM documents), "
@@ -3334,8 +3324,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "FROM bgc b JOIN uni x ON x.tok = b.w1 JOIN uni y ON y.tok = b.w2 "
         f"WHERE b.n_xy >= {_pmc}"
     )
-    from .queries import HH_PERMILLE as _hh
-
+    _hh = HH_PERMILLE
     out["user_growth"] = (
         # COALESCE → '(null)' matches the engine's NaT-first-activity
         # sentinel (users whose timestamps are all NULL)
@@ -3389,8 +3378,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "CAST(COALESCE(p.n, 0) AS BIGINT) AS n_purchases "
         "FROM c FULL OUTER JOIN p ON c.user_id = p.user_id"
     )
-    from .queries import ATTRIBUTION_WINDOW_US as _aw
-
+    _aw = ATTRIBUTION_WINDOW_US
     out["attribution_join"] = (
         "WITH c AS (SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS cts "
         "FROM events WHERE event_type = 'click'), "
@@ -3408,8 +3396,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "CAST(len(list_distinct(regexp_extract_all(lower(coalesce(text, '')), "
         "'[a-z0-9]+'))) AS BIGINT) AS n_unique_words FROM documents"
     )
-    from .queries import PREFIX_K as _pfk
-
+    _pfk = PREFIX_K
     out["boilerplate_prefixes"] = (
         f"WITH d AS (SELECT doc_id, md5(substr(text, 1, {_pfk})) AS p "
         f"FROM documents WHERE text IS NOT NULL AND length(text) >= {_pfk}) "

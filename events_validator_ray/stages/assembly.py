@@ -661,8 +661,9 @@ def small_group_rollup(ds, key_col: str, aggs: list, sort: bool = True):
     return out[cols]
 
 
-def bucketed_reduce_per_key(ds, key_col: str, aggs: list, num_buckets: int = 64):
-    """Generic additive/extremal reduce GROUP BY a corpus-cardinality key:
+def bucketed_reduce_per_key(ds, key_col, aggs: list, num_buckets: int = 64):
+    """Generic additive/extremal reduce GROUP BY a corpus-cardinality key
+    (a single column name or a list of columns for a composite key):
     per-batch pandas partials → key-hash bucket → per-bucket pandas merge.
     `aggs` = list of (out_col, src_col_or_None, how) with how in
     {'size', 'sum', 'min', 'max'} ('size' partials merge by SUM). The
@@ -672,32 +673,36 @@ def bucketed_reduce_per_key(ds, key_col: str, aggs: list, num_buckets: int = 64)
 
     from .sketches import hash64
 
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     merge_how = {"size": "sum", "sum": "sum", "min": "min", "max": "max"}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(key_col, sort=False)
+        g = df.groupby(keys, sort=False)
         out = {}
         for out_col, src, how in aggs:
             out[out_col] = g.size() if how == "size" else getattr(g[src], how)()
         p = pd.DataFrame(out).reset_index()
         from .joins import _canon_key_str
 
-        # canonical key form for the bucket hash (see bucketed_count_per_key)
-        p["_kb"] = (
-            hash64(_canon_key_str(p[key_col])) % np.uint64(num_buckets)
-        ).astype(np.int64)
+        # canonical key form for the bucket hash (see bucketed_count_per_key);
+        # composite keys concatenate canonical forms with a \x1f separator so
+        # ('a:b', 'c') and ('a', 'b:c') can never alias into one bucket key
+        canon = pd.Series(_canon_key_str(p[keys[0]]), index=p.index, dtype=object)
+        for k in keys[1:]:
+            canon = canon + "\x1f" + pd.Series(_canon_key_str(p[k]), index=p.index, dtype=object)
+        p["_kb"] = (hash64(canon.to_numpy()) % np.uint64(num_buckets)).astype(np.int64)
         return p
 
     partial.__name__ = "reduce_partials"
     out_cols = [a[0] for a in aggs]
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(key_col, sort=False)
+        gg = g.groupby(keys, sort=False)
         out = {c: getattr(gg[c], merge_how[h])() for c, _, h in aggs}
-        return pd.DataFrame(out).reset_index()[[key_col] + out_cols]
+        return pd.DataFrame(out).reset_index()[keys + out_cols]
 
     final.__name__ = "bucketed_reduce_merge"
-    cols = [key_col] + sorted({a[1] for a in aggs if a[1]})
+    cols = keys + sorted({a[1] for a in aggs if a[1] and a[1] not in keys})
     return (
         ds.select_columns(cols)
         .map_batches(partial, batch_format="pandas")

@@ -759,3 +759,80 @@ def test_resume_rebuilds_profile_on_plan_change(tmp_path, ray_session):
     assert prof1 != prof2
     cols2 = {r.get("column") for r in prof2.get("profile", [])}
     assert cols2 == {"turn_idx"}  # ONLY the new plan's column
+
+
+def test_bucketed_reduce_composite_key(ray_session):
+    """bucketed_reduce_per_key with a list key must equal a pandas
+    groupby([k1, k2]) reduce — the q_asof_join right-side dedup shape."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from events_validator_ray.stages.assembly import bucketed_reduce_per_key
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 40, 500),
+            "tsu": rng.integers(0, 20, 500),
+            "event_id": rng.integers(0, 10**9, 500),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    got = (
+        bucketed_reduce_per_key(
+            ds, ["user_id", "tsu"], [("view_event_id", "event_id", "max")], num_buckets=8
+        )
+        .to_pandas()
+        .sort_values(["user_id", "tsu"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["user_id", "tsu"])["event_id"]
+        .max()
+        .rename("view_event_id")
+        .reset_index()
+        .sort_values(["user_id", "tsu"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
+
+
+def test_text_stats_nonascii_and_null_parity(ray_session, tmp_path):
+    """q_text_stats must agree with its DuckDB twin on NULL text rows and
+    non-ASCII punctuation (the two latent divergences the round-5 review
+    found: fillna('') vs missing coalesce, Unicode \\w vs RE2 ASCII \\w)."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from events_validator_ray.pipelines.queries import build_oracles, q_text_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["plain ascii, with punct!", None, "café — déjà-vu…", ""],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["t"] * 4),
+        }
+    )
+    sf_dir = str(tmp_path)
+    pq.write_table(docs, f"{sf_dir}/documents.parquet")
+    got = q_text_stats(sf_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    sql = build_oracles(sf=0.001)["text_stats"]
+    want = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)].astype("int64"),
+        want[sorted(want.columns)].astype("int64"),
+        check_dtype=False,
+    )
