@@ -34,8 +34,11 @@ from .spec import FieldRule, _NO, js_tostring
 
 
 class _Undefined:
-    """JS `undefined`: key present with undefined value (distinct from null)."""
+    """JS `undefined`: key present with undefined value (distinct from null).
+    `_js_undefined` marks the sentinel for spec.js_tostring (attribute
+    protocol — spec.py cannot import this module without a cycle)."""
 
+    _js_undefined = True
     _inst = None
 
     def __new__(cls):

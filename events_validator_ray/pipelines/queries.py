@@ -1276,17 +1276,22 @@ def q_zscore_scaled(sf_dir: str):
 
 
 def zscore_oracle() -> str:
+    # NULL key/value rows are excluded symmetrically with the engine
+    # (stages/scaling.py module docstring): without the WHERE, count(*)
+    # counts NULL n_chars rows that sum() skips, skewing n vs s1/s2
     return (
         "WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(n_chars) AS BIGINT) AS s1, "
-        "CAST(sum(n_chars * n_chars) AS BIGINT) AS s2 FROM documents GROUP BY 1), "
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS s2 FROM documents "
+        "WHERE n_chars IS NOT NULL AND source IS NOT NULL GROUP BY 1), "
         "d AS (SELECT source, n, s1, "
         "floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) AS den FROM st) "
         "SELECT doc_id, documents.source AS source, "
         "CAST(CASE WHEN den > 0 THEN "
         "floor(CAST(n_chars * n - s1 AS DOUBLE) * 1000000.0 / den) "
         "ELSE 0 END AS BIGINT) AS z_micro "
-        "FROM documents JOIN d ON d.source = documents.source"
+        "FROM documents JOIN d ON d.source = documents.source "
+        "WHERE n_chars IS NOT NULL"
     )
 
 

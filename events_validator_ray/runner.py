@@ -114,9 +114,15 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(done))
             ray.shutdown()
             return 0
+        from .state.manifest import atomic_output_dir
+
         outdir = _os.path.join(args.out, "pairs")
         pairs = turn_pairs(rd.read_parquet(args.input))
-        pairs.write_parquet(outdir)
+        # atomic sink: a crash between write and marker must not leave a
+        # partial (or, on rerun, doubled — write_parquet appends fresh
+        # UUID-named files) pairs directory; same protocol as --sample
+        with atomic_output_dir(outdir) as tmp:
+            pairs.write_parquet(tmp)
         # count from the SINK (lineage check: what landed is what we report)
         n_pairs = rd.read_parquet(outdir).count()
         summary = {"skipped": False, "output_path": outdir, "n_pairs": n_pairs}

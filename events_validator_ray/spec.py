@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 import json
 import math
+import re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -75,15 +76,21 @@ def js_number_str(v: float | int) -> str:
 def js_tostring(v: Any) -> str | None:
     """``x?.toString()`` as used for the `expected`/`actual` log columns and the
     bilateral `value` comparison (loggingHelpers.js:13-14,
-    validationHelpers.js:108). Returns None for JS null/undefined."""
-    if v is None or v is _NO:
+    validationHelpers.js:108). Returns None for JS null/undefined — including
+    the oracle's UNDEFINED sentinel (marked by `_js_undefined`, checked by
+    attribute to avoid a spec<->oracle import cycle)."""
+    if v is None or v is _NO or getattr(v, "_js_undefined", False):
         return None
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, (int, float)):
         return js_number_str(v)
     if isinstance(v, list):
-        return ",".join("" if x is None else str(js_tostring(x)) for x in v)
+        # Array.prototype.join renders null AND undefined as '' ([1,
+        # undefined].toString() === '1,')
+        return ",".join(
+            "" if (s := js_tostring(x)) is None else s for x in v
+        )
     if isinstance(v, dict):
         return "[object Object]"
     return str(v)
@@ -95,7 +102,13 @@ def _normalize_value(v: Any) -> Any:
     if isinstance(v, str):
         s = v.strip()
         if s and (s.lstrip("+-").replace(".", "", 1).isdigit()):
-            return float(s) if "." in s else int(s)
+            try:
+                return float(s) if "." in s else int(s)
+            except ValueError:
+                # isdigit() admits forms int()/float() reject ("+-1",
+                # unicode digits like "²") — keep them as strings rather
+                # than aborting the whole spec load
+                return v
     return v
 
 
@@ -189,8 +202,17 @@ def _parse_field(name: str, raw: dict[str, Any]) -> FieldRule:
         }
     length = None
     if "length" in raw:
-        # parseInt(rule.length), validationHelpers.js:77
-        length = int(str(raw["length"]).strip().split(".")[0])
+        # parseInt(rule.length), validationHelpers.js:77 — JS parseInt takes
+        # the longest leading integer prefix ("12px" -> 12, 1e21 -> 1); a
+        # prefix-free string (parseInt -> NaN, which a JS !== would turn
+        # into always-violating) is rejected at load time with a clear error
+        m = re.match(r"[+-]?\d+", str(raw["length"]).strip())
+        if m is None:
+            raise ValueError(
+                f"length rule for field {name!r} does not parse as an "
+                f"integer (JS parseInt -> NaN): {raw['length']!r}"
+            )
+        length = int(m.group())
     value = _NO
     if "value" in raw:
         v = _normalize_value(raw["value"])
@@ -289,8 +311,15 @@ def spec_to_dict(spec: Spec) -> dict[str, Any]:
             d["length"] = r.length
         if r.optional:
             d["optional"] = True
+        if r.description is not None:
+            d["description"] = r.description
         if r.nested:
             d["nestedSchema"] = {k: f2d(v) for k, v in r.nested.items()}
+        # custom rule keys (CUSTOM_CHECKS dispatch) change validation results
+        # and so MUST survive the round trip: save_spec would otherwise strip
+        # them, and spec_hash — the manifest's resume key — would collide
+        # for specs differing only in a custom rule
+        d.update(r.extra)
         return d
 
     out: dict[str, Any] = {k: f2d(v) for k, v in spec.fields.items()}

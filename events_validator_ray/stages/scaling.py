@@ -12,6 +12,18 @@ Exactness contract (the DuckDB-twin channel): all moments are exact int64
 with V = n·Σx² − (Σx)², evaluated in the SAME operand order on both
 engines — every step is an IEEE-754 correctly-rounded op on identical
 inputs, so the comparison is bit-exact with no rounding channel.
+
+Null semantics: rows with a NULL group key or NULL value are EXCLUDED from
+both the stats and the output (the SQL twin filters them symmetrically) —
+without the filter, pandas groupby silently drops null-key rows from the
+stats while factorize hands them code -1, gathering another group's
+moments, and a NULL value round-trips through float64 NaN into INT64_MIN.
+
+Magnitude contract: the int64 moment channel is exact only while the
+per-batch Σx² and the per-row x·n fit in int64; both are guarded with a
+clear error (pre-scale the column) instead of silent wraparound — the SQL
+twin's BIGINT SUM promotes to HUGEINT, so a wrapped engine value would
+diverge wholesale, not by rounding.
 """
 
 from __future__ import annotations
@@ -21,16 +33,29 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _valid_rows(t: pa.Table, col: str, key: str) -> pa.Table:
+    mask = pc.and_(pc.is_valid(t[key]), pc.is_valid(t[col]))
+    return t if pc.all(mask).as_py() in (True, None) else t.filter(mask)
 
 
 def _stats_partials(col: str, key: str):
     def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "k": t[key].to_numpy(zero_copy_only=False),
-                "x": t[col].to_numpy(zero_copy_only=False).astype(np.int64),
-            }
-        )
+        t = _valid_rows(t, col, key)
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x):
+            xm = int(np.abs(x).max())
+            # per-batch Σx² must fit int64 (the combine above is Python-int
+            # exact; only the pandas batch sum can wrap)
+            if xm * xm * len(x) >= 2**63:
+                raise ValueError(
+                    f"group_zscore: |{col}| up to {xm} overflows the exact "
+                    "int64 sum-of-squares channel for this batch size — "
+                    "pre-scale the column (e.g. to kilo-units) first"
+                )
+        df = pd.DataFrame({"k": t[key].to_numpy(zero_copy_only=False), "x": x})
         out = (
             df.assign(xx=df["x"] * df["x"])
             .groupby("k", sort=False)
@@ -44,7 +69,8 @@ def _stats_partials(col: str, key: str):
 
 def group_zscore(ds, col: str, key: str, id_col: str = "doc_id"):
     """(id, key, z_micro) — per-`key`-group population z-score of `col`,
-    scaled to integer micro-units. Degenerate groups (zero variance) emit 0.
+    scaled to integer micro-units. Degenerate groups (zero variance) emit 0;
+    NULL-key / NULL-value rows are excluded (see module docstring).
 
     Two passes over the input (stats, then standardize): at 100 TB the
     stats pass is a narrow 2-column projection and the partial rows shrink
@@ -69,6 +95,7 @@ def group_zscore(ds, col: str, key: str, id_col: str = "doc_id"):
     }
 
     def standardize(t: pa.Table) -> pa.Table:
+        t = _valid_rows(t, col, key)
         keys = t[key].to_numpy(zero_copy_only=False)
         x = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
         codes, uniq = pd.factorize(pd.Series(keys))
@@ -77,6 +104,14 @@ def group_zscore(ds, col: str, key: str, id_col: str = "doc_id"):
         n_u = np.array([stats[k][0] for k in uniq], dtype=np.int64)
         s1_u = np.array([stats[k][1] for k in uniq], dtype=np.int64)
         den_u = np.array([stats[k][2] for k in uniq], dtype=np.float64)
+        if len(x):
+            xm, nm = int(np.abs(x).max()), int(n_u.max())
+            # x·n − Σx must stay exact int64 before the float conversion
+            if xm * nm >= 2**62:
+                raise ValueError(
+                    f"group_zscore: |{col}|·group_n up to {xm}·{nm} overflows "
+                    "the exact int64 numerator — pre-scale the column first"
+                )
         n, s1, den = n_u[codes], s1_u[codes], den_u[codes]
         num = (x * n - s1).astype(np.float64)
         z = np.where(den > 0, np.floor(num * 1000000.0 / np.where(den > 0, den, 1.0)), 0.0)
