@@ -98,8 +98,12 @@ def curate_documents(
         keep = q(batch)["keep"].to_numpy()
         return batch.filter(pa.array(keep))
 
-    survivors = ds.map_batches(quality_filter, batch_format="pyarrow")
-    n_quality = survivors.count()  # one map-only pass
+    # materialize once: two consumers (the count and the dedup shuffle) —
+    # an unmaterialized plan would re-run the heaviest scan of the pipeline
+    # (read + quality filter over the whole corpus) for each; the blocks
+    # live in the object store and spill, the count is then free
+    survivors = ds.map_batches(quality_filter, batch_format="pyarrow").materialize()
+    n_quality = survivors.count()
 
     # ---- stage 2: exact dedup — one coarse-bucketed content-hash shuffle
     from ..stages.dedup import add_content_hash

@@ -69,16 +69,10 @@ def save_spec(spec: Spec, spec_dir: str) -> str:
     document round-trips through load_spec with an identical spec_hash."""
     from ..spec import spec_to_dict
 
-    os.makedirs(spec_dir, exist_ok=True)
-    path = os.path.join(spec_dir, f"{spec.event_name}.json")
     payload = spec_to_dict(spec)
     if spec.version is not None:
         payload = {"version": spec.version, **payload}
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2, sort_keys=False)
-    os.replace(tmp, path)
-    return path
+    return _write_spec_doc(payload, spec_dir, spec.event_name)
 
 
 def save_spec_dir(specs: dict[str, Spec], spec_dir: str) -> list[str]:
@@ -211,7 +205,8 @@ def check_spec_health(
         if s_val != e_val:
             mismatch = True
         if expected.get("type") == "array" and "nestedSchema" in expected:
-            cur_n = schema_param.get("nestedSchema", {})
+            cur_n = schema_param.get("nestedSchema")
+            cur_n = cur_n if isinstance(cur_n, dict) else {}
             exp_n = expected["nestedSchema"]
             if len(cur_n) != len(exp_n):
                 mismatch = True
@@ -219,7 +214,10 @@ def check_spec_health(
                 for nk, ev in exp_n.items():
                     cv = cur_n.get(nk)
                     if (
-                        cv is None
+                        # a bare scalar where a nested definition belongs is
+                        # drift (the same hand-edited-document shape the
+                        # top-level non-dict branch handles), not a crash
+                        not isinstance(cv, dict)
                         or cv.get("type") != ev.get("type")
                         or cv.get("description", "") != ev.get("description", "")
                     ):
@@ -250,14 +248,20 @@ def smart_update(
             continue
         meta = repo[param_name]
         new_props = canonicalize_param(meta.get("definition", meta))
-        if new_doc[param_name].get("type") == new_props.get("type"):
-            if "value" in new_doc[param_name]:
-                new_props["value"] = new_doc[param_name]["value"]
+        cur_param = new_doc[param_name]
+        # a non-dict entry is the critical-drift shape check_spec_health
+        # routes here — rebuild it from the repo outright, no value to keep
+        if isinstance(cur_param, dict) and cur_param.get("type") == new_props.get(
+            "type"
+        ):
+            if "value" in cur_param:
+                new_props["value"] = cur_param["value"]
             if new_props.get("type") == "array" and "nestedSchema" in new_props:
-                cur_nested = new_doc[param_name].get("nestedSchema", {})
+                cur_nested = cur_param.get("nestedSchema")
+                cur_nested = cur_nested if isinstance(cur_nested, dict) else {}
                 for nk, nv in new_props["nestedSchema"].items():
                     cn = cur_nested.get(nk)
-                    if cn is not None and cn.get("type") == nv.get("type"):
+                    if isinstance(cn, dict) and cn.get("type") == nv.get("type"):
                         if "value" in cn:
                             nv["value"] = cn["value"]
         new_doc[param_name] = new_props

@@ -661,14 +661,20 @@ def small_group_rollup(ds, key_col: str, aggs: list, sort: bool = True):
     return out[cols]
 
 
-def bucketed_reduce_per_key(ds, key_col, aggs: list, num_buckets: int = 64):
+def bucketed_reduce_per_key(
+    ds, key_col, aggs: list, num_buckets: int = 64, dropna: bool = True
+):
     """Generic additive/extremal reduce GROUP BY a corpus-cardinality key
     (a single column name or a list of columns for a composite key):
     per-batch pandas partials → key-hash bucket → per-bucket pandas merge.
     `aggs` = list of (out_col, src_col_or_None, how) with how in
     {'size', 'sum', 'min', 'max'} ('size' partials merge by SUM). The
     n-ary sibling of `bucketed_count_per_key` — same skew bound (a hot key
-    contributes ≤ blocks partial rows, all in one bucket group)."""
+    contributes ≤ blocks partial rows, all in one bucket group).
+
+    `dropna=False` keeps null-key rows as their own group (SQL GROUP BY
+    semantics); the bucket hash routes them via _canon_key_str's stable NaN
+    sentinel, so all null-key partials land in one bucket group."""
     import numpy as np
 
     from .sketches import hash64
@@ -677,7 +683,7 @@ def bucketed_reduce_per_key(ds, key_col, aggs: list, num_buckets: int = 64):
     merge_how = {"size": "sum", "sum": "sum", "min": "min", "max": "max"}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False)
+        g = df.groupby(keys, sort=False, dropna=dropna)
         out = {}
         for out_col, src, how in aggs:
             out[out_col] = g.size() if how == "size" else getattr(g[src], how)()
@@ -697,7 +703,7 @@ def bucketed_reduce_per_key(ds, key_col, aggs: list, num_buckets: int = 64):
     out_cols = [a[0] for a in aggs]
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        gg = g.groupby(keys, sort=False)
+        gg = g.groupby(keys, sort=False, dropna=dropna)
         out = {c: getattr(gg[c], merge_how[h])() for c, _, h in aggs}
         return pd.DataFrame(out).reset_index()[keys + out_cols]
 

@@ -33,8 +33,11 @@ def pivot_counts(
     columns must be known up front — discover them with a distinct pass if
     needed); it is small and ships inside the function closure, never per
     batch. Scale shape: vectorized one-hot + per-batch pandas combine →
-    partial rows bounded by blocks × |row keys|, one single-key groupby."""
-    from ray.data.aggregate import Sum
+    partial rows bounded by blocks × |row keys|, then the bucketed pandas
+    reduce (row keys are 'one per entity', i.e. corpus-cardinality — the
+    sort-based groupby().aggregate() finish is out per the CLAUDE.md
+    reduction invariant)."""
+    from .assembly import bucketed_reduce_per_key
 
     cats = list(categories)
     if not cats:
@@ -59,10 +62,11 @@ def pivot_counts(
         return df.groupby(row_col, sort=False, dropna=False).sum().reset_index()
 
     onehot_combine.__name__ = "pivot_onehot_combine"
-    aggs = [Sum(c, alias_name=c) for c in out_cols]
-    return (
-        ds.select_columns([row_col, col_col])
-        .map_batches(onehot_combine, batch_format="pyarrow")
-        .groupby(row_col)
-        .aggregate(*aggs)
+    return bucketed_reduce_per_key(
+        ds.select_columns([row_col, col_col]).map_batches(
+            onehot_combine, batch_format="pyarrow"
+        ),
+        row_col,
+        [(c, c, "sum") for c in out_cols],
+        dropna=False,  # NULL row keys stay a group, like the old combiner
     )

@@ -199,3 +199,28 @@ def test_sync_spec_dir_collects_per_document_errors(tmp_path):
     assert rep["broken"]["health"] is None and not rep["broken"]["updated"]
     assert "error" in rep["broken"]
     assert read_spec_doc(d, "good")["p"]["description"] == "fresh"
+
+
+def test_sync_spec_dir_repairs_non_dict_param(tmp_path):
+    """A drifted document holding a bare scalar where a param definition
+    belongs must flow critical-drift -> smart_update REBUILD (repo
+    definition, no value to preserve) instead of crashing the sweep with
+    AttributeError and losing the computed health report."""
+    from events_validator_ray.sources.specs import read_spec_doc, sync_spec_dir
+
+    d = str(tmp_path)
+    repo = {
+        "count": {"type": "number", "description": "how many", "value": ""},
+        "tags": {
+            "type": "array",
+            "nestedSchema": {"name": {"type": "string", "description": "n"}},
+        },
+    }
+    _write(d, "drifted", {"count": 5, "tags": {"type": "array", "nestedSchema": {"name": "bare"}}})
+    rep = sync_spec_dir(d, repo)
+    assert "error" not in rep["drifted"]
+    assert rep["drifted"]["health"]["critical"] == ["count"]
+    assert rep["drifted"]["updated"]
+    doc = read_spec_doc(d, "drifted")
+    assert doc["count"] == {"type": "number", "description": "how many"}
+    assert doc["tags"]["nestedSchema"]["name"]["type"] == "string"
