@@ -450,3 +450,23 @@ def test_bucketed_reducers_vs_pandas(ray_session, seed):
     pd.testing.assert_frame_equal(cnt, ref[["k", "n"]], check_dtype=False)
     dv = sorted(bucketed_distinct_values(ds, "k").to_pandas()["k"])
     assert dv == sorted(df["k"].unique())
+
+
+def test_pivot_counts_null_row_key_kept(ray_session):
+    """A NULL row key is its own pivot row (SQL GROUP BY semantics): the
+    bucketed-reduce finish must route all null-key partials to one group
+    via the dropna=False path, not silently drop them."""
+    from events_validator_ray.stages.reshape import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", None, None, "a"],
+            "cat": ["x", "x", "y", "y"],
+        }
+    )
+    got = pivot_counts(_ds(df), "g", "cat", ["x", "y"]).to_pandas()
+    nullrow = got[got["g"].isna()]
+    assert len(nullrow) == 1
+    assert nullrow.iloc[0][["n_x", "n_y", "n_other"]].tolist() == [1, 1, 0]
+    arow = got[got["g"] == "a"]
+    assert arow.iloc[0][["n_x", "n_y", "n_other"]].tolist() == [1, 1, 0]
