@@ -310,13 +310,21 @@ def run_scaling(sf_dir: str, lo: int | None = None, hi: int | None = None) -> di
             GRAFT_BENCH_REPEAT=os.environ.get("GRAFT_SCALING_REPEAT", "64"),
             GRAFT_BENCH_BLOCKS=os.environ.get("GRAFT_SCALING_BLOCKS", "160"),
         )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                # local-mode Ray workers inherit the DRIVER's cwd, not its
+                # sys.path — launched from anywhere else every UDF fails to
+                # deserialize with ModuleNotFoundError (CLAUDE.md invariant)
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout
+        except subprocess.CalledProcessError as e:
+            sys.stderr.write(e.stderr or "")
+            raise
         return json.loads(out.strip().splitlines()[-1])
 
     # interleaved sessions per leg (each internally min-of-3); min across

@@ -39,6 +39,13 @@ def js_string_cast(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arra
     specials: JS says 'NaN'/'Infinity', Arrow says 'nan'/'inf'."""
     if is_string_type(col.type):
         return col
+    if pa.types.is_fixed_size_list(col.type):
+        # arrow_js_typeof classifies fixed_size_list as 'array' (embeddings
+        # columns round-trip through Parquet/TensorArray this way), but plain
+        # pc.cast(..., string) raises ArrowNotImplementedError on it — route
+        # through variable-size list so the join branch below applies.
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        col = arr.cast(pa.list_(arr.type.value_type))
     if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
         # JS Array.prototype.toString(): elements joined with ',', null
         # elements render '' (spec.js_tostring semantics) — Arrow's plain

@@ -26,23 +26,32 @@ class LintFinding:
     message: str
 
 
-def spec_lint(spec: Spec, schema: pa.Schema) -> list[LintFinding]:
-    findings: list[LintFinding] = []
-    names = set(schema.names)
+def _is_list_kind(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
 
-    for rule in spec.fields.values():
-        if rule.name not in names:
+
+def _lint_rules(rules, schema: pa.Schema, prefix: str, findings: list[LintFinding]) -> None:
+    """Per-field checks, recursing into `rule.nested` along the same branches
+    ValidateBatch compiles (stages/validate.py:505-508): struct children for
+    type 'object', list-item children for type 'array'. A nested rule over a
+    plain string column is JSON-payload mode (ValidateJsonDocs) — its shape is
+    only known at runtime, so it is skipped here."""
+    names = set(schema.names)
+    for key, rule in rules.items():
+        path = prefix + key
+        if key not in names:
             findings.append(
                 LintFinding(
                     "minor" if rule.optional else "critical",
-                    rule.name,
+                    path,
                     "missing_column",
-                    f"spec field {rule.name!r} has no column in the observed schema"
+                    f"spec field {path!r} has no column in the observed schema"
                     + (" (optional)" if rule.optional else " — every row will be a 'missing' violation"),
                 )
             )
             continue
-        col_kind = arrow_js_typeof(schema.field(rule.name).type)
+        col_type = schema.field(key).type
+        col_kind = arrow_js_typeof(col_type)
         if rule.type is not None and rule.type != col_kind and rule.type in (
             "string",
             "number",
@@ -54,17 +63,17 @@ def spec_lint(spec: Spec, schema: pa.Schema) -> list[LintFinding]:
             findings.append(
                 LintFinding(
                     "critical",
-                    rule.name,
+                    path,
                     "type_conflict",
                     f"rule type {rule.type!r} vs column type {col_kind!r} "
-                    f"({schema.field(rule.name).type}) — every non-null row will fail",
+                    f"({col_type}) — every non-null row will fail",
                 )
             )
         if rule.regex is not None and col_kind not in ("string", "number"):
             findings.append(
                 LintFinding(
                     "minor",
-                    rule.name,
+                    path,
                     "regex_on_nonstring",
                     f"regex rule on {col_kind!r} column relies on string coercion",
                 )
@@ -73,12 +82,54 @@ def spec_lint(spec: Spec, schema: pa.Schema) -> list[LintFinding]:
             findings.append(
                 LintFinding(
                     "minor",
-                    rule.name,
+                    path,
                     "length_on_scalar",
                     f"length rule on {col_kind!r} column: JS `.length` of a "
                     "non-string/array is undefined — the rule fails every truthy row",
                 )
             )
+        if not rule.nested:
+            continue
+        if rule.type == "object" and pa.types.is_struct(col_type):
+            child = pa.schema([col_type.field(i) for i in range(col_type.num_fields)])
+            _lint_rules(rule.nested, child, path + ".", findings)
+        elif rule.type == "array" and _is_list_kind(col_type):
+            item_type = col_type.value_type
+            if pa.types.is_struct(item_type):
+                child = pa.schema([item_type.field(i) for i in range(item_type.num_fields)])
+                _lint_rules(rule.nested, child, path + "[].", findings)
+            elif not (_is_list_kind(item_type) or pa.types.is_map(item_type)):
+                # scalar items walk wrapped `{'': item}` (validate.py:319):
+                # only the '' key ever resolves; other required keys are
+                # absent on every item.
+                item_kind = arrow_js_typeof(item_type)
+                for k, krule in rule.nested.items():
+                    if k == "":
+                        kchild = pa.schema([pa.field("", item_type)])
+                        _lint_rules({"": krule}, kchild, path + "[].", findings)
+                    elif not krule.optional:
+                        findings.append(
+                            LintFinding(
+                                "critical",
+                                f"{path}[].{k}",
+                                "missing_column",
+                                f"required nested key {k!r} cannot exist on "
+                                f"{item_kind!r} list items — every item will be "
+                                "a 'missing' violation",
+                            )
+                        )
+            # list/map items walk JS property lookup per rule key
+            # (validate.py jswalk) — key resolution depends on runtime item
+            # lengths / map contents, so no static verdict is emitted.
+
+
+def spec_lint(spec: Spec, schema: pa.Schema) -> list[LintFinding]:
+    findings: list[LintFinding] = []
+    names = set(schema.names)
+
+    _lint_rules(
+        {r.name: r for r in spec.fields.values()}, schema, "", findings
+    )
 
     ruled = {r.name for r in spec.fields.values()}
     for name in schema.names:

@@ -13,8 +13,8 @@ column analog: a purchase-like event table with
                        price_cents: int64, quantity: int64>>
     meta: struct<source: string, session_id: string>
 
-Everything is a pure function of (n_events, seed) — same caching/atomic-write
-contract as sources/transcripts.py. Violations are injected at deterministic
+Everything is a pure function of n_events (deterministic modular arithmetic,
+no RNG) — same caching/atomic-write contract as sources/transcripts.py. Violations are injected at deterministic
 global-row positions: bad/null currency, null item lists, null items, item_id
 regex breaks, null item_name (type error), null price_cents, null meta, enum
 breaks in meta.source, session_id regex breaks.
@@ -23,14 +23,12 @@ breaks in meta.source, session_id regex breaks.
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
-SEED = 137
+from .cache import ensure_cached_table
+
 EVENTS_PER_SF = 400_000  # sf0.01 -> 4k events, sf0.1 -> 40k
 DEFAULT_ROOT = "/tmp/graft_nested_v2"  # bump suffix when generation changes
 
@@ -73,9 +71,10 @@ _NAMES = np.array(["widget", "gadget", "doohickey", "gizmo", "sprocket", "flange
 _SOURCES = np.array(["web", "app", "api"])
 
 
-def generate_nested_events(n_events: int, seed: int = SEED) -> pa.Table:
-    """Build the corpus as one Arrow table (vectorized; no Python row loops)."""
-    rng = np.random.default_rng(seed)
+def generate_nested_events(n_events: int) -> pa.Table:
+    """Build the corpus as one Arrow table (vectorized; no Python row loops).
+    Every value is modular arithmetic on the global event/item index, so the
+    table is a pure function of ``n_events`` alone — no RNG involved."""
     eid = np.arange(n_events, dtype=np.int64)
 
     currency = np.array(["USD", "EUR", "GBP"])[eid % 3].astype(object)
@@ -192,33 +191,15 @@ def nested_dir(sf: float, root: str = DEFAULT_ROOT) -> str:
 
 def ensure_nested_events(sf: float, root: str = DEFAULT_ROOT, n_files: int | None = None) -> str:
     """Generate-and-cache; atomic (tmp dir + rename), race-safe."""
-    out = nested_dir(sf, root)
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    table = generate_nested_events(n_events_for_sf(sf))
-    if n_files is None:
-        n_files = max(1, min(32, len(table) // 20_000))
-    os.makedirs(root, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=root, prefix=f".sf{sf:g}_")
-    try:
-        step = (len(table) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = table.slice(i * step, step)
-            if len(chunk) == 0:
-                break
-            pq.write_table(chunk, os.path.join(tmp, f"nested_{i:04d}.parquet"))
-        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-            f.write(f"n_events={len(table)}\n")
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            if not os.path.exists(marker):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    return ensure_cached_table(
+        lambda: generate_nested_events(n_events_for_sf(sf)),
+        nested_dir(sf, root),
+        "nested",
+        n_files=n_files,
+        shard_rows=20_000,
+        max_files=32,
+        marker_key="n_events",
+    )
 
 
 def nested_glob(sf: float, root: str = DEFAULT_ROOT) -> str:

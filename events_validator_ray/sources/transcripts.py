@@ -20,13 +20,12 @@ Files are written sharded (multiple parquet files) and atomically
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
+
+from .cache import ensure_cached_table
 
 SEED = 42
 TURNS_PER_SF = 6_000_000  # sf1.0 would be 6M turns; sf0.1 -> 600k
@@ -185,41 +184,18 @@ def transcripts_dir(sf: float, root: str = DEFAULT_ROOT) -> str:
 def ensure_transcripts(sf: float, root: str = DEFAULT_ROOT, n_files: int | None = None) -> str:
     """Generate-and-cache the corpus for a scale factor; returns the directory
     of parquet shards. Atomic (tmp dir + rename); safe under concurrent calls."""
-    out = transcripts_dir(sf, root)
-    marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
-        return out
-    n_turns = n_turns_for_sf(sf)
-    table = generate_transcripts(n_turns)
-    if n_files is None:
+    return ensure_cached_table(
+        lambda: generate_transcripts(n_turns_for_sf(sf)),
+        transcripts_dir(sf, root),
+        "transcripts",
+        n_files=n_files,
         # ~50k rows per shard so a single-sf read already has enough blocks to
         # fill a 32-way pool (shards also define the resume partitions)
-        n_files = max(1, min(64, len(table) // 50_000))
-    os.makedirs(root, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=root, prefix=f".sf{sf:g}_")
-    try:
-        step = (len(table) + n_files - 1) // n_files
-        for i in range(n_files):
-            chunk = table.slice(i * step, step)
-            if len(chunk) == 0:
-                break
-            pq.write_table(
-                chunk,
-                os.path.join(tmp, f"transcripts_{i:04d}.parquet"),
-                row_group_size=131_072,
-            )
-        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-            f.write(f"n_turns={len(table)}\n")
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            # another process won the race
-            if not os.path.exists(marker):
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return out
+        shard_rows=50_000,
+        max_files=64,
+        row_group_size=131_072,
+        marker_key="n_turns",
+    )
 
 
 def transcripts_glob(sf: float, root: str = DEFAULT_ROOT) -> str:

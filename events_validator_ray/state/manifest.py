@@ -83,7 +83,20 @@ class Manifest:
         return records
 
     def append(self, rec: PartitionRecord) -> None:
+        # A crash mid-append can leave a torn line with no trailing newline;
+        # appending straight after it would merge the new record onto the
+        # fragment and lose BOTH to the JSONDecodeError skip in load().
+        # Terminate the torn line first so the new record stays parseable.
+        needs_sep = False
+        try:
+            with open(self.path, "rb") as rf:
+                rf.seek(-1, os.SEEK_END)
+                needs_sep = rf.read(1) != b"\n"
+        except (FileNotFoundError, OSError):
+            pass  # missing or empty file — nothing to repair
         with open(self.path, "a") as f:
+            if needs_sep:
+                f.write("\n")
             f.write(json.dumps(dataclasses.asdict(rec)) + "\n")
             f.flush()
             os.fsync(f.fileno())

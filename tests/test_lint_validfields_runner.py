@@ -48,6 +48,63 @@ def test_spec_lint_findings():
     assert by_code["unvalidated_column"][0].field == "extra"
 
 
+def test_spec_lint_nested_recursion():
+    """spec_lint must descend into rule.nested: a child type conflict inside a
+    list<struct> or struct column is exactly the 'every non-null row fails'
+    class the startup lint exists to pre-flight (VERDICT r4 / review finding)."""
+    spec = load_spec(
+        {
+            "items": {
+                "type": "array",
+                "nestedSchema": {
+                    "price_cents": {"type": "string"},  # conflict: col is int64
+                    "sku": {"type": "string"},  # missing from struct
+                    "note": {"type": "string", "optional": True},  # missing, optional
+                },
+            },
+            "meta": {
+                "type": "object",
+                "nestedSchema": {"source": {"type": "number"}},  # conflict: col is string
+            },
+            "tags": {
+                "type": "array",
+                # scalar items walk wrapped {'': item}: '' resolves, 'k' never can
+                "nestedSchema": {"": {"type": "number"}, "k": {"type": "string"}},
+            },
+            "payload": {
+                # nested over a plain string column = JSON mode: statically unknown
+                "type": "object",
+                "nestedSchema": {"x": {"type": "number"}},
+            },
+        }
+    )
+    schema = pa.schema(
+        [
+            ("items", pa.list_(pa.struct([("price_cents", pa.int64())]))),
+            ("meta", pa.struct([("source", pa.string())])),
+            ("tags", pa.list_(pa.string())),
+            ("payload", pa.string()),
+        ]
+    )
+    by_code = {}
+    for f in spec_lint(spec, schema):
+        by_code.setdefault(f.code, []).append(f)
+    conflicts = {f.field: f.severity for f in by_code["type_conflict"]}
+    # 'payload' top-level object-vs-string conflict is expected; JSON-mode
+    # children (payload.x) must NOT be linted — their shape is runtime-only
+    assert conflicts == {
+        "items[].price_cents": "critical",
+        "meta.source": "critical",
+        "tags[].": "critical",  # '' rule type 'number' vs string items
+        "payload": "critical",
+    }
+    missing = {f.field: f.severity for f in by_code["missing_column"]}
+    assert missing["items[].sku"] == "critical"
+    assert missing["items[].note"] == "minor"
+    assert missing["tags[].k"] == "critical"  # scalar items: key can never exist
+    assert not any(f.field.startswith("payload.") for fs in by_code.values() for f in fs)
+
+
 def test_valid_field_rows():
     spec = load_spec(
         {"a": {"type": "string"}, "b": {"type": "number"}, "c": {"type": "string", "optional": True}}

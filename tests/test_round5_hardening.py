@@ -661,6 +661,46 @@ def test_manifest_tolerates_torn_trailing_line(tmp_path):
     assert rec is not None and rec.status == "done"
 
 
+def test_manifest_append_after_torn_line(tmp_path):
+    """Appending after a crash-torn tail must not merge the new record onto
+    the fragment — the torn line is terminated first, so resume keeps the new
+    record and skips only the fragment."""
+    from events_validator_ray.state.manifest import Manifest, PartitionRecord
+
+    m = Manifest(str(tmp_path))
+    with open(m.path, "w") as f:
+        f.write('{"partition_id": "part_0')  # torn tail, no newline
+    m.append(
+        PartitionRecord(
+            partition_id="part_00001",
+            input_files=["b.parquet"],
+            fingerprint="f1",
+            spec_hash="s0",
+            status="done",
+        )
+    )
+    fresh = Manifest(str(tmp_path))
+    with pytest.warns(UserWarning, match="torn"):
+        rec = fresh.completed("part_00001", "f1", "s0")
+    assert rec is not None and rec.status == "done"
+
+
+def test_js_string_cast_fixed_size_list():
+    """fixed_size_list columns (embeddings round-tripped through Parquet /
+    TensorArray) must stringify like JS arrays, not crash in pc.cast."""
+    from events_validator_ray.functions.kernels import js_string_cast
+
+    arr = pa.array(
+        [[1.0, 2.5], [3.0, 4.0], None], type=pa.list_(pa.float64(), 2)
+    )
+    assert pa.types.is_fixed_size_list(arr.type)
+    got = js_string_cast(arr).to_pylist()
+    assert got == ["1,2.5", "3,4", None]
+    # chunked input takes the combine_chunks path
+    ch = pa.chunked_array([arr.slice(0, 1), arr.slice(1)])
+    assert js_string_cast(ch).to_pylist() == got
+
+
 def test_daily_error_rate_empty_log(ray_session):
     """Fully-filtered logs return the typed empty report on BOTH paths —
     the exact path previously KeyError'd on the column-less to_pandas."""
