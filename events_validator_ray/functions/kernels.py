@@ -17,6 +17,13 @@ def is_string_type(t: pa.DataType) -> bool:
     return pa.types.is_string(t) or pa.types.is_large_string(t)
 
 
+def is_list_kind(t: pa.DataType) -> bool:
+    """Every Arrow list flavor that maps to a JS array (the lint's static
+    recursion and validate's runtime gate must agree on this predicate —
+    keep it in ONE place)."""
+    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+
+
 def arrow_js_typeof(t: pa.DataType) -> str:
     """JS `typeof` of a non-null value stored in an Arrow column of type `t`
     (mirrors oracle.js_typeof on the Python-side values)."""
@@ -28,7 +35,7 @@ def arrow_js_typeof(t: pa.DataType) -> str:
         return "number"
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
         return "timestamp"
-    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+    if is_list_kind(t):
         return "array"
     return "object"
 

@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 import pyarrow as pa
 
-from ..functions.kernels import arrow_js_typeof
+from ..functions.kernels import arrow_js_typeof, is_list_kind
 from ..spec import Spec
 
 
@@ -24,10 +24,6 @@ class LintFinding:
     field: str
     code: str
     message: str
-
-
-def _is_list_kind(t: pa.DataType) -> bool:
-    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
 
 
 def _lint_rules(rules, schema: pa.Schema, prefix: str, findings: list[LintFinding]) -> None:
@@ -93,12 +89,12 @@ def _lint_rules(rules, schema: pa.Schema, prefix: str, findings: list[LintFindin
         if rule.type == "object" and pa.types.is_struct(col_type):
             child = pa.schema([col_type.field(i) for i in range(col_type.num_fields)])
             _lint_rules(rule.nested, child, path + ".", findings)
-        elif rule.type == "array" and _is_list_kind(col_type):
+        elif rule.type == "array" and is_list_kind(col_type):
             item_type = col_type.value_type
             if pa.types.is_struct(item_type):
                 child = pa.schema([item_type.field(i) for i in range(item_type.num_fields)])
                 _lint_rules(rule.nested, child, path + "[].", findings)
-            elif not (_is_list_kind(item_type) or pa.types.is_map(item_type)):
+            elif not (is_list_kind(item_type) or pa.types.is_map(item_type)):
                 # scalar items walk wrapped `{'': item}` (validate.py:319):
                 # only the '' key ever resolves; other required keys are
                 # absent on every item.
@@ -121,6 +117,23 @@ def _lint_rules(rules, schema: pa.Schema, prefix: str, findings: list[LintFindin
             # list/map items walk JS property lookup per rule key
             # (validate.py jswalk) — key resolution depends on runtime item
             # lengths / map contents, so no static verdict is emitted.
+        elif col_kind != "string":
+            # nestedSchema but the runtime compile gate (validate.py:505-508
+            # — type 'object' over struct, 'array' over list) will never
+            # fire: the nested rules are silently dead. A string column is
+            # the exception — that's JSON-payload mode (ValidateJsonDocs),
+            # whose shape is runtime-only.
+            findings.append(
+                LintFinding(
+                    "minor",
+                    path,
+                    "nested_ignored",
+                    f"nestedSchema present but rule type {rule.type!r} over "
+                    f"{col_kind!r} column never compiles the nested checks — "
+                    "set type 'object' (struct column) or 'array' (list "
+                    "column) for them to run",
+                )
+            )
 
 
 def spec_lint(spec: Spec, schema: pa.Schema) -> list[LintFinding]:

@@ -41,6 +41,7 @@ from ..functions.kernels import (
     bool_np,
     const_str_array,
     falsy_mask_np,
+    is_list_kind,
     is_string_type,
     js_string_cast,
     make_event_id,
@@ -161,7 +162,7 @@ def register_check(kind: str, compiler: Callable[["FieldRule", Any, pa.Schema], 
 
 
 def _is_list_type(t: pa.DataType) -> bool:
-    return pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t)
+    return is_list_kind(t)
 
 
 def _item_indices(parent_idx: np.ndarray) -> np.ndarray:

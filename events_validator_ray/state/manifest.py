@@ -92,7 +92,7 @@ class Manifest:
             with open(self.path, "rb") as rf:
                 rf.seek(-1, os.SEEK_END)
                 needs_sep = rf.read(1) != b"\n"
-        except (FileNotFoundError, OSError):
+        except OSError:
             pass  # missing or empty file — nothing to repair
         with open(self.path, "a") as f:
             if needs_sep:

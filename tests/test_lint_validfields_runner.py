@@ -105,6 +105,37 @@ def test_spec_lint_nested_recursion():
     assert not any(f.field.startswith("payload.") for fs in by_code.values() for f in fs)
 
 
+def test_spec_lint_dead_nested_schema():
+    """A nestedSchema whose rule never passes the runtime compile gate
+    (missing/mismatched container type) is silently dead at runtime — the
+    lint must flag it; JSON-payload mode (string column) stays exempt."""
+    spec = load_spec(
+        {
+            # forgot "type": "array" over a list<struct> column
+            "items": {"nestedSchema": {"price_cents": {"type": "number"}}},
+            # container type mismatches the column shape
+            "meta": {"type": "array", "nestedSchema": {"source": {"type": "string"}}},
+            # JSON mode: nested over a string column is legitimate
+            "payload": {"type": "object", "nestedSchema": {"x": {"type": "number"}}},
+        }
+    )
+    schema = pa.schema(
+        [
+            ("items", pa.list_(pa.struct([("price_cents", pa.int64())]))),
+            ("meta", pa.struct([("source", pa.string())])),
+            ("payload", pa.string()),
+        ]
+    )
+    by_code = {}
+    for f in spec_lint(spec, schema):
+        by_code.setdefault(f.code, []).append(f)
+    ignored = {f.field for f in by_code["nested_ignored"]}
+    assert ignored == {"items", "meta"}
+    assert all(f.severity == "minor" for f in by_code["nested_ignored"])
+    # 'meta' also gets the critical array-vs-object type_conflict
+    assert any(f.field == "meta" for f in by_code["type_conflict"])
+
+
 def test_valid_field_rows():
     spec = load_spec(
         {"a": {"type": "string"}, "b": {"type": "number"}, "c": {"type": "string", "optional": True}}
