@@ -683,3 +683,98 @@ def test_fuzz_nested_sqlgen_twin_matches_engine(seed):
         for row in want
     }
     assert got == want
+
+
+def _random_nested_column(rng, n):
+    """One (col_arrow_array, nested-capable rule dict or scalar rule) pair
+    drawn from the shapes spec_lint and ValidateBatch must both survive."""
+    shape = int(rng.integers(0, 6))
+    child_types = {"a": pa.int64(), "b": pa.string()}
+    if shape == 0:  # struct
+        arr = pa.array(
+            [{"a": int(i), "b": f"s{i}"} if i % 4 else None for i in range(n)],
+            pa.struct(child_types),
+        )
+    elif shape == 1:  # list<struct>
+        arr = pa.array(
+            [[{"a": int(i), "b": None}] * (i % 3) if i % 5 else None for i in range(n)],
+            pa.list_(pa.struct(child_types)),
+        )
+    elif shape == 2:  # list<scalar>
+        arr = pa.array(
+            [[float(i), None][: i % 3] if i % 5 else None for i in range(n)],
+            pa.list_(pa.float64()),
+        )
+    elif shape == 3:  # plain string (JSON-mode candidate)
+        arr = pa.array([f'{{"a": {i}}}' if i % 4 else None for i in range(n)])
+    elif shape == 4:  # plain int
+        arr = pa.array(np.arange(n), pa.int64())
+    else:  # fixed_size_list (embedding-like)
+        arr = pa.array(
+            [[float(i), float(i + 1)] if i % 4 else None for i in range(n)],
+            pa.list_(pa.float64(), 2),
+        )
+    # rule: sometimes the right container type, sometimes wrong, sometimes
+    # omitted; sometimes carrying a nestedSchema (possibly dead)
+    rule: dict = {}
+    t = int(rng.integers(0, 4))
+    if t == 0:
+        rule["type"] = "array"
+    elif t == 1:
+        rule["type"] = "object"
+    elif t == 2:
+        rule["type"] = "string"
+    # t == 3: no type at all
+    if rng.random() < 0.7:
+        rule["nestedSchema"] = {
+            "a": {"type": "number"},
+            "b": {"type": "string", "optional": True},
+            "": {"type": "number"},
+            "missing_key": {"type": "string"},
+        }
+    if rng.random() < 0.3:
+        rule["optional"] = True
+    # value/enum/regex rules force the js_string_cast path — the exact
+    # branch that crashed on fixed_size_list columns pre-fix
+    r = rng.random()
+    if r < 0.25:
+        rule["regex"] = "^[0-9,.]+$"
+    elif r < 0.4:
+        rule["enum"] = ["1,2", "x"]
+    elif r < 0.5:
+        rule["value"] = "1,2"
+    return arr, rule
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88])
+def test_fuzz_lint_validate_agreement(seed):
+    """Random nested specs over random column shapes: spec_lint must never
+    raise and must emit well-formed findings, and ValidateBatch must run on
+    any (spec, schema) pair the lint accepted — the lint pre-flights, the
+    validator survives regardless."""
+    from events_validator_ray.functions.lint import spec_lint
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    cols: dict = {
+        "conv_id": pa.array([f"c{i % 7}" for i in range(n)]),
+        "turn_idx": pa.array(np.arange(n, dtype=np.int32)),
+    }
+    spec_json: dict = {}
+    for ci in range(int(rng.integers(1, 5))):
+        arr, rule = _random_nested_column(rng, n)
+        cols[f"g{ci}"] = arr
+        spec_json[f"g{ci}"] = rule
+    batch = pa.table(cols)
+    spec = load_spec(spec_json)
+
+    findings = spec_lint(spec, batch.schema)
+    for f in findings:
+        assert f.severity in ("critical", "minor")
+        assert f.code and f.field and f.message
+
+    # the validator must not crash on any of these shapes (typed nested
+    # walk, jswalk, wrapped scalars, fixed_size_list stringification, dead
+    # nested rules, JSON-mode strings)
+    res = ValidateBatch(spec, log_valid=False, include_refs=False)(batch)
+    assert set(res.column_names) >= {"event_id", "field", "error_type"}
