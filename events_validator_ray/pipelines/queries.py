@@ -2305,6 +2305,17 @@ def q_conv_segments(sf_dir: str):
     return conv_segments(_read_transcripts(sf_dir), gap_s=1800)
 
 
+def q_turn_reindex(sf_dir: str):
+    """Canonical turn-order repair: per-conversation event-time re-sort
+    (ts NULLS LAST, deterministic tie-breaks) + fresh contiguous 0-based
+    turn index — the normalize transform downstream of the ordering /
+    uniqueness checks (stages/assembly.py:turn_reindex; text digested
+    map-side so the payload never shuffles)."""
+    from ..stages.assembly import turn_reindex
+
+    return turn_reindex(_read_transcripts(sf_dir))
+
+
 def q_response_variants(sf_dir: str):
     """DPO-precursor mining: user prompts with >= 2 DISTINCT assistant
     responses corpus-wide (stages/assembly.py:response_variants — turn_pairs
@@ -3082,6 +3093,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_text_digest": q_turn_text_digest,
         "near_dup_pairs": q_near_dup_pairs,
         "token_count_bpe": q_token_count_bpe,
+        # TAIL placement (not head): never driver-checked, but the head-50
+        # window is the round-5 set the driver already started verifying —
+        # don't displace it late in the round
+        "turn_reindex": q_turn_reindex,
     }
 
 
@@ -3451,5 +3466,12 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     )
     out["turn_text_digest"] = (
         f"SELECT conv_id, turn_idx, md5(text) AS text_md5 FROM {_transcripts_table_sql(sf)}"
+    )
+    out["turn_reindex"] = (
+        "SELECT conv_id, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx, "
+        "coalesce(md5(text),''), coalesce(role,'')) - 1 AS BIGINT) AS new_turn_idx, "
+        "CAST(turn_idx AS BIGINT) AS orig_turn_idx, role, md5(text) AS text_md5 "
+        f"FROM {_transcripts_table_sql(sf)}"
     )
     return out

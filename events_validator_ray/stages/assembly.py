@@ -568,6 +568,83 @@ def response_variants(ds, min_variants: int = 2, num_buckets: int = 64):
     )
 
 
+class _ReindexBucket:
+    """One call = one hash bucket of conversations: event-time canonical
+    order (ts NULLS LAST, then original turn_idx / text-digest / role as
+    deterministic tie-breaks) and a fresh contiguous 0-based turn index per
+    conversation. Rows that tie on the full sort key are bit-identical in
+    every output column except the new index, whose assignment among them
+    is therefore set-irrelevant."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            _md5_f=df["text_md5"].fillna(""), _role_f=df["role"].fillna("")
+        )
+        df = df.sort_values(
+            ["conv_id", "ts", "turn_idx", "_md5_f", "_role_f"],
+            kind="stable",
+            na_position="last",
+        ).reset_index(drop=True)
+        # dropna=False: a NULL conv_id must still form a partition (DuckDB
+        # PARTITION BY treats NULL as one group), not produce NaN cumcounts
+        new_idx = df.groupby("conv_id", sort=False, dropna=False).cumcount()
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "new_turn_idx": new_idx.astype("int64"),
+                "orig_turn_idx": df["turn_idx"].astype("int64"),
+                "role": df["role"],
+                "text_md5": df["text_md5"],
+            }
+        )
+
+
+def turn_reindex(ds, num_buckets: int = 64):
+    """Canonical turn-order REPAIR: re-sort each conversation by event time
+    (ts NULLS LAST, original turn_idx / text-digest / role as deterministic
+    tie-breaks) and assign a fresh contiguous 0-based turn index — the
+    normalize transform run after the checks plane FLAGS ordering / gap /
+    uniqueness violations and before assembly or export consumes the
+    conversation. This is the reference's 'stable turn ordering' contract
+    (BASELINE.json input_hint) applied as a repair instead of a check.
+
+    Scale shape: text is digested MAP-SIDE to a 32-hex md5, so the payload
+    never enters the exchange (same projection discipline as turn_pairs);
+    ONE bucketed shuffle co-locates whole conversations; map_groups then
+    runs one vectorized sort + cumcount over thousands of conversations per
+    task. Output = one row per input turn, ~60 B/row shuffled.
+
+    SQL twin: ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts,
+    turn_idx, coalesce(md5(text),''), coalesce(role,'')) - 1.
+    """
+    from .conversation import _with_bucket
+
+    def digest_project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"],
+                "role": df["role"],
+                "ts": df["ts"],
+                "text_md5": _md5_series(df["text"]),
+            }
+        )
+
+    digest_project.__name__ = "digest_project"
+
+    projected = ds.select_columns(
+        ["conv_id", "turn_idx", "role", "ts", "text"]
+    ).map_batches(digest_project, batch_format="pandas")
+    return (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_ReindexBucket(), batch_format="pandas")
+    )
+
+
 class _RollingCharsBucket:
     """One call = one hash bucket of conversations: stable-order rows, then a
     per-conversation ROWS-frame rolling sum of text length (current + the

@@ -564,3 +564,56 @@ def test_quantile_filter_hash_int_beyond_2p53_raises(ray_session):
         quantile_threshold_filter(
             rd.from_pandas(df).repartition(4), "fp", 0.5, refine_cap=100
         )
+
+
+def test_turn_reindex_matches_sql_window(ray_session):
+    """Canonical turn-order repair vs the ROW_NUMBER() twin on a frame that
+    plants every hazard the synthetic corpus has: out-of-order ts, NULL ts,
+    duplicated (conv_id, turn_idx), NULL role/text, and full-key ties."""
+    import duckdb
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import turn_reindex
+
+    base = pd.Timestamp("2026-01-01")
+    rows = [
+        # conv a: ts out of order vs turn_idx
+        ("a", 0, "user", "hi", base + pd.Timedelta(seconds=30)),
+        ("a", 1, "assistant", "hello", base + pd.Timedelta(seconds=10)),
+        ("a", 2, "user", None, base + pd.Timedelta(seconds=20)),
+        # conv b: duplicate (conv_id, turn_idx), one NULL ts, null role
+        ("b", 0, None, "x", None),
+        ("b", 0, "user", "x", base),
+        ("b", 1, "assistant", "y", base + pd.Timedelta(seconds=5)),
+        # conv c: full-key tie (identical rows) — set-identical output
+        ("c", 0, "user", "same", base),
+        ("c", 0, "user", "same", base),
+    ]
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["tool"] = None
+
+    got = (
+        turn_reindex(rd.from_pandas(df).repartition(3), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "new_turn_idx"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT conv_id, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id "
+            "ORDER BY ts, turn_idx, coalesce(md5(text),''), coalesce(role,'')) "
+            "- 1 AS BIGINT) AS new_turn_idx, CAST(turn_idx AS BIGINT) AS "
+            "orig_turn_idx, role, md5(text) AS text_md5 FROM df"
+        )
+        .df()
+        .sort_values(["conv_id", "new_turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(df)
+    for col in ["conv_id", "new_turn_idx", "orig_turn_idx", "role", "text_md5"]:
+        assert got[col].fillna("~").tolist() == want[col].fillna("~").tolist(), col
+    # repaired index is contiguous 0..n-1 per conversation
+    for _, g in got.groupby("conv_id"):
+        assert sorted(g["new_turn_idx"]) == list(range(len(g)))
