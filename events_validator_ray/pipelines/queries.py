@@ -2316,6 +2316,37 @@ def q_turn_reindex(sf_dir: str):
     return turn_reindex(_read_transcripts(sf_dir))
 
 
+def _snapshot_decorate(df):
+    """Deterministic 'next snapshot' of the corpus (IDENTICAL derivation in
+    the SQL twin): turns with turn_idx%7==3 deleted, text of surviving
+    turn_idx%11==5 turns rewritten (coalesce(text,'') || ' v2'), and every
+    conversation whose id ends in '7' copied verbatim under conv_id||'_new'.
+    Map-only, so the synthetic second snapshot streams like a real one."""
+    import pandas as pd
+
+    new = df[df["conv_id"].str.endswith("7").fillna(False).astype(bool)].copy()
+    new["conv_id"] = new["conv_id"] + "_new"
+    base = df[(df["turn_idx"] % 7) != 3].copy()
+    m = (base["turn_idx"] % 11) == 5
+    base.loc[m, "text"] = base.loc[m, "text"].fillna("") + " v2"
+    return pd.concat([base, new], ignore_index=True)
+
+
+def q_changed_conversations(sf_dir: str):
+    """Incremental-revalidation snapshot diff: corpus vs a deterministically
+    decorated 'next snapshot' → (conv_id, status in added/removed/changed/
+    same) at conversation granularity (stages/assembly.py:
+    changed_conversations — per-side conversation-doc rollup, then one
+    ~50 B/conversation reconciliation join)."""
+    from ..stages.assembly import changed_conversations
+
+    left = _read_transcripts(sf_dir)
+    right = _read_transcripts(sf_dir).map_batches(
+        _snapshot_decorate, batch_format="pandas"
+    )
+    return changed_conversations(left, right)
+
+
 def q_response_variants(sf_dir: str):
     """DPO-precursor mining: user prompts with >= 2 DISTINCT assistant
     responses corpus-wide (stages/assembly.py:response_variants — turn_pairs
@@ -3097,6 +3128,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # window is the round-5 set the driver already started verifying —
         # don't displace it late in the round
         "turn_reindex": q_turn_reindex,
+        "changed_conversations": q_changed_conversations,
     }
 
 
@@ -3473,5 +3505,24 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "coalesce(md5(text),''), coalesce(role,'')) - 1 AS BIGINT) AS new_turn_idx, "
         "CAST(turn_idx AS BIGINT) AS orig_turn_idx, role, md5(text) AS text_md5 "
         f"FROM {_transcripts_table_sql(sf)}"
+    )
+    _doc_agg = (
+        "md5(string_agg(coalesce(role,'') || '|' || coalesce(text,''), chr(10) "
+        "ORDER BY turn_idx, coalesce(text,''), coalesce(role,''))) AS doc_md5"
+    )
+    out["changed_conversations"] = (
+        f"WITH t AS (SELECT * FROM {_transcripts_table_sql(sf)}), "
+        "r AS (SELECT conv_id, turn_idx, role, "
+        "CASE WHEN turn_idx % 11 = 5 THEN coalesce(text,'') || ' v2' ELSE text END AS text "
+        "FROM t WHERE turn_idx % 7 <> 3 "
+        "UNION ALL SELECT conv_id || '_new' AS conv_id, turn_idx, role, text "
+        "FROM t WHERE conv_id LIKE '%7'), "
+        f"dl AS (SELECT conv_id, {_doc_agg} FROM t GROUP BY conv_id), "
+        f"dr AS (SELECT conv_id, {_doc_agg} FROM r GROUP BY conv_id) "
+        "SELECT coalesce(dl.conv_id, dr.conv_id) AS conv_id, "
+        "CASE WHEN dl.conv_id IS NULL THEN 'added' "
+        "WHEN dr.conv_id IS NULL THEN 'removed' "
+        "WHEN dl.doc_md5 = dr.doc_md5 THEN 'same' ELSE 'changed' END AS status "
+        "FROM dl FULL OUTER JOIN dr ON dl.conv_id = dr.conv_id"
     )
     return out

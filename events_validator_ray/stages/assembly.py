@@ -645,6 +645,57 @@ def turn_reindex(ds, num_buckets: int = 64):
     )
 
 
+def changed_conversations(left, right, num_buckets: int = 64):
+    """Snapshot diff for INCREMENTAL revalidation: compare two corpus
+    versions at conversation granularity and emit (conv_id, status) with
+    status in {added, removed, changed, same} — downstream revalidation
+    then touches only the added/changed conversations instead of
+    rescanning 10^12 turns.
+
+    Scale shape: each side first collapses to ONE ROW PER CONVERSATION
+    (`conversation_docs`: bucketed shuffle over 4 projected columns, text
+    digested inside the rollup), so the reconciliation join moves ~50 B
+    per conversation, not per turn; the join is the null-safe tagged-union
+    `full_outer_join` (one shuffle). Nothing touches the driver.
+
+    SQL twin: two conversation-doc CTEs + FULL OUTER JOIN + CASE.
+    """
+    import numpy as np
+
+    from .joins import full_outer_join
+
+    docs_l = conversation_docs(left, num_buckets=num_buckets).select_columns(
+        ["conv_id", "doc_md5"]
+    )
+    docs_r = conversation_docs(right, num_buckets=num_buckets).select_columns(
+        ["conv_id", "doc_md5"]
+    )
+
+    def rename_right(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"doc_md5": "doc_md5_r"})
+
+    rename_right.__name__ = "rename_right"
+
+    joined = full_outer_join(
+        docs_l,
+        docs_r.map_batches(rename_right, batch_format="pandas"),
+        on="conv_id",
+        num_buckets=num_buckets,
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        l, r = df["doc_md5"], df["doc_md5_r"]
+        status = np.where(
+            l.isna(),
+            "added",
+            np.where(r.isna(), "removed", np.where(l.eq(r), "same", "changed")),
+        )
+        return pd.DataFrame({"conv_id": df["conv_id"], "status": status})
+
+    classify.__name__ = "classify_status"
+    return joined.map_batches(classify, batch_format="pandas")
+
+
 class _RollingCharsBucket:
     """One call = one hash bucket of conversations: stable-order rows, then a
     per-conversation ROWS-frame rolling sum of text length (current + the

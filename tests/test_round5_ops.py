@@ -617,3 +617,57 @@ def test_turn_reindex_matches_sql_window(ray_session):
     # repaired index is contiguous 0..n-1 per conversation
     for _, g in got.groupby("conv_id"):
         assert sorted(g["new_turn_idx"]) == list(range(len(g)))
+
+
+def test_changed_conversations_all_statuses(ray_session):
+    """Snapshot diff classifies every case: same / changed (text edit,
+    turn added, turn removed) / removed (conv gone) / added (new conv)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import changed_conversations
+
+    base = pd.Timestamp("2026-01-01")
+
+    def frame(rows):
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+        df["turn_idx"] = df["turn_idx"].astype("int32")
+        df["ts"] = base
+        df["tool"] = None
+        return df
+
+    left = frame(
+        [
+            ("same1", 0, "user", "a"), ("same1", 1, "assistant", "b"),
+            ("edit1", 0, "user", "a"), ("edit1", 1, "assistant", "b"),
+            ("grow1", 0, "user", "a"),
+            ("shrink1", 0, "user", "a"), ("shrink1", 1, "assistant", "b"),
+            ("gone1", 0, "user", "bye"),
+        ]
+    )
+    right = frame(
+        [
+            ("same1", 0, "user", "a"), ("same1", 1, "assistant", "b"),
+            ("edit1", 0, "user", "a"), ("edit1", 1, "assistant", "B"),
+            ("grow1", 0, "user", "a"), ("grow1", 1, "assistant", "more"),
+            ("shrink1", 0, "user", "a"),
+            ("new1", 0, "user", "hi"),
+        ]
+    )
+    got = (
+        changed_conversations(
+            rd.from_pandas(left).repartition(2),
+            rd.from_pandas(right).repartition(3),
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("conv_id")["status"]
+        .to_dict()
+    )
+    assert got == {
+        "same1": "same",
+        "edit1": "changed",
+        "grow1": "changed",
+        "shrink1": "changed",
+        "gone1": "removed",
+        "new1": "added",
+    }
