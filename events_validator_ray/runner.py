@@ -53,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
         "partitioned parquet under OUT/pairs with a resumable summary marker",
     )
     p.add_argument(
+        "--diff",
+        action="store_true",
+        help="snapshot diff for incremental revalidation: classify each "
+        "conversation in --input (the NEW snapshot) vs --against (the OLD "
+        "one) as added/removed/changed/same; writes OUT/diff parquet + a "
+        "summary line — re-validate only the added/changed conv_ids",
+    )
+    p.add_argument(
+        "--against",
+        help="with --diff: directory of the OLD snapshot's transcript parquet",
+    )
+    p.add_argument(
         "--reference-profile",
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
@@ -128,6 +140,33 @@ def main(argv: list[str] | None = None) -> int:
         summary = {"skipped": False, "output_path": outdir, "n_pairs": n_pairs}
         with open(marker, "w") as f:
             json.dump(summary, f)
+        print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.diff:
+        if not args.against:
+            p.error("--diff requires --against OLD_DIR")
+        import os as _os
+
+        from .stages.assembly import changed_conversations
+        from .state.manifest import atomic_output_dir
+
+        # left = OLD, right = NEW → 'added' means new in --input
+        diff = changed_conversations(
+            rd.read_parquet(args.against), rd.read_parquet(args.input)
+        )
+        outdir = _os.path.join(args.out, "diff")
+        with atomic_output_dir(outdir) as tmp:
+            diff.write_parquet(tmp)
+        # count from the SINK; 4-status cardinality bounds the aggregate
+        counts = rd.read_parquet(outdir).groupby("status").count().to_pandas()
+        summary = {
+            "output_path": outdir,
+            "counts": {
+                str(r["status"]): int(r["count()"]) for _, r in counts.iterrows()
+            },
+        }
         print(json.dumps(summary))
         ray.shutdown()
         return 0

@@ -307,3 +307,49 @@ def test_runner_pairs_cli(tmp_path):
     assert res2.returncode == 0, res2.stderr[-2000:]
     summary2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert summary2["skipped"] is True and summary2["n_pairs"] == summary["n_pairs"]
+
+
+def test_runner_diff_cli(tmp_path):
+    """--diff classifies conversations between two snapshots and writes the
+    status table + summary counts."""
+    import pyarrow.parquet as pq
+
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    old_dir = ensure_transcripts(0.001)
+    # NEW snapshot: drop one conversation, add one, keep the rest verbatim
+    tbl = pq.read_table(sorted(__import__("glob").glob(f"{old_dir}/*.parquet"))[0])
+    df = tbl.to_pandas()
+    convs = sorted(df["conv_id"].dropna().unique())
+    dropped, copied = convs[0], convs[1]
+    new_rows = df[df["conv_id"] == copied].copy()
+    new_rows["conv_id"] = new_rows["conv_id"] + "_brand_new"
+    import pandas as pd
+
+    new_df = pd.concat([df[df["conv_id"] != dropped], new_rows], ignore_index=True)
+    new_dir = tmp_path / "new_snap"
+    new_dir.mkdir()
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(new_df, preserve_index=False),
+                   str(new_dir / "part-0.parquet"))
+    # remaining files of the old snapshot carry over unchanged
+    for i, f in enumerate(sorted(__import__("glob").glob(f"{old_dir}/*.parquet"))[1:]):
+        pq.write_table(pq.read_table(f), str(new_dir / f"part-{i+1}.parquet"))
+
+    out = tmp_path / "out"
+    out.mkdir()
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "events_validator_ray.runner",
+            "--diff", "--input", str(new_dir), "--against", old_dir,
+            "--out", str(out), "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["counts"]["added"] == 1
+    assert summary["counts"]["removed"] == 1
+    assert summary["counts"]["same"] >= 1
+    assert (out / "diff").exists()
