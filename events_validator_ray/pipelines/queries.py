@@ -2316,6 +2316,46 @@ def q_turn_reindex(sf_dir: str):
     return turn_reindex(_read_transcripts(sf_dir))
 
 
+def clean_conversations(ds, spec):
+    """The validation output FILTERS the corpus (the quarantine/clean split
+    a training pipeline runs downstream of validation): conversations with
+    ZERO violations of any kind (scalar + conversation checks), with their
+    turn counts. Violating conv_ids come off the two violation streams
+    map-side (prefix of the deterministic '{conv}:{turn}' event_id,
+    per-batch deduped), feed the distributed-Bloom anti-join (clean misses
+    stream to the output with zero shuffle), and the surviving turns reduce
+    through the skew-safe bucketed counter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.assembly import bucketed_count_per_key
+    from ..stages.conversation import conversation_violations
+    from ..stages.joins import bloom_anti_join
+    from ..stages.validate import ValidateBatch
+
+    viol_s = ds.map_batches(
+        ValidateBatch(spec, log_valid=False),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    ).select_columns(["event_id"])
+    viol_c = conversation_violations(ds, spec).select_columns(["event_id"])
+
+    def conv_keys(t: pa.Table) -> pa.Table:
+        conv = pc.list_element(pc.split_pattern(t["event_id"], ":"), 0)
+        return pa.table({"conv_id": pc.unique(conv)})
+
+    keys = viol_s.union(viol_c).map_batches(conv_keys, batch_format="pyarrow")
+    clean = bloom_anti_join(ds.select_columns(["conv_id"]), keys, on="conv_id")
+    return bucketed_count_per_key(clean, "conv_id", "n_turns")
+
+
+def q_clean_conversations(sf_dir: str):
+    """Quarantine/clean split over the transcript corpus (see
+    clean_conversations)."""
+    return clean_conversations(_read_transcripts(sf_dir), transcript_spec())
+
+
 def _snapshot_decorate(df):
     """Deterministic 'next snapshot' of the corpus (IDENTICAL derivation in
     the SQL twin): turns with turn_idx%7==3 deleted, text of surviving
@@ -3129,6 +3169,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # don't displace it late in the round
         "turn_reindex": q_turn_reindex,
         "changed_conversations": q_changed_conversations,
+        "clean_conversations": q_clean_conversations,
     }
 
 
@@ -3524,5 +3565,16 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "WHEN dr.conv_id IS NULL THEN 'removed' "
         "WHEN dl.doc_md5 = dr.doc_md5 THEN 'same' ELSE 'changed' END AS status "
         "FROM dl FULL OUTER JOIN dr ON dl.conv_id = dr.conv_id"
+    )
+    _spec = transcript_spec()
+    _kinds = column_kinds_for_transcripts()
+    _t = _transcripts_table_sql(sf)
+    out["clean_conversations"] = (
+        f"WITH v AS ({scalar_violations_sql(_spec, _t, _kinds)} "
+        f"UNION ALL {conversation_violations_sql(_spec, _t)}), "
+        "vk AS (SELECT DISTINCT split_part(event_id, ':', 1) AS conv_id FROM v) "
+        f"SELECT t.conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM {_t} t "
+        "WHERE NOT EXISTS (SELECT 1 FROM vk WHERE vk.conv_id = t.conv_id) "
+        "GROUP BY t.conv_id"
     )
     return out

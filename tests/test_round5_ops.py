@@ -671,3 +671,35 @@ def test_changed_conversations_all_statuses(ray_session):
         "gone1": "removed",
         "new1": "added",
     }
+
+
+def test_clean_conversations_filters_by_both_planes(ray_session):
+    """clean = zero scalar AND zero conversation violations: a conv with a
+    bad role (scalar plane), one with a turn gap (conversation plane), and
+    one clean conv — only the clean one survives, with its turn count."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.queries import clean_conversations
+    from events_validator_ray.spec import transcript_spec
+
+    base = pd.Timestamp("2026-01-01")
+    rows = []
+    # clean conversation: contiguous, user-first, monotone ts
+    for i, role in enumerate(["user", "assistant", "user"]):
+        rows.append(("conv_00000001", i, role, f"t{i}", base + pd.Timedelta(seconds=i)))
+    # scalar violation: out-of-enum role on one turn
+    rows.append(("conv_00000002", 0, "user", "a", base))
+    rows.append(("conv_00000002", 1, "robot", "b", base + pd.Timedelta(seconds=1)))
+    # conversation violation: turn gap (0 then 2), scalars all fine
+    rows.append(("conv_00000003", 0, "user", "a", base))
+    rows.append(("conv_00000003", 2, "assistant", "b", base + pd.Timedelta(seconds=2)))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "ts"])
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df["tool"] = None
+
+    got = (
+        clean_conversations(rd.from_pandas(df).repartition(2), transcript_spec())
+        .to_pandas()
+    )
+    assert got.set_index("conv_id")["n_turns"].to_dict() == {"conv_00000001": 3}
