@@ -76,10 +76,20 @@ def run_validation(
     sketch_plan: dict | None = None,
     reference_profile: dict[str, dict[str, int]] | None = None,
     resume: bool = True,
+    only_convs=None,
 ) -> dict:
     """Run the full validation pipeline; returns a summary dict. Safe to
     re-run after a kill: completed partitions (matching fingerprint + spec
-    hash) are skipped."""
+    hash) are skipped.
+
+    ``only_convs`` (set/list of conv_id strings) restricts BOTH planes to
+    those conversations — the incremental-revalidation path downstream of
+    ``changed_conversations`` / ``runner --diff``. The id set is part of
+    the resume identity (folded into the spec hash), so a re-run with a
+    different set never serves stale partitions. The set is broadcast once
+    (ray.put) and applied as a map-side Arrow ``is_in`` filter — fine to
+    ~10^7 ids on the driver; beyond that, pre-filter the corpus with
+    ``stages.joins.bloom_semi_join`` instead."""
     import ray.data as rd
 
     files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
@@ -111,6 +121,30 @@ def run_validation(
         repr(sorted((c, tuple(k)) for c, k in plan.items())).encode()
     ).hexdigest()[:8]
     spec_hash = f"{spec_hash}+plan:{plan_hash}"
+    conv_filter = None
+    if only_convs is not None:
+        import pyarrow as _pa
+        import ray as _ray
+
+        conv_list = sorted({c for c in only_convs if c is not None})
+        convs_hash = _hashlib.sha256("\x1f".join(conv_list).encode()).hexdigest()[:8]
+        # the id set is part of the resume identity, like the sketch plan
+        spec_hash = f"{spec_hash}+convs:{convs_hash}"
+        convs_ref = _ray.put(_pa.array(conv_list, type=_pa.string()))
+        _holder: dict = {}
+
+        def conv_filter(t):
+            import pyarrow.compute as _pc
+            import ray as _r
+
+            if "v" not in _holder:
+                obj = convs_ref
+                if isinstance(obj, _r.ObjectRef):
+                    obj = _r.get(obj)
+                _holder["v"] = obj
+            return t.filter(_pc.is_in(t["conv_id"], value_set=_holder["v"]))
+
+        conv_filter.__name__ = "only_convs_filter"
     parts_dir = os.path.join(out_dir, "profile_parts")
     os.makedirs(parts_dir, exist_ok=True)
     parts = _partitions(files, files_per_partition)
@@ -143,7 +177,10 @@ def run_validation(
         # quantum; the store spills if needed) and feed validation, sketch
         # partials and counts from there instead of re-reading the files (3x
         # read amplification before).
-        src = rd.read_parquet(part_files).materialize()
+        src = rd.read_parquet(part_files)
+        if conv_filter is not None:
+            src = src.map_batches(conv_filter, batch_format="pyarrow")
+        src = src.materialize()
         n_rows = src.count()
         # mergeable sketch partials for THIS partition (persisted so a resumed
         # run merges without recomputing — SURVEY.md §7.4 item 4)
@@ -190,6 +227,8 @@ def run_validation(
         t0 = time.time()
         final_dir = os.path.join(out_dir, "violations", "conversation")
         ds = rd.read_parquet(files)
+        if conv_filter is not None:
+            ds = ds.map_batches(conv_filter, batch_format="pyarrow")
         if salted == "auto":
             # heavy-hitter probe picks the salted path only under real skew
             conv = conversation_violations_auto(ds, spec, run_ts, chunk=salt_chunk)

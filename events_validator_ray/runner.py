@@ -65,6 +65,13 @@ def main(argv: list[str] | None = None) -> int:
         help="with --diff: directory of the OLD snapshot's transcript parquet",
     )
     p.add_argument(
+        "--only-convs",
+        help="parquet file/dir of conv_ids to validate (e.g. the --diff "
+        "output: rows with status added/changed are taken automatically); "
+        "all other conversations are skipped — the incremental-revalidation "
+        "path. The id set folds into the resume identity.",
+    )
+    p.add_argument(
         "--reference-profile",
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
@@ -239,6 +246,18 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.reference_profile) as f:
             reference_profile = json.load(f)
 
+    only_convs = None
+    if args.only_convs:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        t = pq.read_table(args.only_convs)
+        if "status" in t.column_names:
+            t = t.filter(
+                pc.is_in(t["status"], value_set=pa.array(["added", "changed"]))
+            )
+        only_convs = set(t["conv_id"].to_pylist())
+
     summary = run_validation(
         input_path,
         args.out,
@@ -249,6 +268,7 @@ def main(argv: list[str] | None = None) -> int:
         salt_chunk=args.salt_chunk,
         resume=not args.no_resume,
         reference_profile=reference_profile,
+        only_convs=only_convs,
     )
     print(json.dumps(summary, default=str))
     ray.shutdown()

@@ -353,3 +353,26 @@ def test_runner_diff_cli(tmp_path):
     assert summary["counts"]["removed"] == 1
     assert summary["counts"]["same"] >= 1
     assert (out / "diff").exists()
+
+    # close the incremental loop: revalidate ONLY the added/changed convs
+    # straight off the --diff output (the one added conv breaks the conv_id
+    # regex, so it must be the only conversation producing violations)
+    reval = tmp_path / "reval"
+    res2 = subprocess.run(
+        [
+            sys.executable, "-m", "events_validator_ray.runner",
+            "--input", str(new_dir), "--out", str(reval),
+            "--only-convs", str(out / "diff"), "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    summary2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert summary2["executed"] > 0
+    from events_validator_ray.pipelines.validate_pipeline import read_violations
+
+    viols = (
+        read_violations(str(reval)).filter(expr="status == 'error'").take_all()
+    )
+    convs = {r["event_id"].split(":")[0] for r in viols}
+    assert convs == {copied + "_brand_new"}

@@ -190,3 +190,40 @@ def test_single_read_per_partition(ray_session, tmp_path, monkeypatch):
     n_parts = len(summary["partitions"])
     assert n_parts >= 2
     assert len(calls) == n_parts + 1  # one per partition + one conversation pass
+
+
+def test_only_convs_incremental_revalidation(ray_session, out_dir):
+    """only_convs restricts both planes to the given conversations, folds
+    the id set into the resume identity (same set resumes, different set
+    re-executes), and never reports violations from other conversations."""
+    tdir = ensure_transcripts(0.001)
+    spec = transcript_spec()
+
+    full = run_validation(tdir, str(out_dir) + "_full", spec, files_per_partition=2)
+    assert full["executed"] > 0
+    all_viols = _violation_set(str(out_dir) + "_full")
+    convs_with_viols = sorted({e.split(":")[0] for e, *_ in all_viols})
+    assert len(convs_with_viols) >= 4
+    subset = set(convs_with_viols[:2])
+
+    s1 = run_validation(
+        tdir, out_dir, spec, files_per_partition=2, only_convs=subset
+    )
+    assert s1["executed"] > 0
+    sub_viols = _violation_set(out_dir)
+    assert {e.split(":")[0] for e, *_ in sub_viols} <= subset
+    # the filtered run reproduces exactly the full run's rows for those convs
+    assert sub_viols == [v for v in all_viols if v[0].split(":")[0] in subset]
+
+    # same set -> full resume
+    s2 = run_validation(
+        tdir, out_dir, spec, files_per_partition=2, only_convs=subset
+    )
+    assert s2["executed"] == 0 and s2["skipped"] == s1["executed"]
+
+    # different set -> nothing is served from the old identity
+    s3 = run_validation(
+        tdir, out_dir, spec, files_per_partition=2,
+        only_convs=set(convs_with_viols[:3]),
+    )
+    assert s3["executed"] == s1["executed"]
