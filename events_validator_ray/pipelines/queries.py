@@ -2345,7 +2345,15 @@ def clean_conversations(ds, spec):
         conv = pc.list_element(pc.split_pattern(t["event_id"], ":"), 0)
         return pa.table({"conv_id": pc.unique(conv)})
 
-    keys = viol_s.union(viol_c).map_batches(conv_keys, batch_format="pyarrow")
+    # materialize the key set (violating conv_ids — per-batch deduped, far
+    # smaller than the corpus; object-store resident, spills if huge): the
+    # anti-join consumes keys twice (Bloom build + exact-check join), and
+    # without this each consumption would RE-RUN both validation passes
+    keys = (
+        viol_s.union(viol_c)
+        .map_batches(conv_keys, batch_format="pyarrow")
+        .materialize()
+    )
     clean = bloom_anti_join(ds.select_columns(["conv_id"]), keys, on="conv_id")
     return bucketed_count_per_key(clean, "conv_id", "n_turns")
 
