@@ -2342,7 +2342,10 @@ def clean_conversations(ds, spec):
     viol_c = conversation_violations(ds, spec).select_columns(["event_id"])
 
     def conv_keys(t: pa.Table) -> pa.Table:
-        conv = pc.list_element(pc.split_pattern(t["event_id"], ":"), 0)
+        # event_id is '{conv_id}:{turn_idx}' and conv_id may itself contain
+        # ':' — strip the LAST segment (rsplit, the repo convention:
+        # stages/conversation.py), never split on the first colon
+        conv = pc.replace_substring_regex(t["event_id"], pattern=":[^:]*$", replacement="")
         return pa.table({"conv_id": pc.unique(conv)})
 
     # materialize the key set (violating conv_ids — per-batch deduped, far
@@ -3555,23 +3558,29 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "CAST(turn_idx AS BIGINT) AS orig_turn_idx, role, md5(text) AS text_md5 "
         f"FROM {_transcripts_table_sql(sf)}"
     )
-    _doc_agg = (
-        "md5(string_agg(coalesce(role,'') || '|' || coalesce(text,''), chr(10) "
-        "ORDER BY turn_idx, coalesce(text,''), coalesce(role,''))) AS doc_md5"
+    # FULL-ROW snapshot fingerprint (stages/assembly.py:snapshot_fingerprints):
+    # every turn column participates so ts/tool/turn-index edits flip the
+    # conversation to 'changed'; the line string IS the sort key (total order
+    # over the multiset, byte-identical in pandas and DuckDB)
+    _fp_line = (
+        "coalesce(CAST(turn_idx AS VARCHAR),'') || '|' || coalesce(role,'') "
+        "|| '|' || coalesce(md5(text),'') || '|' || coalesce(tool,'') "
+        "|| '|' || coalesce(CAST(epoch_us(ts) AS VARCHAR),'')"
     )
+    _fp_agg = f"md5(string_agg({_fp_line}, chr(10) ORDER BY {_fp_line})) AS fp_md5"
     out["changed_conversations"] = (
         f"WITH t AS (SELECT * FROM {_transcripts_table_sql(sf)}), "
         "r AS (SELECT conv_id, turn_idx, role, "
-        "CASE WHEN turn_idx % 11 = 5 THEN coalesce(text,'') || ' v2' ELSE text END AS text "
-        "FROM t WHERE turn_idx % 7 <> 3 "
-        "UNION ALL SELECT conv_id || '_new' AS conv_id, turn_idx, role, text "
+        "CASE WHEN turn_idx % 11 = 5 THEN coalesce(text,'') || ' v2' ELSE text END AS text, "
+        "tool, ts FROM t WHERE turn_idx % 7 <> 3 "
+        "UNION ALL SELECT conv_id || '_new' AS conv_id, turn_idx, role, text, tool, ts "
         "FROM t WHERE conv_id LIKE '%7'), "
-        f"dl AS (SELECT conv_id, {_doc_agg} FROM t GROUP BY conv_id), "
-        f"dr AS (SELECT conv_id, {_doc_agg} FROM r GROUP BY conv_id) "
+        f"dl AS (SELECT conv_id, {_fp_agg} FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id), "
+        f"dr AS (SELECT conv_id, {_fp_agg} FROM r WHERE conv_id IS NOT NULL GROUP BY conv_id) "
         "SELECT coalesce(dl.conv_id, dr.conv_id) AS conv_id, "
         "CASE WHEN dl.conv_id IS NULL THEN 'added' "
         "WHEN dr.conv_id IS NULL THEN 'removed' "
-        "WHEN dl.doc_md5 = dr.doc_md5 THEN 'same' ELSE 'changed' END AS status "
+        "WHEN dl.fp_md5 = dr.fp_md5 THEN 'same' ELSE 'changed' END AS status "
         "FROM dl FULL OUTER JOIN dr ON dl.conv_id = dr.conv_id"
     )
     _spec = transcript_spec()
@@ -3580,7 +3589,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["clean_conversations"] = (
         f"WITH v AS ({scalar_violations_sql(_spec, _t, _kinds)} "
         f"UNION ALL {conversation_violations_sql(_spec, _t)}), "
-        "vk AS (SELECT DISTINCT split_part(event_id, ':', 1) AS conv_id FROM v) "
+        "vk AS (SELECT DISTINCT regexp_replace(event_id, ':[^:]*$', '') AS conv_id FROM v) "
         f"SELECT t.conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns FROM {_t} t "
         "WHERE NOT EXISTS (SELECT 1 FROM vk WHERE vk.conv_id = t.conv_id) "
         "GROUP BY t.conv_id"

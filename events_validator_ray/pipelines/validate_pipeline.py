@@ -123,28 +123,24 @@ def run_validation(
     spec_hash = f"{spec_hash}+plan:{plan_hash}"
     conv_filter = None
     if only_convs is not None:
-        import pyarrow as _pa
-        import ray as _ray
+        from ..stages.joins import arrow_semi_filter
 
         conv_list = sorted({c for c in only_convs if c is not None})
         convs_hash = _hashlib.sha256("\x1f".join(conv_list).encode()).hexdigest()[:8]
         # the id set is part of the resume identity, like the sketch plan
         spec_hash = f"{spec_hash}+convs:{convs_hash}"
+
+        import pyarrow as _pa
+        import ray as _ray
+
+        # broadcast ONCE — stage 1 filters every partition against this set
         convs_ref = _ray.put(_pa.array(conv_list, type=_pa.string()))
-        _holder: dict = {}
 
-        def conv_filter(t):
-            import pyarrow.compute as _pc
-            import ray as _r
-
-            if "v" not in _holder:
-                obj = convs_ref
-                if isinstance(obj, _r.ObjectRef):
-                    obj = _r.get(obj)
-                _holder["v"] = obj
-            return t.filter(_pc.is_in(t["conv_id"], value_set=_holder["v"]))
-
-        conv_filter.__name__ = "only_convs_filter"
+        # keep_nulls: NULL-conv_id rows are invisible to the snapshot diff
+        # (no key to match), so the incremental pass must always revalidate
+        # them — dropping them would silently skip their violations
+        def conv_filter(ds):
+            return arrow_semi_filter(ds, convs_ref, on="conv_id", keep_nulls=True)
     parts_dir = os.path.join(out_dir, "profile_parts")
     os.makedirs(parts_dir, exist_ok=True)
     parts = _partitions(files, files_per_partition)
@@ -179,7 +175,7 @@ def run_validation(
         # read amplification before).
         src = rd.read_parquet(part_files)
         if conv_filter is not None:
-            src = src.map_batches(conv_filter, batch_format="pyarrow")
+            src = conv_filter(src)
         src = src.materialize()
         n_rows = src.count()
         # mergeable sketch partials for THIS partition (persisted so a resumed
@@ -228,7 +224,7 @@ def run_validation(
         final_dir = os.path.join(out_dir, "violations", "conversation")
         ds = rd.read_parquet(files)
         if conv_filter is not None:
-            ds = ds.map_batches(conv_filter, batch_format="pyarrow")
+            ds = conv_filter(ds)
         if salted == "auto":
             # heavy-hitter probe picks the salted path only under real skew
             conv = conversation_violations_auto(ds, spec, run_ts, chunk=salt_chunk)

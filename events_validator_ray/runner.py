@@ -257,6 +257,18 @@ def main(argv: list[str] | None = None) -> int:
                 pc.is_in(t["status"], value_set=pa.array(["added", "changed"]))
             )
         only_convs = set(t["conv_id"].to_pylist())
+        if not only_convs:
+            # steady state of the incremental loop: nothing added/changed →
+            # do NOT pay a full-corpus scan just to filter every row out
+            summary = {
+                "partitions": [],
+                "skipped": 0,
+                "executed": 0,
+                "note": "only-convs set empty; nothing to revalidate",
+            }
+            print(json.dumps(summary))
+            ray.shutdown()
+            return 0
 
     summary = run_validation(
         input_path,

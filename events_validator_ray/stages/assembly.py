@@ -645,6 +645,84 @@ def turn_reindex(ds, num_buckets: int = 64):
     )
 
 
+class _SnapshotFpBucket:
+    """One call = one hash bucket of conversations: sort the pre-rendered
+    turn lines (the line string is a total order over the multiset, so both
+    engines agree regardless of input order), concat per conversation, md5."""
+
+    def __init__(self):
+        self.__name__ = type(self).__name__
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "line"], kind="stable")
+        docs = (
+            df.groupby("conv_id", sort=False)["line"]
+            .agg("\n".join)
+            .reset_index(name="doc")
+        )
+        docs["fp_md5"] = _md5_series(docs["doc"])
+        return docs[["conv_id", "fp_md5"]]
+
+
+def snapshot_fingerprints(ds, num_buckets: int = 64):
+    """FULL-ROW per-conversation fingerprint for snapshot diffing: every
+    column of the turn participates (turn_idx, role, md5(text), tool,
+    epoch-us ts), so a change in ANY of them — a ts reorder, a tool rename,
+    a turn-index gap that preserves relative order — flips the conversation
+    to 'changed'. `conversation_docs` (the SFT-export rollup) deliberately
+    hashes only ordered role|text and must NOT be used as a diff key: it is
+    blind to exactly the ts/tool/index violations the validator exists to
+    catch.
+
+    Scale shape: the line is rendered MAP-SIDE (text digested to md5 before
+    the exchange), ~70 B/row shuffled; one bucketed shuffle co-locates
+    conversations; rows with NULL conv_id are outside diff scope (they
+    cannot be addressed by conv_id — `run_validation(only_convs=...)`
+    always revalidates them instead).
+
+    SQL twin: md5(string_agg(<line expr>, chr(10) ORDER BY <line expr>))
+    GROUP BY conv_id WHERE conv_id IS NOT NULL, with
+    <line expr> = coalesce(CAST(turn_idx AS VARCHAR),'') || '|' ||
+    coalesce(role,'') || '|' || coalesce(md5(text),'') || '|' ||
+    coalesce(tool,'') || '|' || coalesce(CAST(epoch_us(ts) AS VARCHAR),'').
+    """
+    from .conversation import _with_bucket
+
+    def render_line(df: pd.DataFrame) -> pd.DataFrame:
+        # int render must never produce '5.0': nullable Int64 → str → '<NA>'
+        # swap (same canonicalization rationale as bucketed_count_per_key)
+        tidx = df["turn_idx"].astype("Int64").astype(str).replace("<NA>", "")
+        ts = pd.to_datetime(df["ts"])
+        us = ts.astype("int64")
+        if str(ts.dtype).startswith("datetime64[ns"):
+            us = us // 1000
+        us_str = us.astype(str).where(ts.notna(), "")
+        line = (
+            tidx
+            + "|"
+            + df["role"].fillna("")
+            + "|"
+            + _md5_series(df["text"]).fillna("")
+            + "|"
+            + df["tool"].fillna("")
+            + "|"
+            + us_str
+        )
+        keep = df["conv_id"].notna()
+        return pd.DataFrame({"conv_id": df["conv_id"][keep], "line": line[keep]})
+
+    render_line.__name__ = "render_fp_line"
+
+    projected = ds.select_columns(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).map_batches(render_line, batch_format="pandas")
+    return (
+        _with_bucket(projected, num_buckets)
+        .groupby("bucket")
+        .map_groups(_SnapshotFpBucket(), batch_format="pandas")
+    )
+
+
 def changed_conversations(left, right, num_buckets: int = 64):
     """Snapshot diff for INCREMENTAL revalidation: compare two corpus
     versions at conversation granularity and emit (conv_id, status) with
@@ -653,26 +731,25 @@ def changed_conversations(left, right, num_buckets: int = 64):
     rescanning 10^12 turns.
 
     Scale shape: each side first collapses to ONE ROW PER CONVERSATION
-    (`conversation_docs`: bucketed shuffle over 4 projected columns, text
-    digested inside the rollup), so the reconciliation join moves ~50 B
-    per conversation, not per turn; the join is the null-safe tagged-union
-    `full_outer_join` (one shuffle). Nothing touches the driver.
+    (`snapshot_fingerprints`: bucketed shuffle over map-side-rendered
+    ~70 B lines covering EVERY turn column), so the reconciliation join
+    moves ~50 B per conversation, not per turn; the join is the null-safe
+    tagged-union `full_outer_join` (one shuffle). Nothing touches the
+    driver. Rows with NULL conv_id are outside diff scope — the
+    `only_convs` filter in the revalidation pipeline keeps them
+    unconditionally so they are never silently skipped.
 
-    SQL twin: two conversation-doc CTEs + FULL OUTER JOIN + CASE.
+    SQL twin: two snapshot-fingerprint CTEs + FULL OUTER JOIN + CASE.
     """
     import numpy as np
 
     from .joins import full_outer_join
 
-    docs_l = conversation_docs(left, num_buckets=num_buckets).select_columns(
-        ["conv_id", "doc_md5"]
-    )
-    docs_r = conversation_docs(right, num_buckets=num_buckets).select_columns(
-        ["conv_id", "doc_md5"]
-    )
+    docs_l = snapshot_fingerprints(left, num_buckets=num_buckets)
+    docs_r = snapshot_fingerprints(right, num_buckets=num_buckets)
 
     def rename_right(df: pd.DataFrame) -> pd.DataFrame:
-        return df.rename(columns={"doc_md5": "doc_md5_r"})
+        return df.rename(columns={"fp_md5": "fp_md5_r"})
 
     rename_right.__name__ = "rename_right"
 
@@ -684,7 +761,7 @@ def changed_conversations(left, right, num_buckets: int = 64):
     )
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
-        l, r = df["doc_md5"], df["doc_md5_r"]
+        l, r = df["fp_md5"], df["fp_md5_r"]
         status = np.where(
             l.isna(),
             "added",

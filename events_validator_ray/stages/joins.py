@@ -117,6 +117,44 @@ def semi_join_filter(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(flt, batch_format="pandas")
 
 
+def arrow_semi_filter(ds, keys, on: str, keep_nulls: bool = False):
+    """`semi_join_filter`'s zero-copy Arrow sibling: broadcast the string key
+    set once (ray.put), membership-filter map-side with `pc.is_in` — the slot
+    for hot paths that must not pay an Arrow→pandas conversion (the
+    incremental-revalidation `only_convs` filter). ``keep_nulls=True`` keeps
+    NULL-key rows: a row that cannot be addressed by key (NULL conv_id) must
+    be conservatively REVALIDATED, never silently dropped from the
+    incremental pass — the snapshot diff cannot see it.
+
+    ``keys`` may be an already-``ray.put`` ObjectRef of a ``pa.StringArray``
+    (callers filtering MANY datasets against one set broadcast it once)."""
+    import pyarrow as pa
+    import ray
+
+    if isinstance(keys, ray.ObjectRef):
+        key_ref = keys
+    else:
+        key_ref = ray.put(pa.array(sorted(keys), type=pa.string()))
+    holder: dict = {}
+
+    def flt(t):
+        import pyarrow.compute as pc
+        import ray as _r
+
+        if "v" not in holder:
+            obj = key_ref
+            if isinstance(obj, _r.ObjectRef):
+                obj = _r.get(obj)
+            holder["v"] = obj
+        mask = pc.is_in(t[on], value_set=holder["v"])
+        if keep_nulls:
+            mask = pc.or_kleene(mask, pc.is_null(t[on]))
+        return t.filter(mask)
+
+    flt.__name__ = f"only_{on}_filter"
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def asof_join(
     left,
     right,

@@ -1,0 +1,149 @@
+"""Incremental-revalidation loop hardening (round-5 review findings):
+
+1. the snapshot diff must detect ts / tool / order-preserving turn_idx
+   changes (full-row fingerprint, not the role|text export digest);
+2. the quarantine split must survive conv_ids containing ':' (event_id is
+   '{conv}:{turn}' — the conv key is the rsplit prefix, never split-first);
+3. --only-convs must conservatively KEEP null-conv_id rows (the diff cannot
+   address them, so they are always revalidated, never silently skipped).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _base_corpus() -> pd.DataFrame:
+    ts0 = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for conv in ("conv_00000001", "conv_00000002"):
+        for i, role in enumerate(["user", "assistant", "user"]):
+            rows.append(
+                {
+                    "conv_id": conv,
+                    "turn_idx": i,
+                    "role": role,
+                    "text": f"{conv} says {i}",
+                    "tool": None,
+                    "ts": ts0 + pd.Timedelta(minutes=i),
+                }
+            )
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    return df
+
+
+def _statuses(ray_session, left_df, right_df):
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import changed_conversations
+
+    out = changed_conversations(
+        rd.from_pandas(left_df), rd.from_pandas(right_df), num_buckets=4
+    ).take_all()
+    return {r["conv_id"]: r["status"] for r in out}
+
+
+def test_snapshot_diff_detects_ts_change(ray_session):
+    base = _base_corpus()
+    right = base.copy()
+    m = (right["conv_id"] == "conv_00000001") & (right["turn_idx"] == 1)
+    right.loc[m, "ts"] = right.loc[m, "ts"] + pd.Timedelta(hours=2)
+    st = _statuses(ray_session, base, right)
+    assert st == {"conv_00000001": "changed", "conv_00000002": "same"}
+
+
+def test_snapshot_diff_detects_tool_change(ray_session):
+    base = _base_corpus()
+    right = base.copy()
+    m = (right["conv_id"] == "conv_00000001") & (right["turn_idx"] == 1)
+    right.loc[m, "tool"] = "sneaky_tool"
+    st = _statuses(ray_session, base, right)
+    assert st == {"conv_00000001": "changed", "conv_00000002": "same"}
+
+
+def test_snapshot_diff_detects_order_preserving_gap(ray_session):
+    # 0,1,2 -> 0,1,1000002 keeps relative order and every role|text byte:
+    # the export digest is identical, but the contiguity check's verdict
+    # flips — the diff must say 'changed'
+    base = _base_corpus()
+    right = base.copy()
+    m = (right["conv_id"] == "conv_00000001") & (right["turn_idx"] == 2)
+    right.loc[m, "turn_idx"] = np.int32(1000002)
+    st = _statuses(ray_session, base, right)
+    assert st == {"conv_00000001": "changed", "conv_00000002": "same"}
+
+
+def test_clean_conversations_conv_id_with_colon(ray_session, tmp_path):
+    """A violating conversation whose id contains ':' must be quarantined:
+    the conv key is event_id's rsplit-prefix ('team:42:3' -> 'team:42'),
+    not the first-colon split ('team')."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.queries import clean_conversations
+    from events_validator_ray.spec import transcript_spec
+
+    base = _base_corpus()  # two fully-clean conversations
+    bad = pd.DataFrame(
+        {
+            "conv_id": ["team:42", "team:42"],
+            "turn_idx": np.array([0, 1], dtype="int32"),
+            "role": ["user", "assistant"],
+            "text": ["hi", "there"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:01:00"]
+            ),
+        }
+    )
+    df = pd.concat([base, bad], ignore_index=True)
+    out = clean_conversations(rd.from_pandas(df), transcript_spec()).take_all()
+    clean = {r["conv_id"] for r in out}
+    # 'team:42' breaks the conv_id regex -> it is a violating conversation
+    assert "team:42" not in clean
+    assert clean == {"conv_00000001", "conv_00000002"}
+
+
+def test_only_convs_keeps_null_conv_rows(ray_session, tmp_path):
+    """run_validation(only_convs=...) must always revalidate rows whose
+    conv_id is NULL — the snapshot diff cannot see them."""
+    from events_validator_ray.pipelines.validate_pipeline import (
+        read_violations,
+        run_validation,
+    )
+    from events_validator_ray.spec import transcript_spec
+
+    df = _base_corpus()
+    null_row = pd.DataFrame(
+        {
+            "conv_id": [None],
+            "turn_idx": np.array([0], dtype="int32"),
+            "role": ["user"],
+            "text": ["orphan"],
+            "tool": [None],
+            "ts": pd.to_datetime(["2026-01-01 00:00:00"]),
+        }
+    )
+    df = pd.concat([df, null_row], ignore_index=True)
+    tdir = tmp_path / "corpus"
+    tdir.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False).set_column(
+            5, "ts", pa.Table.from_pandas(df[["ts"]])["ts"].cast(pa.timestamp("us"))
+        ),
+        str(tdir / "part-0.parquet"),
+    )
+    out = tmp_path / "out"
+    s = run_validation(
+        str(tdir),
+        str(out),
+        transcript_spec(),
+        files_per_partition=1,
+        only_convs={"conv_00000001"},
+    )
+    assert s["executed"] > 0
+    viols = read_violations(str(out)).filter(expr="status == 'error'").take_all()
+    null_conv_viols = [r for r in viols if r["field"] == "conv_id"]
+    assert null_conv_viols, "null-conv_id row was silently dropped by only_convs"

@@ -317,25 +317,24 @@ def test_runner_diff_cli(tmp_path):
     from events_validator_ray.sources.transcripts import ensure_transcripts
 
     old_dir = ensure_transcripts(0.001)
-    # NEW snapshot: drop one conversation, add one, keep the rest verbatim
-    tbl = pq.read_table(sorted(__import__("glob").glob(f"{old_dir}/*.parquet"))[0])
-    df = tbl.to_pandas()
+    # NEW snapshot: drop one conversation, add one, keep the rest verbatim.
+    # Built from the FULL corpus (the generator globally permutes rows before
+    # sharding, so a conversation's turns span shards — editing one shard
+    # would leave partial conversations behind and misclassify the diff).
+    files = sorted(__import__("glob").glob(f"{old_dir}/*.parquet"))
+    import pandas as pd
+    import pyarrow as pa
+
+    df = pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
     convs = sorted(df["conv_id"].dropna().unique())
     dropped, copied = convs[0], convs[1]
     new_rows = df[df["conv_id"] == copied].copy()
     new_rows["conv_id"] = new_rows["conv_id"] + "_brand_new"
-    import pandas as pd
-
     new_df = pd.concat([df[df["conv_id"] != dropped], new_rows], ignore_index=True)
     new_dir = tmp_path / "new_snap"
     new_dir.mkdir()
-    import pyarrow as pa
-
     pq.write_table(pa.Table.from_pandas(new_df, preserve_index=False),
                    str(new_dir / "part-0.parquet"))
-    # remaining files of the old snapshot carry over unchanged
-    for i, f in enumerate(sorted(__import__("glob").glob(f"{old_dir}/*.parquet"))[1:]):
-        pq.write_table(pq.read_table(f), str(new_dir / f"part-{i+1}.parquet"))
 
     out = tmp_path / "out"
     out.mkdir()
@@ -374,5 +373,5 @@ def test_runner_diff_cli(tmp_path):
     viols = (
         read_violations(str(reval)).filter(expr="status == 'error'").take_all()
     )
-    convs = {r["event_id"].split(":")[0] for r in viols}
+    convs = {r["event_id"].rsplit(":", 1)[0] for r in viols}
     assert convs == {copied + "_brand_new"}
