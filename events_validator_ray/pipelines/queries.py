@@ -3081,14 +3081,20 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": q_lexical_diversity,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "lang_id": q_lang_id,
-        "lang_mix": q_lang_mix,
+        # turn_reindex took lang_mix's head slot: the order-repair transform
+        # is a round-5 flagship while lang_mix is a thin corpus rollup of
+        # lang_id's per-doc output (lang_id keeps its head slot)
+        "turn_reindex": q_turn_reindex,
         "repetition_stats": q_repetition_stats,
         "contamination_scan": q_contamination_scan,
         "pii_scan": q_pii_scan,
         "zscore_scaled": q_zscore_scaled,
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
-        "fingerprint_dups": q_fingerprint_dups,
+        # changed_conversations took fingerprint_dups' head slot: the
+        # snapshot diff is a round-5 flagship while fingerprint_dups is a
+        # groupby over fingerprints' output (fingerprints keeps its slot)
+        "changed_conversations": q_changed_conversations,
         "split_leakage": q_split_leakage,
         # multimodal_resize took turn_text_digest's head slot: resize is new
         # this round (never driver-checked) while turn_text_digest is green
@@ -3107,7 +3113,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
         "cluster_assign": q_cluster_assign,
-        "cluster_purity": q_cluster_purity,
+        # clean_conversations took cluster_purity's head slot: the
+        # quarantine/clean split is a round-5 flagship while cluster_purity
+        # is a rollup of cluster_assign's output (cluster_assign keeps its
+        # slot)
+        "clean_conversations": q_clean_conversations,
         "semantic_dedup": q_semantic_dedup,
         "mixture_sample": q_mixture_sample,
         "packing_bins": q_packing_bins,
@@ -3175,12 +3185,13 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_text_digest": q_turn_text_digest,
         "near_dup_pairs": q_near_dup_pairs,
         "token_count_bpe": q_token_count_bpe,
-        # TAIL placement (not head): never driver-checked, but the head-50
-        # window is the round-5 set the driver already started verifying —
-        # don't displace it late in the round
-        "turn_reindex": q_turn_reindex,
-        "changed_conversations": q_changed_conversations,
-        "clean_conversations": q_clean_conversations,
+        # rotated out of the head for the three incremental-loop flagships:
+        # each is a thin rollup of a sibling that KEPT its head slot (lang_id,
+        # fingerprints, cluster_assign), and each stays twin-backed in the
+        # builder's full-registry sweep
+        "lang_mix": q_lang_mix,
+        "fingerprint_dups": q_fingerprint_dups,
+        "cluster_purity": q_cluster_purity,
     }
 
 

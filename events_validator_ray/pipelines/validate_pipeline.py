@@ -303,3 +303,65 @@ def read_violations(out_dir: str):
     from ..sources.readers import read_violations_dir
 
     return read_violations_dir(os.path.join(out_dir, "violations"))
+
+
+def merge_violations(base_dir: str, stale_convs, new_dir: str | None, out_path: str) -> int:
+    """Advance the violation log across an incremental revalidation: the
+    merged view = the BASE run's rows for conversations the snapshot diff
+    did NOT touch (status 'same'), plus ALL of the NEW incremental run's
+    rows. This is the artifact the loop exists to maintain — equal, row for
+    row, to a full revalidation of the new snapshot (the gold property
+    tests/test_incremental_loop.py asserts).
+
+    ``stale_convs`` = conv_ids with diff status added/changed/removed: their
+    base rows are dropped (removed convs are gone; added/changed convs were
+    re-validated into ``new_dir``). When a new run executed (``new_dir`` not
+    None), base rows with a NULL event_id are also dropped — NULL-conv_id
+    rows are revalidated unconditionally by ``only_convs`` and re-emitted.
+
+    Scale shape: base rows stream through one broadcast anti-filter on the
+    event_id conv prefix (the stale set is diff-sized — conversations, not
+    turns); nothing is pulled to the driver. Returns the merged row count
+    (from the sink, lineage-checked)."""
+    import pyarrow.compute as _pc
+    import ray
+    import ray.data as rd
+
+    from ..state.manifest import atomic_output_dir
+
+    stale = sorted({c for c in stale_convs if c is not None})
+    import pyarrow as _pa
+
+    stale_ref = ray.put(_pa.array(stale, type=_pa.string()))
+    holder: dict = {}
+
+    def keep_untouched(t):
+        import ray as _r
+
+        if "v" not in holder:
+            obj = stale_ref
+            if isinstance(obj, _r.ObjectRef):
+                obj = _r.get(obj)
+            holder["v"] = obj
+        conv = _pc.replace_substring_regex(
+            t["event_id"], pattern=":[^:]*$", replacement=""
+        )
+        mask = _pc.invert(
+            _pc.fill_null(_pc.is_in(conv, value_set=holder["v"]), False)
+        )
+        if new_dir is not None:
+            # NULL event_id rows were revalidated by the new run — drop the
+            # base copy so they are not doubled
+            mask = _pc.and_(mask, _pc.is_valid(t["event_id"]))
+        return t.filter(mask)
+
+    keep_untouched.__name__ = "keep_untouched_convs"
+
+    merged = read_violations(base_dir).map_batches(
+        keep_untouched, batch_format="pyarrow"
+    )
+    if new_dir is not None:
+        merged = merged.union(read_violations(new_dir))
+    with atomic_output_dir(out_path) as tmp:
+        merged.write_parquet(tmp)
+    return rd.read_parquet(out_path).count()

@@ -72,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         "path. The id set folds into the resume identity.",
     )
     p.add_argument(
+        "--merge-base",
+        help="with --only-convs: the OLD snapshot's validation-run dir. After "
+        "the incremental run, writes OUT/violations_merged = the base run's "
+        "rows for untouched conversations + the new run's rows — the "
+        "up-to-date complete violation log a full revalidation would have "
+        "produced. Requires --only-convs pointing at the --diff output (the "
+        "removed statuses are needed to retire stale rows).",
+    )
+    p.add_argument(
         "--reference-profile",
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
@@ -246,17 +255,54 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.reference_profile) as f:
             reference_profile = json.load(f)
 
+    if args.merge_base and not args.only_convs:
+        p.error("--merge-base requires --only-convs (the --diff output)")
+
     only_convs = None
+    stale_convs: set = set()
     if args.only_convs:
+        import os as _os
+
         import pyarrow as pa
         import pyarrow.compute as pc
 
         t = pq.read_table(args.only_convs)
         if "status" in t.column_names:
+            # stale = every conversation the diff touched: their BASE-run
+            # rows must be retired by --merge-base (removed convs are gone;
+            # added/changed are re-validated here)
+            touched = t.filter(
+                pc.is_in(
+                    t["status"], value_set=pa.array(["added", "changed", "removed"])
+                )
+            )
+            stale_convs = set(touched["conv_id"].to_pylist())
             t = t.filter(
                 pc.is_in(t["status"], value_set=pa.array(["added", "changed"]))
             )
+        elif args.merge_base:
+            p.error("--merge-base needs the --diff output (a status column) "
+                    "to retire removed conversations")
         only_convs = set(t["conv_id"].to_pylist())
+        if not stale_convs:
+            stale_convs = set(only_convs)
+        # clobber guard: an incremental run REPLACES the out dir's partitions
+        # (the conv set changes the resume identity) — refuse to destroy a
+        # previous FULL run's violation log in place
+        mpath = _os.path.join(args.out, "manifest.jsonl")
+        if _os.path.exists(mpath):
+            with open(mpath) as f:
+                if any("+convs:" not in line for line in f if line.strip()):
+                    print(
+                        f"refusing --only-convs into {args.out}: it holds a "
+                        "full run's outputs, which this incremental run would "
+                        "overwrite for every unchanged conversation. Use a "
+                        "fresh --out and --merge-base OLD_DIR to advance the "
+                        "complete violation log.",
+                        file=sys.stderr,
+                    )
+                    ray.shutdown()
+                    return 2
         if not only_convs:
             # steady state of the incremental loop: nothing added/changed →
             # do NOT pay a full-corpus scan just to filter every row out
@@ -266,6 +312,15 @@ def main(argv: list[str] | None = None) -> int:
                 "executed": 0,
                 "note": "only-convs set empty; nothing to revalidate",
             }
+            if args.merge_base:
+                from .pipelines.validate_pipeline import merge_violations
+
+                merged_dir = _os.path.join(args.out, "violations_merged")
+                # removed conversations may still need retiring from the log
+                summary["merged_rows"] = merge_violations(
+                    args.merge_base, stale_convs, None, merged_dir
+                )
+                summary["merged_path"] = merged_dir
             print(json.dumps(summary))
             ray.shutdown()
             return 0
@@ -282,6 +337,16 @@ def main(argv: list[str] | None = None) -> int:
         reference_profile=reference_profile,
         only_convs=only_convs,
     )
+    if args.merge_base:
+        import os as _os
+
+        from .pipelines.validate_pipeline import merge_violations
+
+        merged_dir = _os.path.join(args.out, "violations_merged")
+        summary["merged_rows"] = merge_violations(
+            args.merge_base, stale_convs, args.out, merged_dir
+        )
+        summary["merged_path"] = merged_dir
     print(json.dumps(summary, default=str))
     ray.shutdown()
     return 0

@@ -106,6 +106,97 @@ def test_clean_conversations_conv_id_with_colon(ray_session, tmp_path):
     assert clean == {"conv_00000001", "conv_00000002"}
 
 
+def _write_corpus(df: pd.DataFrame, d) -> str:
+    d.mkdir(parents=True, exist_ok=True)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    i = t.column_names.index("ts")
+    t = t.set_column(i, "ts", t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, str(d / "part-0.parquet"))
+    return str(d)
+
+
+def _conv(conv, turns):
+    ts0 = pd.Timestamp("2026-01-01 00:00:00")
+    return [
+        {
+            "conv_id": conv,
+            "turn_idx": np.int32(i),
+            "role": role,
+            "text": text,
+            "tool": tool,
+            "ts": ts0 + pd.Timedelta(minutes=i),
+        }
+        for i, (role, text, tool) in enumerate(turns)
+    ]
+
+
+def _row_set(out_dir):
+    from events_validator_ray.pipelines.validate_pipeline import read_violations
+
+    rows = read_violations(out_dir).take_all()
+    return sorted(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
+        for r in rows
+    )
+
+
+def test_merge_violations_gold_property(ray_session, tmp_path):
+    """merged view after an incremental run == a full revalidation of the
+    new snapshot, row for row (violations AND valid-log rows)."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.validate_pipeline import (
+        merge_violations,
+        run_validation,
+    )
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.assembly import changed_conversations
+
+    a_old = _conv("conv_00000001", [("user", "hi", None), ("assistant", "yo", None)])
+    a_new = _conv("conv_00000001", [("user", "hi", None), ("alien", "yo", None)])
+    b = _conv("conv_00000002", [("user", "x", None), ("tool", "y", None)])  # ref break, same both sides
+    c = _conv("conv_00000003", [("user", "c0", None), ("assistant", "c1", None)])
+    d = _conv("conv_00000004", [("user", "d0", None), ("tool", "d1", "9Bad")])  # regex break
+
+    old_df = pd.DataFrame(a_old + b + c)
+    new_df = pd.DataFrame(a_new + b + d)
+    old_dir = _write_corpus(old_df, tmp_path / "old")
+    new_dir = _write_corpus(new_df, tmp_path / "new")
+    spec = transcript_spec()
+
+    run_validation(old_dir, str(tmp_path / "old_out"), spec)
+    run_validation(new_dir, str(tmp_path / "full_out"), spec)  # ground truth
+
+    diff = changed_conversations(
+        rd.read_parquet(old_dir), rd.read_parquet(new_dir), num_buckets=4
+    ).take_all()
+    st = {r["conv_id"]: r["status"] for r in diff}
+    assert st == {
+        "conv_00000001": "changed",
+        "conv_00000002": "same",
+        "conv_00000003": "removed",
+        "conv_00000004": "added",
+    }
+    only = {c for c, s in st.items() if s in ("added", "changed")}
+    stale = {c for c, s in st.items() if s != "same"}
+    run_validation(
+        new_dir, str(tmp_path / "inc_out"), spec, only_convs=only
+    )
+    merged_dir = str(tmp_path / "inc_out" / "violations_merged")
+    n = merge_violations(
+        str(tmp_path / "old_out"), stale, str(tmp_path / "inc_out"), merged_dir
+    )
+    import ray.data as rd2
+
+    merged = sorted(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
+        for r in rd2.read_parquet(merged_dir).take_all()
+    )
+    full = _row_set(str(tmp_path / "full_out"))
+    assert merged == full
+    assert n == len(full)
+
+
 def test_only_convs_keeps_null_conv_rows(ray_session, tmp_path):
     """run_validation(only_convs=...) must always revalidate rows whose
     conv_id is NULL — the snapshot diff cannot see them."""
