@@ -197,6 +197,39 @@ def test_merge_violations_gold_property(ray_session, tmp_path):
     assert n == len(full)
 
 
+def test_merge_violations_removed_only(ray_session, tmp_path):
+    """Steady state with deletions: no added/changed conversations, one
+    removed — the merge (new_dir=None, the CLI short-circuit path) retires
+    the removed conversation's rows and keeps everything else verbatim."""
+    from events_validator_ray.pipelines.validate_pipeline import (
+        merge_violations,
+        run_validation,
+    )
+    from events_validator_ray.spec import transcript_spec
+
+    a = _conv("conv_00000001", [("user", "hi", None), ("assistant", "yo", None)])
+    b = _conv("conv_00000002", [("user", "x", None), ("tool", "y", None)])  # violating
+    old_dir = _write_corpus(pd.DataFrame(a + b), tmp_path / "old")
+    new_dir = _write_corpus(pd.DataFrame(a), tmp_path / "new")  # b removed
+    spec = transcript_spec()
+
+    run_validation(old_dir, str(tmp_path / "old_out"), spec)
+    run_validation(new_dir, str(tmp_path / "full_out"), spec)  # ground truth
+
+    merged_dir = str(tmp_path / "merged")
+    n = merge_violations(
+        str(tmp_path / "old_out"), {"conv_00000002"}, None, merged_dir
+    )
+    import ray.data as rd
+
+    merged = sorted(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
+        for r in rd.read_parquet(merged_dir).take_all()
+    )
+    assert merged == _row_set(str(tmp_path / "full_out"))
+    assert n == len(merged)
+
+
 def test_only_convs_keeps_null_conv_rows(ray_session, tmp_path):
     """run_validation(only_convs=...) must always revalidate rows whose
     conv_id is NULL — the snapshot diff cannot see them."""
