@@ -159,11 +159,21 @@ def make_event_id(
 ) -> pa.Array:
     """Deterministic row identity `{conv_id}:{turn_idx}` — replaces the
     reference's per-request uuidv4 (index.js:19) so retries and resumes are
-    idempotent and results reproducible."""
+    idempotent and results reproducible.
+
+    NULL contract: event_id is NULL iff the FIRST key (the conversation) is
+    NULL — a row whose conversation is unknown has no addressable identity.
+    Later NULL keys render 'null' (JS String(null)), so e.g. a null turn_idx
+    yields 'conv:null' and the conversation prefix stays recoverable — the
+    incremental-revalidation merge keys on that prefix (SQL twin:
+    sqlgen._eid)."""
     parts = [js_string_cast(batch[c]) for c in id_cols]
     if len(parts) == 1:
         out = parts[0]
     else:
+        parts = [parts[0]] + [
+            pc.fill_null(pc.cast(p, pa.string()), "null") for p in parts[1:]
+        ]
         out = pc.binary_join_element_wise(*parts, ":")
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()

@@ -3579,6 +3579,11 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "|| '|' || coalesce(CAST(epoch_us(ts) AS VARCHAR),'')"
     )
     _fp_agg = f"md5(string_agg({_fp_line}, chr(10) ORDER BY {_fp_line})) AS fp_md5"
+    # NULL-conv rows roll up under the reserved marker key so the diff
+    # detects changes to them (stages/assembly.py:NULL_CONV_MARKER)
+    from ..stages.assembly import NULL_CONV_MARKER as _NCM
+
+    _conv_key = f"COALESCE(conv_id, '{_NCM}')"
     out["changed_conversations"] = (
         f"WITH t AS (SELECT * FROM {_transcripts_table_sql(sf)}), "
         "r AS (SELECT conv_id, turn_idx, role, "
@@ -3586,8 +3591,8 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         "tool, ts FROM t WHERE turn_idx % 7 <> 3 "
         "UNION ALL SELECT conv_id || '_new' AS conv_id, turn_idx, role, text, tool, ts "
         "FROM t WHERE conv_id LIKE '%7'), "
-        f"dl AS (SELECT conv_id, {_fp_agg} FROM t WHERE conv_id IS NOT NULL GROUP BY conv_id), "
-        f"dr AS (SELECT conv_id, {_fp_agg} FROM r WHERE conv_id IS NOT NULL GROUP BY conv_id) "
+        f"dl AS (SELECT {_conv_key} AS conv_id, {_fp_agg} FROM t GROUP BY {_conv_key}), "
+        f"dr AS (SELECT {_conv_key} AS conv_id, {_fp_agg} FROM r GROUP BY {_conv_key}) "
         "SELECT coalesce(dl.conv_id, dr.conv_id) AS conv_id, "
         "CASE WHEN dl.conv_id IS NULL THEN 'added' "
         "WHEN dr.conv_id IS NULL THEN 'removed' "

@@ -27,7 +27,11 @@ VIOL_COLS = "event_id, field, error_type, expected, actual, event_name, status"
 
 
 def _eid(key_cols: tuple[str, ...]) -> str:
-    parts = [f"CAST({c} AS VARCHAR)" for c in key_cols]
+    # NULL contract (functions/kernels.py:make_event_id): NULL iff the FIRST
+    # key is NULL; later NULL keys render 'null' so the conv prefix survives
+    parts = [f"CAST({key_cols[0]} AS VARCHAR)"] + [
+        f"COALESCE(CAST({c} AS VARCHAR), 'null')" for c in key_cols[1:]
+    ]
     joined = " || ':' || ".join(parts)
     return joined
 
@@ -562,6 +566,13 @@ def conversation_violations_sql(spec: Spec, table: str) -> str:
     within = order.within if order else "conv_id"
     by = order.by if order else "turn_idx"
     ts = order.ts_column if order else "ts"
+    # rows with a NULL grouping key or NULL order key are outside the
+    # conversation plane (stages/conversation.py:_project drops them — they
+    # are scalar-plane type violations, not placeable in the order lattice)
+    table = (
+        f"(SELECT * FROM {table} "
+        f"WHERE {within} IS NOT NULL AND {by} IS NOT NULL)"
+    )
 
     if spec.table.unique:
         parts.append(

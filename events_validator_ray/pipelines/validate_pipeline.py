@@ -305,63 +305,78 @@ def read_violations(out_dir: str):
     return read_violations_dir(os.path.join(out_dir, "violations"))
 
 
-def merge_violations(base_dir: str, stale_convs, new_dir: str | None, out_path: str) -> int:
+def read_complete_log(run_dir: str):
+    """The run's COMPLETE violation log: ``violations_merged`` when the run
+    was incremental (its ``violations/`` holds only the revalidated
+    conversations), else ``violations/``. This is what the NEXT incremental
+    round must use as its merge base — reading the partial ``violations/``
+    of a prior incremental run would silently drop every conversation that
+    round left untouched."""
+    import ray.data as rd
+
+    merged = os.path.join(run_dir, "violations_merged")
+    if os.path.isdir(merged):
+        return rd.read_parquet(merged)
+    return read_violations(run_dir)
+
+
+def merge_violations(
+    base_dir: str,
+    stale_convs,
+    new_dir: str | None,
+    out_path: str,
+    drop_null_rows: bool | None = None,
+) -> int:
     """Advance the violation log across an incremental revalidation: the
     merged view = the BASE run's rows for conversations the snapshot diff
     did NOT touch (status 'same'), plus ALL of the NEW incremental run's
     rows. This is the artifact the loop exists to maintain — equal, row for
     row, to a full revalidation of the new snapshot (the gold property
-    tests/test_incremental_loop.py asserts).
+    tests/test_incremental_loop.py asserts), and the loop ITERATES: the base
+    may itself be an incremental run (its merged log is read, via
+    ``read_complete_log``).
 
     ``stale_convs`` = conv_ids with diff status added/changed/removed: their
     base rows are dropped (removed convs are gone; added/changed convs were
     re-validated into ``new_dir``). When a new run executed (``new_dir`` not
-    None), base rows with a NULL event_id are also dropped — NULL-conv_id
-    rows are revalidated unconditionally by ``only_convs`` and re-emitted.
+    None), base rows with a NULL event_id are also dropped — event_id is
+    NULL iff conv_id was NULL (functions/kernels.py:make_event_id), and
+    NULL-conv rows are revalidated unconditionally by ``only_convs`` and
+    re-emitted.
 
     Scale shape: base rows stream through one broadcast anti-filter on the
     event_id conv prefix (the stale set is diff-sized — conversations, not
-    turns); nothing is pulled to the driver. Returns the merged row count
-    (from the sink, lineage-checked)."""
-    import pyarrow.compute as _pc
-    import ray
-    import ray.data as rd
-
+    turns); the count comes from the in-flight materialized blocks, never a
+    re-read of the sink (object-store resident, spills if huge)."""
+    from ..stages.joins import arrow_semi_filter
     from ..state.manifest import atomic_output_dir
 
+    if drop_null_rows is None:
+        # default: a new run revalidated (and re-emitted) the NULL-conv rows;
+        # the runner's short-circuit path overrides this when the diff's
+        # NULL_CONV_MARKER says the null rows were REMOVED from the snapshot
+        drop_null_rows = new_dir is not None
     stale = sorted({c for c in stale_convs if c is not None})
-    import pyarrow as _pa
 
-    stale_ref = ray.put(_pa.array(stale, type=_pa.string()))
-    holder: dict = {}
+    def conv_prefix(t):
+        import pyarrow.compute as _pc
 
-    def keep_untouched(t):
-        import ray as _r
-
-        if "v" not in holder:
-            obj = stale_ref
-            if isinstance(obj, _r.ObjectRef):
-                obj = _r.get(obj)
-            holder["v"] = obj
-        conv = _pc.replace_substring_regex(
+        return _pc.replace_substring_regex(
             t["event_id"], pattern=":[^:]*$", replacement=""
         )
-        mask = _pc.invert(
-            _pc.fill_null(_pc.is_in(conv, value_set=holder["v"]), False)
-        )
-        if new_dir is not None:
-            # NULL event_id rows were revalidated by the new run — drop the
-            # base copy so they are not doubled
-            mask = _pc.and_(mask, _pc.is_valid(t["event_id"]))
-        return t.filter(mask)
 
-    keep_untouched.__name__ = "keep_untouched_convs"
-
-    merged = read_violations(base_dir).map_batches(
-        keep_untouched, batch_format="pyarrow"
+    merged = arrow_semi_filter(
+        read_complete_log(base_dir),
+        stale,
+        key_of=conv_prefix,
+        anti=True,
+        # NULL event_id == NULL conv_id (functions/kernels.py:make_event_id)
+        keep_nulls=not drop_null_rows,
     )
     if new_dir is not None:
         merged = merged.union(read_violations(new_dir))
+    merged = merged.materialize()
+    n = merged.count()
     with atomic_output_dir(out_path) as tmp:
         merged.write_parquet(tmp)
-    return rd.read_parquet(out_path).count()
+    return n

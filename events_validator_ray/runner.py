@@ -291,18 +291,33 @@ def main(argv: list[str] | None = None) -> int:
         # previous FULL run's violation log in place
         mpath = _os.path.join(args.out, "manifest.jsonl")
         if _os.path.exists(mpath):
+            # parse records (not raw lines): a torn trailing fragment from a
+            # killed append must not misclassify a resumable incremental dir
+            # as a full run (Manifest.load tolerates the same tear)
+            full_run = False
             with open(mpath) as f:
-                if any("+convs:" not in line for line in f if line.strip()):
-                    print(
-                        f"refusing --only-convs into {args.out}: it holds a "
-                        "full run's outputs, which this incremental run would "
-                        "overwrite for every unchanged conversation. Use a "
-                        "fresh --out and --merge-base OLD_DIR to advance the "
-                        "complete violation log.",
-                        file=sys.stderr,
-                    )
-                    ray.shutdown()
-                    return 2
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "+convs:" not in rec.get("spec_hash", ""):
+                        full_run = True
+                        break
+            if full_run:
+                print(
+                    f"refusing --only-convs into {args.out}: it holds a "
+                    "full run's outputs, which this incremental run would "
+                    "overwrite for every unchanged conversation. Use a "
+                    "fresh --out and --merge-base OLD_DIR to advance the "
+                    "complete violation log.",
+                    file=sys.stderr,
+                )
+                ray.shutdown()
+                return 2
         if not only_convs:
             # steady state of the incremental loop: nothing added/changed →
             # do NOT pay a full-corpus scan just to filter every row out
@@ -314,11 +329,18 @@ def main(argv: list[str] | None = None) -> int:
             }
             if args.merge_base:
                 from .pipelines.validate_pipeline import merge_violations
+                from .stages.assembly import NULL_CONV_MARKER
 
                 merged_dir = _os.path.join(args.out, "violations_merged")
-                # removed conversations may still need retiring from the log
+                # removed conversations may still need retiring from the
+                # log; the marker in the stale set means the snapshot's
+                # NULL-conv rows were all removed — retire those too
                 summary["merged_rows"] = merge_violations(
-                    args.merge_base, stale_convs, None, merged_dir
+                    args.merge_base,
+                    stale_convs,
+                    None,
+                    merged_dir,
+                    drop_null_rows=NULL_CONV_MARKER in stale_convs,
                 )
                 summary["merged_path"] = merged_dir
             print(json.dumps(summary))

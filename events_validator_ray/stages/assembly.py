@@ -664,6 +664,16 @@ class _SnapshotFpBucket:
         return docs[["conv_id", "fp_md5"]]
 
 
+# reserved diff key for rows with NULL conv_id (private-use codepoint — no
+# real conv_id starts with U+E000): the null rows of each snapshot roll up
+# under this key, so the diff DETECTS when they change even though they
+# cannot be addressed individually. Downstream, the marker in an
+# added/changed status forces a revalidation pass (whose only_convs filter
+# keeps null-conv rows), and in a removed status tells the merge to retire
+# the base log's null rows.
+NULL_CONV_MARKER = "null_conv"
+
+
 def snapshot_fingerprints(ds, num_buckets: int = 64):
     """FULL-ROW per-conversation fingerprint for snapshot diffing: every
     column of the turn participates (turn_idx, role, md5(text), tool,
@@ -676,9 +686,8 @@ def snapshot_fingerprints(ds, num_buckets: int = 64):
 
     Scale shape: the line is rendered MAP-SIDE (text digested to md5 before
     the exchange), ~70 B/row shuffled; one bucketed shuffle co-locates
-    conversations; rows with NULL conv_id are outside diff scope (they
-    cannot be addressed by conv_id — `run_validation(only_convs=...)`
-    always revalidates them instead).
+    conversations; rows with NULL conv_id roll up under
+    ``NULL_CONV_MARKER`` so changes to them are still detected.
 
     SQL twin: md5(string_agg(<line expr>, chr(10) ORDER BY <line expr>))
     GROUP BY conv_id WHERE conv_id IS NOT NULL, with
@@ -708,8 +717,9 @@ def snapshot_fingerprints(ds, num_buckets: int = 64):
             + "|"
             + us_str
         )
-        keep = df["conv_id"].notna()
-        return pd.DataFrame({"conv_id": df["conv_id"][keep], "line": line[keep]})
+        return pd.DataFrame(
+            {"conv_id": df["conv_id"].fillna(NULL_CONV_MARKER), "line": line}
+        )
 
     render_line.__name__ = "render_fp_line"
 
@@ -735,9 +745,10 @@ def changed_conversations(left, right, num_buckets: int = 64):
     ~70 B lines covering EVERY turn column), so the reconciliation join
     moves ~50 B per conversation, not per turn; the join is the null-safe
     tagged-union `full_outer_join` (one shuffle). Nothing touches the
-    driver. Rows with NULL conv_id are outside diff scope — the
-    `only_convs` filter in the revalidation pipeline keeps them
-    unconditionally so they are never silently skipped.
+    driver. Rows with NULL conv_id roll up under ``NULL_CONV_MARKER`` —
+    an added/changed marker status forces a revalidation pass (whose
+    `only_convs` filter keeps null-conv rows unconditionally), so changes
+    to unaddressable rows are never silently skipped.
 
     SQL twin: two snapshot-fingerprint CTEs + FULL OUTER JOIN + CASE.
     """

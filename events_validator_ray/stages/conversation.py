@@ -340,6 +340,15 @@ class BucketChecker:
         # — every internal sort / groupby / merge runs on int keys; the string
         # conv_id only materializes for the (small) violation/summary outputs
         codes, conv_index = pd.factorize(df["conv_id"], sort=False)
+        if (codes < 0).any():
+            # defense in depth: _project drops NULL-conv rows before the
+            # shuffle, but a direct caller must not hit factorize's -1
+            # sentinel (conv_arr[-1] would misattribute to the LAST conv)
+            keep = codes >= 0
+            df = df[keep].reset_index(drop=True)
+            codes = codes[keep]
+            if not len(df):
+                return out.to_table(self.run_ts)
         if len(gcols) > 1:
             chunk_np = df[gcols[1]].to_numpy()
             chunk_min = int(chunk_np.min())
@@ -641,7 +650,21 @@ def _project(ds, spec: Spec):
         cols.append(spec.table.order.ts_column)
     if spec.table.first_role or (spec.table.order and spec.table.order.alternate):
         cols.append("role")
-    return ds.select_columns(sorted(set(cols), key=cols.index))
+    projected = ds.select_columns(sorted(set(cols), key=cols.index))
+
+    def drop_unplaceable(t: pa.Table) -> pa.Table:
+        # rows with NULL conv_id / NULL turn_idx cannot be placed in the
+        # uniqueness/order lattice (and pd.factorize would misattribute a
+        # NULL conv to the LAST conv in the bucket via its -1 sentinel);
+        # each is already a scalar-plane type violation. The SQL twin
+        # excludes them symmetrically (sqlgen.conversation_violations_sql).
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.and_(pc.is_valid(t["conv_id"]), pc.is_valid(t["turn_idx"]))
+        )
+
+    return projected.map_batches(drop_unplaceable, batch_format="pyarrow")
 
 
 def _with_bucket(ds, num_buckets: int, cols: tuple[str, ...] = ("conv_id",)):

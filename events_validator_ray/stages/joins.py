@@ -117,20 +117,38 @@ def semi_join_filter(ds, keys, on: str, anti: bool = False):
     return ds.map_batches(flt, batch_format="pandas")
 
 
-def arrow_semi_filter(ds, keys, on: str, keep_nulls: bool = False):
+def arrow_semi_filter(
+    ds,
+    keys,
+    on: str | None = None,
+    keep_nulls: bool | None = None,
+    anti: bool = False,
+    key_of=None,
+):
     """`semi_join_filter`'s zero-copy Arrow sibling: broadcast the string key
     set once (ray.put), membership-filter map-side with `pc.is_in` — the slot
     for hot paths that must not pay an Arrow→pandas conversion (the
-    incremental-revalidation `only_convs` filter). ``keep_nulls=True`` keeps
-    NULL-key rows: a row that cannot be addressed by key (NULL conv_id) must
-    be conservatively REVALIDATED, never silently dropped from the
-    incremental pass — the snapshot diff cannot see it.
+    incremental-revalidation `only_convs` filter and the merged-log
+    anti-filter).
+
+    - ``anti=True`` inverts membership (SQL NOT EXISTS).
+    - ``key_of(table) -> Array`` derives the key from the batch (e.g. the
+      conv prefix of event_id) instead of reading column ``on``.
+    - ``keep_nulls`` controls NULL-key rows; default is the SQL-natural
+      behavior (semi drops them, anti keeps them). The only_convs filter
+      passes True explicitly: a row that cannot be addressed by key (NULL
+      conv_id) must be conservatively REVALIDATED, never silently dropped —
+      the snapshot diff cannot see it.
 
     ``keys`` may be an already-``ray.put`` ObjectRef of a ``pa.StringArray``
     (callers filtering MANY datasets against one set broadcast it once)."""
     import pyarrow as pa
     import ray
 
+    if on is None and key_of is None:
+        raise ValueError("arrow_semi_filter needs `on` or `key_of`")
+    if keep_nulls is None:
+        keep_nulls = anti
     if isinstance(keys, ray.ObjectRef):
         key_ref = keys
     else:
@@ -146,12 +164,16 @@ def arrow_semi_filter(ds, keys, on: str, keep_nulls: bool = False):
             if isinstance(obj, _r.ObjectRef):
                 obj = _r.get(obj)
             holder["v"] = obj
-        mask = pc.is_in(t[on], value_set=holder["v"])
+        key = key_of(t) if key_of is not None else t[on]
+        member = pc.fill_null(pc.is_in(key, value_set=holder["v"]), False)
+        mask = pc.invert(member) if anti else member
         if keep_nulls:
-            mask = pc.or_kleene(mask, pc.is_null(t[on]))
+            mask = pc.or_(mask, pc.is_null(key))
+        else:
+            mask = pc.and_(mask, pc.is_valid(key))
         return t.filter(mask)
 
-    flt.__name__ = f"only_{on}_filter"
+    flt.__name__ = f"only_{on or 'derived_key'}_filter"
     return ds.map_batches(flt, batch_format="pyarrow")
 
 

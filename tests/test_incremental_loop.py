@@ -130,11 +130,16 @@ def _conv(conv, turns):
     ]
 
 
+
+def _canon(rows):
+    """Sort violation-row tuples containing None (null event_id)."""
+    return sorted(rows, key=lambda t: tuple("" if x is None else str(x) for x in t))
+
 def _row_set(out_dir):
     from events_validator_ray.pipelines.validate_pipeline import read_violations
 
     rows = read_violations(out_dir).take_all()
-    return sorted(
+    return _canon(
         (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
         for r in rows
     )
@@ -188,13 +193,207 @@ def test_merge_violations_gold_property(ray_session, tmp_path):
     )
     import ray.data as rd2
 
-    merged = sorted(
+    merged = _canon(
         (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
         for r in rd2.read_parquet(merged_dir).take_all()
     )
     full = _row_set(str(tmp_path / "full_out"))
     assert merged == full
     assert n == len(full)
+
+
+def _special_row(conv, turn, role, text):
+    """One row with a nullable conv_id / turn_idx (Int32 so parquet keeps
+    int32-with-null, the shape a real corpus produces)."""
+    return pd.DataFrame(
+        {
+            "conv_id": pd.array([conv], dtype=object),
+            "turn_idx": pd.array([turn], dtype="Int32"),
+            "role": [role],
+            "text": [text],
+            "tool": [None],
+            "ts": pd.to_datetime(["2026-01-01 00:00:00"]),
+        }
+    )
+
+
+def test_snapshot_diff_detects_null_conv_change(ray_session):
+    """Rows with NULL conv_id roll up under NULL_CONV_MARKER: editing one of
+    them must surface as a 'changed' marker row, not vanish from the diff."""
+    from events_validator_ray.stages.assembly import NULL_CONV_MARKER
+
+    base = pd.concat(
+        [_base_corpus(), _special_row(None, 0, "user", "orphan-old")],
+        ignore_index=True,
+    )
+    right = base.copy()
+    right.loc[right["conv_id"].isna(), "text"] = "orphan-new"
+    st = _statuses(ray_session, base, right)
+    assert st[NULL_CONV_MARKER] == "changed"
+    assert st["conv_00000001"] == "same" and st["conv_00000002"] == "same"
+
+
+def test_incremental_loop_gold_property_with_null_rows(ray_session, tmp_path):
+    """The F2/F3/F4 scenarios end-to-end: a NULL-conv row whose text changes
+    (only the marker can see it), and an untouched conversation containing a
+    NULL-turn_idx row (event_id 'conv:null' keeps the conv prefix, so its
+    base rows are carried, not dropped). merged == full revalidation."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.validate_pipeline import (
+        merge_violations,
+        run_validation,
+    )
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.assembly import (
+        NULL_CONV_MARKER,
+        changed_conversations,
+    )
+
+    a_old = _conv("conv_00000001", [("user", "hi", None), ("assistant", "yo", None)])
+    a_new = _conv("conv_00000001", [("user", "hi", None), ("alien", "yo", None)])
+    c = _conv("conv_00000005", [("user", "c0", None), ("assistant", "c1", None)])
+    null_turn = _special_row("conv_00000005", None, "assistant", "lost-turn")
+    old_df = pd.concat(
+        [pd.DataFrame(a_old + c), null_turn, _special_row(None, 0, "user", "n-old")],
+        ignore_index=True,
+    )
+    new_df = pd.concat(
+        [pd.DataFrame(a_new + c), null_turn, _special_row(None, 0, "user", "n-new")],
+        ignore_index=True,
+    )
+    old_dir = _write_corpus(old_df, tmp_path / "old")
+    new_dir = _write_corpus(new_df, tmp_path / "new")
+    spec = transcript_spec()
+
+    run_validation(old_dir, str(tmp_path / "old_out"), spec)
+    run_validation(new_dir, str(tmp_path / "full_out"), spec)  # ground truth
+
+    st = {
+        r["conv_id"]: r["status"]
+        for r in changed_conversations(
+            rd.read_parquet(old_dir), rd.read_parquet(new_dir), num_buckets=4
+        ).take_all()
+    }
+    assert st == {
+        "conv_00000001": "changed",
+        "conv_00000005": "same",
+        NULL_CONV_MARKER: "changed",
+    }
+    only = {k for k, s in st.items() if s in ("added", "changed")}
+    stale = {k for k, s in st.items() if s != "same"}
+    run_validation(new_dir, str(tmp_path / "inc_out"), spec, only_convs=only)
+    merged_dir = str(tmp_path / "inc_out" / "violations_merged")
+    merge_violations(
+        str(tmp_path / "old_out"), stale, str(tmp_path / "inc_out"), merged_dir
+    )
+    merged = _canon(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
+        for r in rd.read_parquet(merged_dir).take_all()
+    )
+    assert merged == _row_set(str(tmp_path / "full_out"))
+
+
+def test_merge_retires_removed_null_rows(ray_session, tmp_path):
+    """Marker status 'removed' (all NULL-conv rows gone, nothing else
+    changed): the short-circuit merge with drop_null_rows=True retires the
+    base log's null rows — merged == full rerun of the new snapshot."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.validate_pipeline import (
+        merge_violations,
+        run_validation,
+    )
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.assembly import (
+        NULL_CONV_MARKER,
+        changed_conversations,
+    )
+
+    base = _base_corpus()
+    old_df = pd.concat(
+        [base, _special_row(None, 0, "user", "orphan")], ignore_index=True
+    )
+    old_dir = _write_corpus(old_df, tmp_path / "old")
+    new_dir = _write_corpus(base, tmp_path / "new")
+    spec = transcript_spec()
+
+    run_validation(old_dir, str(tmp_path / "old_out"), spec)
+    run_validation(new_dir, str(tmp_path / "full_out"), spec)
+
+    st = {
+        r["conv_id"]: r["status"]
+        for r in changed_conversations(
+            rd.read_parquet(old_dir), rd.read_parquet(new_dir), num_buckets=4
+        ).take_all()
+    }
+    assert st[NULL_CONV_MARKER] == "removed"
+    assert {k for k, s in st.items() if s in ("added", "changed")} == set()
+    stale = {k for k, s in st.items() if s != "same"}
+    merged_dir = str(tmp_path / "merged")
+    merge_violations(
+        str(tmp_path / "old_out"),
+        stale,
+        None,
+        merged_dir,
+        drop_null_rows=NULL_CONV_MARKER in stale,
+    )
+    merged = _canon(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
+        for r in rd.read_parquet(merged_dir).take_all()
+    )
+    assert merged == _row_set(str(tmp_path / "full_out"))
+
+
+def test_loop_iterates_via_merged_log(ray_session, tmp_path):
+    """Round 2's --merge-base points at round 1's INCREMENTAL run: the merge
+    must read its violations_merged (the complete log), not its partial
+    violations/ — and still equal a full revalidation."""
+    import ray.data as rd
+
+    from events_validator_ray.pipelines.validate_pipeline import (
+        merge_violations,
+        run_validation,
+    )
+    from events_validator_ray.spec import transcript_spec
+    from events_validator_ray.stages.assembly import changed_conversations
+
+    def snap(a_turns, b_turns):
+        return pd.DataFrame(
+            _conv("conv_00000001", a_turns) + _conv("conv_00000002", b_turns)
+        )
+
+    clean = [("user", "hi", None), ("assistant", "yo", None)]
+    bad = [("user", "x", None), ("alien", "y", None)]
+    s0 = _write_corpus(snap(clean, clean), tmp_path / "s0")
+    s1 = _write_corpus(snap(bad, clean), tmp_path / "s1")  # round 1: A changes
+    s2 = _write_corpus(snap(bad, bad), tmp_path / "s2")  # round 2: B changes
+
+    spec = transcript_spec()
+    run_validation(s0, str(tmp_path / "out0"), spec)
+
+    def one_round(old_snap, new_snap, base_out, out):
+        st = {
+            r["conv_id"]: r["status"]
+            for r in changed_conversations(
+                rd.read_parquet(old_snap), rd.read_parquet(new_snap), num_buckets=4
+            ).take_all()
+        }
+        only = {k for k, s in st.items() if s in ("added", "changed")}
+        stale = {k for k, s in st.items() if s != "same"}
+        run_validation(new_snap, out, spec, only_convs=only)
+        merge_violations(base_out, stale, out, out + "/violations_merged")
+
+    one_round(s0, s1, str(tmp_path / "out0"), str(tmp_path / "out1"))
+    # round 2's base is round 1's INCREMENTAL out dir
+    one_round(s1, s2, str(tmp_path / "out1"), str(tmp_path / "out2"))
+
+    run_validation(s2, str(tmp_path / "full2"), spec)
+    merged = _canon(
+        (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
+        for r in rd.read_parquet(str(tmp_path / "out2" / "violations_merged")).take_all()
+    )
+    assert merged == _row_set(str(tmp_path / "full2"))
 
 
 def test_merge_violations_removed_only(ray_session, tmp_path):
@@ -222,7 +421,7 @@ def test_merge_violations_removed_only(ray_session, tmp_path):
     )
     import ray.data as rd
 
-    merged = sorted(
+    merged = _canon(
         (r["event_id"], r["field"], r["error_type"], r["expected"], r["actual"], r["status"])
         for r in rd.read_parquet(merged_dir).take_all()
     )
