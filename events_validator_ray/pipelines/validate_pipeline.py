@@ -251,47 +251,162 @@ def run_validation(
         summary["executed"] += 1
 
     # ---- stage 3: profile = merge of the per-partition sketch sidecars
-    prof_done = manifest.completed("profile", conv_fp, spec_hash) if resume else None
+    prof_path = _merge_profile_stage(
+        manifest,
+        files,
+        files_per_partition,
+        parts_dir,
+        out_dir,
+        conv_fp,
+        spec_hash,
+        reference_profile,
+        summary,
+        resume,
+    )
+
+    summary["violations_dir"] = os.path.join(out_dir, "violations")
+    summary["profile_path"] = prof_path
+    summary["manifest_path"] = manifest.path
+    return summary
+
+
+def _merge_profile_stage(
+    manifest: Manifest,
+    files: list[str],
+    files_per_partition: int,
+    parts_dir: str,
+    out_dir: str,
+    fp: str,
+    spec_hash: str,
+    reference_profile,
+    summary: dict,
+    resume: bool,
+) -> str:
+    """Merge the per-partition sketch sidecars into profile.json (+ drift vs
+    a reference) under one manifest record — shared by the full pipeline and
+    the profile-only pass."""
+    prof_done = manifest.completed("profile", fp, spec_hash) if resume else None
     prof_path = os.path.join(out_dir, "profile.json")
-    if not prof_done:
+    if prof_done:
+        summary["skipped"] += 1
+        return prof_path
+    t0 = time.time()
+    sketches: dict = {}
+    for part_id, _pf in _partitions(files, files_per_partition):
+        sidecar = os.path.join(parts_dir, f"{part_id}.pkl")
+        with open(sidecar, "rb") as f:
+            part_sketches = pickle.load(f)
+        for key, sk in part_sketches.items():
+            if key in sketches:
+                sketches[key].merge(sk)
+            else:
+                sketches[key] = sk
+    prof = profile_table(sketches)
+    payload = {"profile": prof.to_dict(orient="records")}
+    payload["histograms"] = {
+        c: sk.counts for (c, kind), sk in sketches.items() if kind == "cathist"
+    }
+    if reference_profile:
+        dr = drift_report(sketches, reference_profile)
+        payload["drift"] = dr.to_dict(orient="records")
+    with open(prof_path + ".tmp", "w") as f:
+        json.dump(payload, f, default=str)
+    os.replace(prof_path + ".tmp", prof_path)
+    manifest.append(
+        PartitionRecord(
+            partition_id="profile",
+            input_files=files,
+            fingerprint=fp,
+            spec_hash=spec_hash,
+            status="done",
+            output_path=prof_path,
+            wall_s=round(time.time() - t0, 3),
+        )
+    )
+    summary["executed"] += 1
+    return prof_path
+
+
+def run_profile(
+    input_path: str,
+    out_dir: str,
+    files_per_partition: int = 8,
+    sketch_plan: dict | None = None,
+    reference_profile: dict[str, dict[str, int]] | None = None,
+    resume: bool = True,
+) -> dict:
+    """Profile-ONLY pass: per-partition mergeable sketch sidecars → merged
+    profile.json (+ drift vs a reference), with manifest resume — no
+    validation, no shuffle, one map-only read of the corpus.
+
+    This is the cheap way to refresh the FULL-corpus drift profile after an
+    incremental revalidation (`--only-convs` runs profile only the
+    revalidated conversations; sketches merge but cannot subtract, so an
+    exact full profile needs a pass over the corpus — this one costs a
+    single projected scan). For corpora updated IN PLACE (new files added,
+    few rewritten), the per-partition fingerprints make the refresh cost
+    ∝ changed partitions: unchanged sidecars are reused by resume."""
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(input_path, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    manifest = Manifest(out_dir)
+    plan = {c: tuple(k) for c, k in (sketch_plan or DEFAULT_SKETCH_PLAN).items()}
+    plan_hash = _hashlib.sha256(
+        repr(sorted((c, tuple(k)) for c, k in plan.items())).encode()
+    ).hexdigest()[:8]
+    spec_hash = f"profile-only+plan:{plan_hash}"
+    summary: dict = {"partitions": [], "skipped": 0, "executed": 0}
+
+    parts_dir = os.path.join(out_dir, "profile_parts")
+    os.makedirs(parts_dir, exist_ok=True)
+    for stale in _glob.glob(os.path.join(parts_dir, "*.tmp")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+    for part_id, part_files in _partitions(files, files_per_partition):
+        fp = fingerprint_files(part_files)
+        done = manifest.completed(part_id, fp, spec_hash) if resume else None
+        sidecar = os.path.join(parts_dir, f"{part_id}.pkl")
+        if done and os.path.exists(sidecar):
+            summary["skipped"] += 1
+            summary["partitions"].append(part_id)
+            continue
         t0 = time.time()
-        sketches: dict = {}
-        for part_id, _pf in _partitions(files, files_per_partition):
-            sidecar = os.path.join(parts_dir, f"{part_id}.pkl")
-            with open(sidecar, "rb") as f:
-                part_sketches = pickle.load(f)
-            for key, sk in part_sketches.items():
-                if key in sketches:
-                    sketches[key].merge(sk)
-                else:
-                    sketches[key] = sk
-        prof = profile_table(sketches)
-        payload = {"profile": prof.to_dict(orient="records")}
-        payload["histograms"] = {
-            c: sk.counts for (c, kind), sk in sketches.items() if kind == "cathist"
-        }
-        if reference_profile:
-            dr = drift_report(sketches, reference_profile)
-            payload["drift"] = dr.to_dict(orient="records")
-        with open(prof_path + ".tmp", "w") as f:
-            json.dump(payload, f, default=str)
-        os.replace(prof_path + ".tmp", prof_path)
+        # projection to the planned columns happens inside sketch_dataset;
+        # map-only (partial → bounded combine), nothing shuffles
+        part_sketches = sketch_dataset(rd.read_parquet(part_files), plan)
+        with open(sidecar + ".tmp", "wb") as f:
+            pickle.dump(part_sketches, f)
+        os.replace(sidecar + ".tmp", sidecar)
         manifest.append(
             PartitionRecord(
-                partition_id="profile",
-                input_files=files,
-                fingerprint=conv_fp,
+                partition_id=part_id,
+                input_files=part_files,
+                fingerprint=fp,
                 spec_hash=spec_hash,
                 status="done",
-                output_path=prof_path,
+                output_path=sidecar,
                 wall_s=round(time.time() - t0, 3),
             )
         )
         summary["executed"] += 1
-    else:
-        summary["skipped"] += 1
+        summary["partitions"].append(part_id)
 
-    summary["violations_dir"] = os.path.join(out_dir, "violations")
+    prof_path = _merge_profile_stage(
+        manifest,
+        files,
+        files_per_partition,
+        parts_dir,
+        out_dir,
+        fingerprint_files(files),
+        spec_hash,
+        reference_profile,
+        summary,
+        resume,
+    )
     summary["profile_path"] = prof_path
     summary["manifest_path"] = manifest.path
     return summary

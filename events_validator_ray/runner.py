@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
     p.add_argument(
+        "--profile-only",
+        action="store_true",
+        help="compute ONLY the sketch profile (stats/HLL/t-digest/cat-hist "
+        "+ drift vs --reference-profile): one map-only projected scan, no "
+        "validation, resumable per partition — the cheap full-corpus "
+        "profile refresh after an incremental revalidation, and cost ∝ "
+        "changed partitions for corpora updated in place",
+    )
+    p.add_argument(
         "--report",
         action="store_true",
         help="report plane over an EXISTING validation run: --input = the run's "
@@ -184,6 +193,24 @@ def main(argv: list[str] | None = None) -> int:
             },
         }
         print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.profile_only:
+        from .pipelines.validate_pipeline import run_profile
+
+        reference_profile = None
+        if args.reference_profile:
+            with open(args.reference_profile) as f:
+                reference_profile = json.load(f)
+        summary = run_profile(
+            args.input,
+            args.out,
+            files_per_partition=args.files_per_partition,
+            reference_profile=reference_profile,
+            resume=not args.no_resume,
+        )
+        print(json.dumps(summary, default=str))
         ray.shutdown()
         return 0
 

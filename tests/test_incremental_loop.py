@@ -429,6 +429,73 @@ def test_merge_violations_removed_only(ray_session, tmp_path):
     assert n == len(merged)
 
 
+def test_run_profile_matches_full_pipeline_and_resumes(ray_session, tmp_path):
+    """Profile-only pass: identical profile.json to the full pipeline's (same
+    sketches, no validation), full resume on rerun, and partition-granular
+    recompute when one input file changes."""
+    import json
+    import os
+    import time
+
+    from events_validator_ray.pipelines.validate_pipeline import (
+        run_profile,
+        run_validation,
+    )
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+    from events_validator_ray.spec import transcript_spec
+
+    tdir = ensure_transcripts(0.001)
+    full = run_validation(tdir, str(tmp_path / "full"), transcript_spec(),
+                          files_per_partition=1)
+    s1 = run_profile(tdir, str(tmp_path / "prof"), files_per_partition=1)
+    assert s1["executed"] == len(s1["partitions"]) + 1  # parts + merge
+    def canon_profile(payload):
+        # t-digest merge is order-dependent (documented: the only
+        # approx-sketch without bit-identical merges), and the two passes
+        # see different block layouts — compare everything else exactly and
+        # the quantiles to 1%
+        prof = []
+        quants = []
+        for row in payload["profile"]:
+            row = dict(row)
+            quants.append([row.pop(k) for k in ("p50", "p95", "p99")])
+            prof.append(row)
+        return {"histograms": payload["histograms"], "profile": prof}, quants
+
+    with open(full["profile_path"]) as f:
+        want, wq = canon_profile(json.load(f))
+    with open(s1["profile_path"]) as f:
+        got, gq = canon_profile(json.load(f))
+    assert got == want
+    for a, b in zip(wq, gq):
+        for x, y in zip(a, b):
+            if x is None or (isinstance(x, float) and np.isnan(x)):
+                assert y is None or np.isnan(y)
+            else:
+                # merge-order effects on this skewed tiny corpus reach a few
+                # percent; the exact-quantile twin covers precision elsewhere
+                assert abs(x - y) <= 0.1 * max(1.0, abs(x))
+
+    s2 = run_profile(tdir, str(tmp_path / "prof"), files_per_partition=1)
+    assert s2["executed"] == 0 and s2["skipped"] == s1["executed"]
+
+    # change ONE input file (copy corpus to a writable dir, bump mtime)
+    import shutil
+
+    work = tmp_path / "work"
+    shutil.copytree(tdir, work)
+    s3 = run_profile(str(work), str(tmp_path / "prof2"), files_per_partition=1)
+    victim = sorted(f for f in os.listdir(work) if f.endswith(".parquet"))[0]
+    os.utime(work / victim, (time.time() + 5, time.time() + 5))
+    s4 = run_profile(str(work), str(tmp_path / "prof2"), files_per_partition=1)
+    # one partition recomputed (+ the merge re-ran: full-corpus fp changed)
+    assert s4["executed"] == 2
+    assert s4["skipped"] == s3["executed"] - 2
+    with open(s4["profile_path"]) as f:
+        got4, _ = canon_profile(json.load(f))
+    assert got4 == want  # content unchanged -> same profile
+
+
 def test_only_convs_keeps_null_conv_rows(ray_session, tmp_path):
     """run_validation(only_convs=...) must always revalidate rows whose
     conv_id is NULL — the snapshot diff cannot see them."""
