@@ -2387,7 +2387,7 @@ def q_changed_conversations(sf_dir: str):
     """Incremental-revalidation snapshot diff: corpus vs a deterministically
     decorated 'next snapshot' → (conv_id, status in added/removed/changed/
     same) at conversation granularity (stages/assembly.py:
-    changed_conversations — per-side conversation-doc rollup, then one
+    changed_conversations — per-side full-row fingerprint rollup, then one
     ~50 B/conversation reconciliation join)."""
     from ..stages.assembly import changed_conversations
 
