@@ -496,6 +496,93 @@ def test_run_profile_matches_full_pipeline_and_resumes(ray_session, tmp_path):
     assert got4 == want  # content unchanged -> same profile
 
 
+def test_snapshot_diff_matches_naive_differ_randomized(ray_session):
+    """Property check: changed_conversations == a brute-force row-multiset
+    differ, across randomized corpora with every edit class (text/role/tool/
+    ts/turn edits, conv add/remove, NULL conv_id rows)."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.assembly import (
+        NULL_CONV_MARKER,
+        changed_conversations,
+    )
+
+    def random_corpus(rng, convs):
+        rows = []
+        for c in convs:
+            n = rng.integers(1, 6)
+            for i in range(n):
+                rows.append(
+                    {
+                        "conv_id": c,
+                        "turn_idx": np.int32(rng.integers(0, 8)),
+                        "role": rng.choice(["user", "assistant", "tool", None]),
+                        "text": rng.choice([f"t{rng.integers(0, 5)}", None]),
+                        "tool": rng.choice(["search", None]),
+                        "ts": pd.Timestamp("2026-01-01")
+                        + pd.Timedelta(minutes=int(rng.integers(0, 60))),
+                    }
+                )
+        # a few NULL-conv rows
+        for _ in range(int(rng.integers(0, 3))):
+            rows.append(
+                {
+                    "conv_id": None,
+                    "turn_idx": np.int32(rng.integers(0, 8)),
+                    "role": "user",
+                    "text": f"n{rng.integers(0, 3)}",
+                    "tool": None,
+                    "ts": pd.Timestamp("2026-01-01"),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def naive_diff(left, right):
+        def rollup(df):
+            out = {}
+            key = df["conv_id"].fillna(NULL_CONV_MARKER)
+            for conv, g in df.groupby(key):
+                rows = sorted(
+                    (
+                        (
+                            int(r.turn_idx),
+                            r.role if isinstance(r.role, str) else None,
+                            r.text if isinstance(r.text, str) else None,
+                            r.tool if isinstance(r.tool, str) else None,
+                            r.ts.value,
+                        )
+                        for r in g.itertuples()
+                    ),
+                    key=lambda t: tuple("" if x is None else str(x) for x in t),
+                )
+                out[conv] = tuple(rows)
+            return out
+
+        l, r = rollup(left), rollup(right)
+        st = {}
+        for c in set(l) | set(r):
+            if c not in l:
+                st[c] = "added"
+            elif c not in r:
+                st[c] = "removed"
+            else:
+                st[c] = "same" if l[c] == r[c] else "changed"
+        return st
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        convs = [f"conv_{i:08d}" for i in range(10)]
+        left = random_corpus(rng, convs[:8])
+        right = random_corpus(rng, convs[2:])  # 0-1 removed, 8-9 added, rest re-rolled
+        got = {
+            r["conv_id"]: r["status"]
+            for r in changed_conversations(
+                rd.from_pandas(left), rd.from_pandas(right), num_buckets=4
+            ).take_all()
+        }
+        assert got == naive_diff(left, right), f"seed {seed}"
+
+
 def test_only_convs_keeps_null_conv_rows(ray_session, tmp_path):
     """run_validation(only_convs=...) must always revalidate rows whose
     conv_id is NULL — the snapshot diff cannot see them."""
