@@ -3069,21 +3069,22 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": q_containment_pairs,
         "bloom_semi_join": q_bloom_semi_join,
         "anti_join_orphans": q_anti_join_orphans,
-        "mod_sample": q_mod_sample,
-        "stratified_sample": q_stratified_sample,
         # shuffle_export took token_count_bpe's head slot: the epoch shuffle
         # is new this round while token_count_bpe is green since r1 and
         # text.py is untouched in round 5.
         "shuffle_export": q_shuffle_export,
         "quantile_filter": q_quantile_filter,
-        "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
         "lexical_diversity": q_lexical_diversity,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "lang_id": q_lang_id,
-        # turn_reindex took lang_mix's head slot: the order-repair transform
-        # is a round-5 flagship while lang_mix is a thin corpus rollup of
-        # lang_id's per-doc output (lang_id keeps its head slot)
+        # lang_mix / fingerprint_dups / cluster_purity re-enter the head for
+        # the round-5 window (mod_sample / stratified_sample /
+        # grouped_quantiles rotate out — each green since r1-r3 with
+        # sampling.py untouched this round), so EVERY oracle-bearing query
+        # that has never had a driver hash-green row sits inside the checked
+        # 50.
+        "lang_mix": q_lang_mix,
         "turn_reindex": q_turn_reindex,
         "repetition_stats": q_repetition_stats,
         "contamination_scan": q_contamination_scan,
@@ -3091,9 +3092,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "zscore_scaled": q_zscore_scaled,
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
-        # changed_conversations took fingerprint_dups' head slot: the
-        # snapshot diff is a round-5 flagship while fingerprint_dups is a
-        # groupby over fingerprints' output (fingerprints keeps its slot)
+        "fingerprint_dups": q_fingerprint_dups,
         "changed_conversations": q_changed_conversations,
         "split_leakage": q_split_leakage,
         # multimodal_resize took turn_text_digest's head slot: resize is new
@@ -3113,10 +3112,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q_group_topk,
         "global_rank": q_global_rank,
         "cluster_assign": q_cluster_assign,
-        # clean_conversations took cluster_purity's head slot: the
-        # quarantine/clean split is a round-5 flagship while cluster_purity
-        # is a rollup of cluster_assign's output (cluster_assign keeps its
-        # slot)
+        "cluster_purity": q_cluster_purity,
         "clean_conversations": q_clean_conversations,
         "semantic_dedup": q_semantic_dedup,
         "mixture_sample": q_mixture_sample,
@@ -3185,13 +3181,14 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "turn_text_digest": q_turn_text_digest,
         "near_dup_pairs": q_near_dup_pairs,
         "token_count_bpe": q_token_count_bpe,
-        # rotated out of the head for the three incremental-loop flagships:
-        # each is a thin rollup of a sibling that KEPT its head slot (lang_id,
-        # fingerprints, cluster_assign), and each stays twin-backed in the
-        # builder's full-registry sweep
-        "lang_mix": q_lang_mix,
-        "fingerprint_dups": q_fingerprint_dups,
-        "cluster_purity": q_cluster_purity,
+        # rotated out of the head for lang_mix / fingerprint_dups /
+        # cluster_purity (the last three never-driver-checked queries): each
+        # of these three is green in earlier CORRECTNESS rounds and
+        # sampling.py is untouched this round, and each stays twin-backed in
+        # the builder's full-registry sweep
+        "mod_sample": q_mod_sample,
+        "stratified_sample": q_stratified_sample,
+        "grouped_quantiles": q_grouped_quantiles,
     }
 
 
