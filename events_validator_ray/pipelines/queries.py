@@ -1411,6 +1411,29 @@ def fingerprint_dups_oracle(sf_dir: str, w: int = 8) -> str:
     )
 
 
+def dup_spans_oracle(sf_dir: str, k: int = 5) -> str:
+    """Duplicate-span twin over the SAME emitted gram-hash table the
+    winnowing twins use: grams in >= 2 distinct docs, per-doc interval union
+    via a window-function gaps-and-islands pass (group-reset running max of
+    span ends — the SQL rendering of span_union's cummax)."""
+    path = ensure_gram_hashes(sf_dir)
+    return (
+        f"WITH g AS (SELECT doc_id, pos, gh FROM read_parquet('{path}')), "
+        "dup AS (SELECT gh FROM g GROUP BY gh "
+        "HAVING COUNT(DISTINCT doc_id) >= 2), "
+        "p AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gh)), "
+        f"w AS (SELECT doc_id, pos, MAX(pos + {k}) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "AS prev_end FROM p), "
+        "f AS (SELECT doc_id, CASE WHEN prev_end IS NULL OR pos > prev_end "
+        "THEN 1 ELSE 0 END AS new_span, "
+        f"GREATEST(0, pos + {k} - GREATEST(pos, COALESCE(prev_end, pos))) "
+        "AS contrib FROM w) "
+        "SELECT doc_id, CAST(SUM(new_span) AS BIGINT) AS n_dup_spans, "
+        "CAST(SUM(contrib) AS BIGINT) AS n_dup_tokens FROM f GROUP BY doc_id"
+    )
+
+
 def _explode_fingerprints(df):
     """Explode per-doc winnowing fingerprint lists to distinct (fp int64,
     doc_id) pairs — the shared map_batches kernel of q_fingerprint_dups and
@@ -1430,6 +1453,19 @@ def _explode_fingerprints(df):
 
 
 _explode_fingerprints.__name__ = "explode_fingerprints"
+
+
+def q_dup_spans(sf_dir: str):
+    """Cross-document duplicate SPANS (substring-level dedup signal — the
+    span-granular generalization of exact dedup, after the suffix-array
+    substring-dedup formulations): per doc, merged token intervals covered by
+    5-grams occurring in >= 2 distinct docs -> (doc_id, n_dup_spans,
+    n_dup_tokens). Scale shape: two bucketed shuffles over 24-byte gram
+    triples (stages/text.py:dup_spans); documents never shuffle."""
+    from ..stages.text import dup_spans
+
+    ensure_gram_hashes(sf_dir)
+    return dup_spans(_read_table(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
 def q_fingerprint_dups(sf_dir: str):
@@ -3074,7 +3110,6 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # text.py is untouched in round 5.
         "shuffle_export": q_shuffle_export,
         "quantile_filter": q_quantile_filter,
-        "quality_scores": q_quality_scores,
         "lexical_diversity": q_lexical_diversity,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         "lang_id": q_lang_id,
@@ -3093,6 +3128,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "fingerprints": q_fingerprints,
         "fingerprint_dups": q_fingerprint_dups,
+        # dup_spans (new this round: substring-level dedup) takes the
+        # quality_scores sentinel slot — quality_scores is green r1-r4 and
+        # its QualityScore kernel is untouched
+        "dup_spans": q_dup_spans,
         "changed_conversations": q_changed_conversations,
         "split_leakage": q_split_leakage,
         # multimodal_resize took turn_text_digest's head slot: resize is new
@@ -3189,6 +3228,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "mod_sample": q_mod_sample,
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
+        "quality_scores": q_quality_scores,
     }
 
 
@@ -3264,6 +3304,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
         out["dedup_simhash"] = simhash_components_oracle(_docs_dir)
         out["fingerprints"] = fingerprints_oracle(_docs_dir)
         out["fingerprint_dups"] = fingerprint_dups_oracle(_docs_dir)
+        out["dup_spans"] = dup_spans_oracle(_docs_dir)
         out["split_leakage"] = (
             f"{_winnow_cte(_docs_dir)}, "
             f"p AS (SELECT DISTINCT doc_id, xor(m, {_SIGNBIT}) AS fp FROM d), "

@@ -489,6 +489,145 @@ def fingerprints(ds, col: str = "text"):
     return ds.map_batches(Fingerprint(col), batch_format="pyarrow")
 
 
+class _GramTriples:
+    """Map-only (doc_id, pos, gh) expansion: every token k-gram's position
+    and hash (dedup._shingle_hashes — the exact kernel the winnowing
+    fingerprint and its SQL sidecar use, so the gram identity is pinned
+    across engine, test, and oracle). Output volume ≈ token count × 24 bytes
+    — the honest price of EXACT substring-level duplicate detection (the
+    suffix-array formulations pay the same O(corpus) index)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id", k: int = 5):
+        self.col = col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        from .dedup import _shingle_hashes
+
+        texts = batch[self.col].to_numpy(zero_copy_only=False)
+        h, off = _shingle_hashes(texts, self.k)
+        counts = np.diff(off)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)[doc_of]
+        pos = np.arange(len(h), dtype=np.int64) - off[doc_of]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "gh": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+
+def dup_spans(ds, k: int = 5, num_buckets: int = 64, id_col: str = "doc_id"):
+    """Cross-document duplicate SPAN detection — the substring-level dedup
+    signal (duplicated training text is duplicated in spans, not whole
+    documents): per doc, the merged token intervals covered by k-grams that
+    occur in >= 2 DISTINCT documents, reported as (doc_id, n_dup_spans,
+    n_dup_tokens). Docs whose every gram is unique don't appear.
+
+    Scale shape (two bucketed shuffles over 24-byte triples, text never
+    shuffles):
+    1. map-only gram triples (doc_id, pos, gh) — _GramTriples;
+    2. gh-hash bucket -> per-bucket vectorized filter: a bucket holds ALL
+       rows of each gram it owns (bucket = f(gh)), so the >= 2-distinct-docs
+       test is globally exact inside the bucket. Skew bound: the hottest
+       gram's positions land in one task, vectorized O(rows) — same bound
+       the dedup LSH bucket stages document;
+    3. doc-hash bucket -> per-bucket vectorized interval union (sorted pos,
+       group-reset cummax of span ends): n_dup_spans = interval count,
+       n_dup_tokens = union length. The short-doc fallback shingle
+       (1..k-1 tokens -> one gram) accounts its span as k on BOTH the
+       engine and the sidecar-driven SQL twin.
+
+    Reference tie: generalizes the reference's whole-event duplicate notion
+    to span granularity (SURVEY §2.7 uniqueness family)."""
+
+    def dup_gram_positions(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "pos": pd.Series(dtype="int64"),
+                }
+            )
+        # a gram is duplicated iff seen in >= 2 distinct docs; transform
+        # broadcasts the per-gram count back to rows without a merge
+        ndocs = g.groupby("gh", sort=False)[id_col].transform("nunique")
+        return g.loc[ndocs.to_numpy() >= 2, [id_col, "pos"]]
+
+    dup_gram_positions.__name__ = "dup_gram_positions"
+
+    def span_union(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "n_dup_spans": pd.Series(dtype="int64"),
+                    "n_dup_tokens": pd.Series(dtype="int64"),
+                }
+            )
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        doc = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        end = pos + k
+        # running max span-end within each doc, shifted one row back
+        # (group-reset cummax): prev_end[i] = max end of this doc's earlier
+        # grams, NaN on each doc's first row
+        s = pd.Series(end)
+        prev_end = s.groupby(doc).cummax().groupby(doc).shift(1).to_numpy()
+        first = np.isnan(prev_end)
+        new_span = first | (pos > prev_end)
+        floor = np.where(first, pos, np.maximum(pos, prev_end))
+        contrib = np.clip(end - floor, 0, None).astype(np.int64)
+        out = pd.DataFrame(
+            {
+                id_col: doc,
+                "_s": new_span.astype(np.int64),
+                "_t": contrib,
+            }
+        )
+        agg = out.groupby(id_col, sort=False).agg(
+            n_dup_spans=("_s", "sum"), n_dup_tokens=("_t", "sum")
+        )
+        return agg.reset_index().astype(
+            {id_col: "int64", "n_dup_spans": "int64", "n_dup_tokens": "int64"}
+        )
+
+    span_union.__name__ = "span_union"
+
+    def bucket_by_gram(t: pa.Table) -> pa.Table:
+        b = t["gh"].to_numpy(zero_copy_only=False).view(np.uint64) % np.uint64(
+            num_buckets
+        )
+        return t.append_column("_b", pa.array(b.astype(np.int64), pa.int64()))
+
+    bucket_by_gram.__name__ = "bucket_by_gram"
+
+    def bucket_by_doc(df: pd.DataFrame) -> pd.DataFrame:
+        b = df[id_col].to_numpy(dtype=np.int64).view(np.uint64) % np.uint64(
+            num_buckets
+        )
+        return df.assign(_db=b.astype(np.int64))
+
+    bucket_by_doc.__name__ = "bucket_by_doc"
+
+    triples = ds.select_columns([id_col, "text"]).map_batches(
+        _GramTriples(id_col=id_col, k=k), batch_format="pyarrow"
+    )
+    dup_pos = (
+        triples.map_batches(bucket_by_gram, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(dup_gram_positions, batch_format="pandas")
+    )
+    return (
+        dup_pos.map_batches(bucket_by_doc, batch_format="pandas")
+        .groupby("_db")
+        .map_groups(span_union, batch_format="pandas")
+    )
+
+
 class TermFrequencies:
     """Map-only (doc_id, term, tf) expansion: tokenize + per-doc term counts.
     Vectorized: one tokenize pass, batch-wide factorize, lexsort + run-length

@@ -703,3 +703,105 @@ def test_clean_conversations_filters_by_both_planes(ray_session):
         .to_pandas()
     )
     assert got.set_index("conv_id")["n_turns"].to_dict() == {"conv_00000001": 3}
+
+
+def _dupspan_bruteforce(docs, k=5):
+    """Row-at-a-time reference for dup_spans: token k-grams (short-doc
+    fallback = one gram over all tokens), grams in >=2 distinct docs, per-doc
+    interval union with span length k."""
+    import re
+    from collections import defaultdict
+
+    def grams(t):
+        ts = re.findall(r"[a-z0-9]+", (t or "").lower())
+        if len(ts) >= k:
+            return [tuple(ts[i : i + k]) for i in range(len(ts) - k + 1)]
+        return [tuple(ts)] if ts else []
+
+    owner = defaultdict(set)
+    per_doc = {}
+    for d, t in docs:
+        per_doc[d] = grams(t)
+        for g in per_doc[d]:
+            owner[g].add(d)
+    out = {}
+    for d, gs in per_doc.items():
+        ps = [i for i, g in enumerate(gs) if len(owner[g]) >= 2]
+        if not ps:
+            continue
+        spans, covered, prev_end = 0, 0, None
+        for p in ps:
+            e = p + k
+            if prev_end is None or p > prev_end:
+                spans += 1
+            covered += max(0, e - (p if prev_end is None else max(p, prev_end)))
+            prev_end = e if prev_end is None else max(prev_end, e)
+        out[d] = (spans, covered)
+    return out
+
+
+def test_dup_spans_randomized_vs_bruteforce(ray_session):
+    """dup_spans (gram-bucket cross-doc filter + doc-bucket interval union)
+    vs the row-at-a-time reference on a randomized corpus with planted
+    overlaps, internal repeats (must NOT count: cross-doc only), short docs,
+    empties, and nulls."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.text import dup_spans
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = []
+    for d in range(60):
+        n = int(rng.integers(0, 25))
+        words = list(rng.choice(vocab, size=n))
+        docs.append((d, " ".join(words) if n else ""))
+    # planted exact 7-token overlap across three docs
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs.append((100, f"prefix words here {shared} suffix tail"))
+    docs.append((101, f"{shared} and then something other"))
+    docs.append((102, f"unrelated head {shared}"))
+    # internal repetition only (no cross-doc partner): must not appear
+    docs.append((103, "rep tok one two three four rep tok one two three four"))
+    docs.append((104, None))
+    expect = _dupspan_bruteforce(docs)
+
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    out = dup_spans(rd.from_pandas(df).repartition(6), k=5, num_buckets=8).to_pandas()
+    got = {
+        int(r.doc_id): (int(r.n_dup_spans), int(r.n_dup_tokens))
+        for r in out.itertuples()
+    }
+    assert got == expect
+    assert 103 not in got  # internal repeats are not cross-doc duplicates
+    assert got[100][1] >= 3  # planted overlap detected
+
+
+def test_dup_spans_oracle_parity_sf0001(ray_session):
+    """Engine vs the gaps-and-islands SQL twin over the emitted gram-hash
+    sidecar at sf0.001 — the exact compare the grading driver runs."""
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import (
+        dup_spans_oracle,
+        q_dup_spans,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = (
+        q_dup_spans(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    ora = (
+        duckdb.sql(dup_spans_oracle(sf_dir))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    pd.testing.assert_frame_equal(eng[["doc_id", "n_dup_spans", "n_dup_tokens"]],
+                                  ora[["doc_id", "n_dup_spans", "n_dup_tokens"]])
+    assert len(eng) > 0
