@@ -2751,7 +2751,7 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
             f"CAST(MAX({c}) AS VARCHAR) AS max_str FROM {t}"
         )
 
-    return {
+    out = {
         "validate_scalar": scalar,
         "valid_turns": (
             f"SELECT {eid} AS event_id, 'transcript' AS event_name, "
@@ -2865,6 +2865,9 @@ def transcript_oracles(sf: float = 0.01) -> dict[str, str]:
         ),
         "drift_roles": drift_roles_oracle(t),
     }
+    out["len_drift_days"] = len_drift_days_oracle(t)
+    out["transition_drift"] = transition_drift_oracle(out["role_transitions"])
+    return out
 
 
 def events_oracles() -> dict[str, str]:
@@ -2895,6 +2898,7 @@ def events_oracles() -> dict[str, str]:
             "COALESCE(err.n_error_events, 0) AS n_error_events "
             "FROM tot LEFT JOIN err ON tot.date_utc = err.date_utc"
         ),
+        "drift_days": drift_days_oracle(),
     }
 
 
@@ -2931,6 +2935,224 @@ def q_pivot_event_types(sf_dir: str):
         row_col="date_utc",
         col_col="event_type",
         categories=["click", "view", "purchase", "signup"],
+    )
+
+
+def _independence_chi_parts(df, a_col: str, b_col: str, n_col: str = "n_obs"):
+    """Per-cell chi-square drift contribution under (a, b) independence:
+    exp = DOUBLE(n_a * n_b) / DOUBLE(n_total); chi_part_micro =
+    floor(((diff * diff) / exp) * 1e6 + 0.5) with diff = n_obs - exp.
+
+    Every float op is multiply/divide/subtract-only IEEE double, mirrored
+    OP-FOR-OP by the SQL twins (same rationale as drift_roles: no float SUM
+    across cells, no transcendentals → the compare is bit-exact). The
+    marginal products are converted int→double BEFORE the division
+    (``float(n_a * n_b) / float(n)``) so python matches DuckDB's
+    ``CAST(na*nb AS DOUBLE) / CAST(n AS DOUBLE)`` even when the exact
+    product exceeds 2^53 (python's int/int true division would round the
+    exact rational instead). Driver-side over a bounded cell table
+    (days × types / days × bins / roles² — never corpus-cardinality)."""
+    import math
+
+    import pandas as pd
+
+    na = df.groupby(a_col)[n_col].sum().to_dict()
+    nb = df.groupby(b_col)[n_col].sum().to_dict()
+    n_total = float(int(df[n_col].sum()))
+    micro = []
+    for a, b, o in zip(df[a_col], df[b_col], df[n_col]):
+        exp = float(int(na[a]) * int(nb[b])) / n_total
+        diff = float(o) - exp
+        micro.append(int(math.floor(((diff * diff) / exp) * 1_000_000 + 0.5)))
+    out = df.copy()
+    out["chi_part_micro"] = pd.Series(micro, dtype="int64", index=df.index)
+    return out
+
+
+_CHI_SQL = (
+    "CAST(FLOOR((((CAST({n} AS DOUBLE) - {exp}) * (CAST({n} AS DOUBLE) - {exp})) "
+    "/ {exp}) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+def q_drift_days(sf_dir: str):
+    """Temporal categorical drift: per (UTC day, event_type) cell, observed
+    count + chi-square contribution against the corpus-wide profile
+    (expected under day×type independence = n_day * n_type / n_total — a
+    day whose type mix matches the corpus scores ≈0; a drifting day's cells
+    spike). The distributed piece is ONE bucketed count over a rendered
+    day|type key (cell cardinality = days × types, bounded — the driver
+    pull is the cell table, never the corpus); the chi parts are computed
+    driver-side with `_independence_chi_parts` and compared bit-exactly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.assembly import bucketed_count_per_key
+
+    ev = _read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_type_key(t: pa.Table) -> pa.Table:
+        d = pc.coalesce(
+            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
+            "(null)",
+        )
+        et = pc.coalesce(t["event_type"], "(null)")
+        return pa.table({"_dt": pc.binary_join_element_wise(d, et, "|")})
+
+    day_type_key.__name__ = "day_type_key"
+    counts = bucketed_count_per_key(
+        ev.map_batches(day_type_key, batch_format="pyarrow"),
+        "_dt",
+        "n_obs",
+        num_buckets=8,
+    )
+    df = counts.to_pandas()  # bounded: days × types cells at any sf
+    parts = df["_dt"].str.split("|", n=1, expand=True)
+    df = pd.DataFrame(
+        {
+            "date_utc": parts[0],
+            "event_type": parts[1],
+            "n_obs": df["n_obs"].astype("int64"),
+        }
+    )
+    return (
+        _independence_chi_parts(df, "date_utc", "event_type")
+        .sort_values(["date_utc", "event_type"])
+        .reset_index(drop=True)
+    )
+
+
+def drift_days_oracle() -> str:
+    chi = _CHI_SQL.format(n="c.n_obs", exp="e.exp")
+    return (
+        "WITH c AS (SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+        "COALESCE(event_type, '(null)') AS event_type, COUNT(*) AS n_obs "
+        "FROM events GROUP BY 1, 2), "
+        "tot AS (SELECT SUM(n_obs) AS n FROM c), "
+        "nd AS (SELECT date_utc, SUM(n_obs) AS n_day FROM c GROUP BY 1), "
+        "nt AS (SELECT event_type, SUM(n_obs) AS n_type FROM c GROUP BY 1), "
+        "e AS (SELECT c.date_utc, c.event_type, c.n_obs, "
+        "CAST(nd.n_day * nt.n_type AS DOUBLE) / CAST(tot.n AS DOUBLE) AS exp "
+        "FROM c JOIN nd USING (date_utc) JOIN nt USING (event_type) CROSS JOIN tot) "
+        "SELECT e.date_utc, e.event_type, CAST(c.n_obs AS BIGINT) AS n_obs, "
+        f"{chi} AS chi_part_micro "
+        "FROM e JOIN c USING (date_utc, event_type)"
+    )
+
+
+LEN_BIN_WIDTH = 32
+LEN_BIN_MAX = 15
+
+
+def q_len_drift_days(sf_dir: str):
+    """Temporal NUMERIC drift via fixed integer bins: per (UTC day,
+    text-length bin) cell over the transcript corpus, observed count +
+    chi-square contribution vs the corpus-wide length profile. Binning is
+    ALL-INTEGER map-side (bin = min(len // 32, 15); NULL text → -1), so the
+    only float ops are the shared chi kernel — same bit-exact compare as
+    drift_days. One bucketed count over a day|bin key; cells = days × 17,
+    bounded at any corpus size."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.assembly import bucketed_count_per_key
+
+    ds = _read_transcripts(sf_dir).select_columns(["ts", "text"])
+
+    def day_bin_key(t: pa.Table) -> pa.Table:
+        d = pc.coalesce(
+            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
+            "(null)",
+        )
+        # NULL text → NaN after to_pandas; floordiv/clip propagate it and the
+        # fillna(-1) lands the NULL bin — all vectorized, no python rows
+        ln = pc.utf8_length(t["text"]).to_pandas()
+        bins = (
+            (ln // LEN_BIN_WIDTH).clip(upper=LEN_BIN_MAX).fillna(-1).astype("int64")
+        )
+        key = pc.binary_join_element_wise(
+            d, pa.array(bins.astype(str), pa.string()), "|"
+        )
+        return pa.table({"_db": key})
+
+    day_bin_key.__name__ = "day_len_bin_key"
+    counts = bucketed_count_per_key(
+        ds.map_batches(day_bin_key, batch_format="pyarrow"),
+        "_db",
+        "n_obs",
+        num_buckets=8,
+    )
+    df = counts.to_pandas()  # bounded: days × 17 cells
+    parts = df["_db"].str.split("|", n=1, expand=True)
+    df = pd.DataFrame(
+        {
+            "date_utc": parts[0],
+            "len_bin": parts[1].astype("int64"),
+            "n_obs": df["n_obs"].astype("int64"),
+        }
+    )
+    return (
+        _independence_chi_parts(df, "date_utc", "len_bin")
+        .sort_values(["date_utc", "len_bin"])
+        .reset_index(drop=True)
+    )
+
+
+def len_drift_days_oracle(t: str) -> str:
+    chi = _CHI_SQL.format(n="c.n_obs", exp="e.exp")
+    return (
+        "WITH c AS (SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+        "CASE WHEN text IS NULL THEN -1 "
+        f"ELSE LEAST(length(text) // {LEN_BIN_WIDTH}, {LEN_BIN_MAX}) END AS len_bin, "
+        f"COUNT(*) AS n_obs FROM {t} GROUP BY 1, 2), "
+        "tot AS (SELECT SUM(n_obs) AS n FROM c), "
+        "nd AS (SELECT date_utc, SUM(n_obs) AS n_day FROM c GROUP BY 1), "
+        "nb AS (SELECT len_bin, SUM(n_obs) AS n_bin FROM c GROUP BY 1), "
+        "e AS (SELECT c.date_utc, c.len_bin, c.n_obs, "
+        "CAST(nd.n_day * nb.n_bin AS DOUBLE) / CAST(tot.n AS DOUBLE) AS exp "
+        "FROM c JOIN nd USING (date_utc) JOIN nb USING (len_bin) CROSS JOIN tot) "
+        "SELECT e.date_utc, CAST(e.len_bin AS BIGINT) AS len_bin, "
+        f"CAST(c.n_obs AS BIGINT) AS n_obs, {chi} AS chi_part_micro "
+        "FROM e JOIN c USING (date_utc, len_bin)"
+    )
+
+
+def q_transition_drift(sf_dir: str):
+    """Role-transition independence drift (alternation-health score): per
+    (from_role, to_role) adjacency cell, observed count + chi-square
+    contribution vs the marginal-independence expectation (n_from * n_to /
+    n_total). A healthy alternating protocol makes user→assistant cells
+    spike far above independence while user→user collapses — a drop in
+    those chi parts is the protocol-drift alarm. Composes the
+    `role_transitions` distributed profile (roles²-bounded) with the shared
+    bit-exact chi kernel."""
+    from ..stages.assembly import role_transitions
+
+    df = role_transitions(_read_transcripts(sf_dir)).to_pandas()  # roles² rows
+    df = df.rename(columns={"n": "n_obs"})
+    df["n_obs"] = df["n_obs"].astype("int64")
+    return (
+        _independence_chi_parts(df, "from_role", "to_role")
+        .sort_values(["from_role", "to_role"])
+        .reset_index(drop=True)
+    )
+
+
+def transition_drift_oracle(role_transitions_sql: str) -> str:
+    chi = _CHI_SQL.format(n="c.n_obs", exp="e.exp")
+    return (
+        f"WITH c AS (SELECT from_role, to_role, n AS n_obs FROM ({role_transitions_sql})), "
+        "tot AS (SELECT SUM(n_obs) AS n FROM c), "
+        "nf AS (SELECT from_role, SUM(n_obs) AS n_from FROM c GROUP BY 1), "
+        "nt AS (SELECT to_role, SUM(n_obs) AS n_to FROM c GROUP BY 1), "
+        "e AS (SELECT c.from_role, c.to_role, c.n_obs, "
+        "CAST(nf.n_from * nt.n_to AS DOUBLE) / CAST(tot.n AS DOUBLE) AS exp "
+        "FROM c JOIN nf USING (from_role) JOIN nt USING (to_role) CROSS JOIN tot) "
+        "SELECT e.from_role, e.to_role, CAST(c.n_obs AS BIGINT) AS n_obs, "
+        f"{chi} AS chi_part_micro "
+        "FROM e JOIN c USING (from_role, to_role)"
     )
 
 
@@ -3095,7 +3317,10 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-5 head: driver-unverified until now ---
         "attribution_join": q_attribution_join,
-        "curate_docs": q_curate_docs,
+        # drift_days took curate_docs' head slot: the temporal-drift suite is
+        # new in round 5 while curate_docs is green in r2+r3 and curate.py is
+        # untouched this round.
+        "drift_days": q_drift_days,
         # hll_registers took near_dup_pairs' head slot: the register census
         # is new this round (upgrades HLL from rows-only to hash-checked)
         # while near_dup_pairs is green since r1 and dedup.py is untouched
@@ -3112,7 +3337,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "quantile_filter": q_quantile_filter,
         "lexical_diversity": q_lexical_diversity,
         "boilerplate_prefixes": q_boilerplate_prefixes,
-        "lang_id": q_lang_id,
+        # len_drift_days took lang_id's head slot (lang_id green r2+r3,
+        # text.py untouched by the drift suite).
+        "len_drift_days": q_len_drift_days,
         # lang_mix / fingerprint_dups / cluster_purity re-enter the head for
         # the round-5 window (mod_sample / stratified_sample /
         # grouped_quantiles rotate out — each green since r1-r3 with
@@ -3156,7 +3383,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "mixture_sample": q_mixture_sample,
         "packing_bins": q_packing_bins,
-        "worst_offenders": q_worst_offenders,
+        # transition_drift took worst_offenders' head slot (worst_offenders
+        # green r2+r3, report.py untouched this round).
+        "transition_drift": q_transition_drift,
         "multimodal_decode": q_multimodal_decode,
         # --- new this round (A4, M9, audio decode twin) ---
         "unique_event_names": q_unique_event_names,
@@ -3229,6 +3458,11 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "grouped_quantiles": q_grouped_quantiles,
         "quality_scores": q_quality_scores,
+        # --- rotated out for the round-5 drift suite (green r2+r3 rows
+        # stand; their modules are untouched this round) ---
+        "curate_docs": q_curate_docs,
+        "lang_id": q_lang_id,
+        "worst_offenders": q_worst_offenders,
     }
 
 

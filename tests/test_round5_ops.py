@@ -805,3 +805,55 @@ def test_dup_spans_oracle_parity_sf0001(ray_session):
     pd.testing.assert_frame_equal(eng[["doc_id", "n_dup_spans", "n_dup_tokens"]],
                                   ora[["doc_id", "n_dup_spans", "n_dup_tokens"]])
     assert len(eng) > 0
+
+
+def test_independence_chi_parts_hand_computed():
+    """2×2 contingency table with known marginals: chi parts must equal the
+    textbook (obs-exp)²/exp per cell, micro-rounded — the float op order is
+    the twin contract (float(na*nb)/float(n), never int/int true division)."""
+    from events_validator_ray.pipelines.queries import _independence_chi_parts
+
+    df = pd.DataFrame(
+        {
+            "a": ["d1", "d1", "d2", "d2"],
+            "b": ["x", "y", "x", "y"],
+            "n_obs": [30, 10, 20, 40],
+        }
+    )
+    out = _independence_chi_parts(df, "a", "b")
+    # n=100; exp(d1,x)=40*50/100=20 -> (10)^2/20=5.0 -> 5_000_000
+    # exp(d1,y)=40*50/100=20 -> (-10)^2/20=5.0
+    # exp(d2,x)=60*50/100=30 -> (-10)^2/30=3.333333...
+    # exp(d2,y)=60*50/100=30 -> (10)^2/30
+    import math
+
+    want = [5_000_000, 5_000_000,
+            int(math.floor((100/30)*1_000_000 + 0.5)),
+            int(math.floor((100/30)*1_000_000 + 0.5))]
+    assert list(out["chi_part_micro"]) == want
+    assert out["chi_part_micro"].dtype == "int64"
+
+
+def test_drift_suite_oracle_parity_sf0001(ray_session):
+    """The three round-5 drift queries vs their DuckDB twins at sf0.001
+    (the driver runs the same compare at sf0.01)."""
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import build_oracles, build_queries
+
+    sf_dir = "/root/testdata/sf0.001"
+    Q, O = build_queries(), build_oracles(0.001)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    for name in ["drift_days", "len_drift_days", "transition_drift"]:
+        got = Q[name](sf_dir)
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        want = con.sql(O[name]).df().astype(got.dtypes.to_dict())
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert len(got) > 0, name
