@@ -2899,6 +2899,7 @@ def events_oracles() -> dict[str, str]:
             "FROM tot LEFT JOIN err ON tot.date_utc = err.date_utc"
         ),
         "drift_days": drift_days_oracle(),
+        "benford_value": benford_value_oracle(),
     }
 
 
@@ -3156,6 +3157,88 @@ def transition_drift_oracle(role_transitions_sql: str) -> str:
     )
 
 
+def _benford_probs() -> dict[int, float]:
+    import math
+
+    return {d: math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def q_benford_value(sf_dir: str):
+    """Benford first-significant-digit conformance audit on events.value
+    (the classic numeric data-quality / fabrication check): per digit 1-9,
+    observed count + chi-square contribution vs the Benford expectation
+    n_pos * log10(1 + 1/d). The value is micro-scaled to cents map-side
+    (floor(v*100 + 0.5), the repo's standard float→int channel), so the
+    digit is the first character of an INTEGER's decimal rendering —
+    identical in numpy and DuckDB, no float-to-string formatting channel.
+    Non-positive cents roll up under digit 0 with chi_part_micro = -1
+    (out-of-model, the drift_roles convention). The Benford constants are
+    shortest-repr doubles inlined into the SQL twin, so the chi kernel
+    (mult/sub/div only) compares bit-exactly. Distributed piece: one
+    bucketed count over a 10-ary digit key."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..stages.assembly import bucketed_count_per_key
+
+    ev = _read_table(sf_dir, "events", columns=["value"])
+
+    def digit_key(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False).astype("float64")
+        v_micro = np.floor(np.nan_to_num(v, nan=-1.0) * 100 + 0.5).astype("int64")
+        s = pd.Series(v_micro)
+        digit = pd.Series(np.zeros(len(s), dtype="int64"))
+        pos = v_micro > 0
+        digit[pos] = s[pos].astype(str).str[0].astype("int64")
+        return pa.table({"_d": pa.array(digit.astype(str), pa.string())})
+
+    digit_key.__name__ = "benford_digit_key"
+    counts = bucketed_count_per_key(
+        ev.map_batches(digit_key, batch_format="pyarrow"), "_d", "n_obs",
+        num_buckets=4,
+    )
+    df = counts.to_pandas()  # ≤ 10 rows at any sf
+    df = pd.DataFrame(
+        {"digit": df["_d"].astype("int64"), "n_obs": df["n_obs"].astype("int64")}
+    )
+    n_pos = int(df.loc[df["digit"] > 0, "n_obs"].sum())
+    probs = _benford_probs()
+    micro = []
+    for d, o in zip(df["digit"], df["n_obs"]):
+        if d == 0:
+            micro.append(-1)
+            continue
+        exp = float(n_pos) * probs[int(d)]
+        diff = float(o) - exp
+        micro.append(int(math.floor(((diff * diff) / exp) * 1_000_000 + 0.5)))
+    df["chi_part_micro"] = pd.Series(micro, dtype="int64", index=df.index)
+    return df.sort_values("digit").reset_index(drop=True)
+
+
+def benford_value_oracle() -> str:
+    probs_rows = ", ".join(f"({d}, {p!r})" for d, p in _benford_probs().items())
+    chi = _CHI_SQL.format(n="counts.n_obs", exp="(CAST(np.n_pos AS DOUBLE) * p.pr)")
+    return (
+        # NULL value → NULL v_micro → the ELSE 0 branch, mirroring the
+        # engine's nan→-1 → digit-0 rollup (no NULL filter on either side)
+        "WITH v AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v_micro "
+        "FROM events), "
+        "c AS (SELECT CASE WHEN v_micro > 0 "
+        "THEN CAST(SUBSTR(CAST(v_micro AS VARCHAR), 1, 1) AS BIGINT) "
+        "ELSE 0 END AS digit FROM v), "
+        "counts AS (SELECT digit, COUNT(*) AS n_obs FROM c GROUP BY 1), "
+        "np AS (SELECT SUM(CASE WHEN digit > 0 THEN n_obs ELSE 0 END) AS n_pos "
+        "FROM counts), "
+        f"p(digit, pr) AS (SELECT * FROM (VALUES {probs_rows}) t(digit, pr)) "
+        "SELECT counts.digit, CAST(counts.n_obs AS BIGINT) AS n_obs, "
+        f"CASE WHEN counts.digit = 0 THEN -1 ELSE {chi} END AS chi_part_micro "
+        "FROM counts LEFT JOIN p USING (digit) CROSS JOIN np"
+    )
+
+
 def q_full_join_recon(sf_dir: str):
     """Reconciliation FULL OUTER join: per-user click counts vs purchase
     counts — users present in either side appear once, missing side
@@ -3334,7 +3417,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # is new this round while token_count_bpe is green since r1 and
         # text.py is untouched in round 5.
         "shuffle_export": q_shuffle_export,
-        "quantile_filter": q_quantile_filter,
+        # benford_value took quantile_filter's head slot (quantile_filter
+        # green r3, sampling.py untouched this round).
+        "benford_value": q_benford_value,
         "lexical_diversity": q_lexical_diversity,
         "boilerplate_prefixes": q_boilerplate_prefixes,
         # len_drift_days took lang_id's head slot (lang_id green r2+r3,
@@ -3463,6 +3548,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "curate_docs": q_curate_docs,
         "lang_id": q_lang_id,
         "worst_offenders": q_worst_offenders,
+        "quantile_filter": q_quantile_filter,
     }
 
 

@@ -857,3 +857,33 @@ def test_drift_suite_oracle_parity_sf0001(ray_session):
         want = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
         assert len(got) > 0, name
+
+
+def test_benford_value_oracle_parity_sf0001(ray_session):
+    """Benford digit audit vs its DuckDB twin at sf0.001 (bit-exact chi
+    parts; the micro-cents digit channel has no float-to-string leg)."""
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import (
+        benford_value_oracle,
+        q_benford_value,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = q_benford_value(sf_dir).sort_values("digit").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = (
+        con.sql(benford_value_oracle())
+        .df()
+        .astype({"digit": "int64", "n_obs": "int64", "chi_part_micro": "int64"})
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["digit", "n_obs", "chi_part_micro"]],
+        want[["digit", "n_obs", "chi_part_micro"]],
+    )
+    assert (got.loc[got["digit"] > 0, "chi_part_micro"] >= 0).all()
