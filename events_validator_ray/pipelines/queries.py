@@ -2940,34 +2940,12 @@ def q_pivot_event_types(sf_dir: str):
 
 
 def _independence_chi_parts(df, a_col: str, b_col: str, n_col: str = "n_obs"):
-    """Per-cell chi-square drift contribution under (a, b) independence:
-    exp = DOUBLE(n_a * n_b) / DOUBLE(n_total); chi_part_micro =
-    floor(((diff * diff) / exp) * 1e6 + 0.5) with diff = n_obs - exp.
+    """Shared bit-exact chi kernel — see stages/sketches.py:
+    independence_chi_parts (moved there so the runner's --drift mode can
+    reuse it without importing the query registry)."""
+    from ..stages.sketches import independence_chi_parts
 
-    Every float op is multiply/divide/subtract-only IEEE double, mirrored
-    OP-FOR-OP by the SQL twins (same rationale as drift_roles: no float SUM
-    across cells, no transcendentals → the compare is bit-exact). The
-    marginal products are converted int→double BEFORE the division
-    (``float(n_a * n_b) / float(n)``) so python matches DuckDB's
-    ``CAST(na*nb AS DOUBLE) / CAST(n AS DOUBLE)`` even when the exact
-    product exceeds 2^53 (python's int/int true division would round the
-    exact rational instead). Driver-side over a bounded cell table
-    (days × types / days × bins / roles² — never corpus-cardinality)."""
-    import math
-
-    import pandas as pd
-
-    na = df.groupby(a_col)[n_col].sum().to_dict()
-    nb = df.groupby(b_col)[n_col].sum().to_dict()
-    n_total = float(int(df[n_col].sum()))
-    micro = []
-    for a, b, o in zip(df[a_col], df[b_col], df[n_col]):
-        exp = float(int(na[a]) * int(nb[b])) / n_total
-        diff = float(o) - exp
-        micro.append(int(math.floor(((diff * diff) / exp) * 1_000_000 + 0.5)))
-    out = df.copy()
-    out["chi_part_micro"] = pd.Series(micro, dtype="int64", index=df.index)
-    return out
+    return independence_chi_parts(df, a_col, b_col, n_col)
 
 
 _CHI_SQL = (
@@ -3042,66 +3020,21 @@ def drift_days_oracle() -> str:
     )
 
 
-LEN_BIN_WIDTH = 32
-LEN_BIN_MAX = 15
-
-
 def q_len_drift_days(sf_dir: str):
     """Temporal NUMERIC drift via fixed integer bins: per (UTC day,
     text-length bin) cell over the transcript corpus, observed count +
     chi-square contribution vs the corpus-wide length profile. Binning is
     ALL-INTEGER map-side (bin = min(len // 32, 15); NULL text → -1), so the
     only float ops are the shared chi kernel — same bit-exact compare as
-    drift_days. One bucketed count over a day|bin key; cells = days × 17,
-    bounded at any corpus size."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    drift_days (stages/sketches.py:len_drift_days)."""
+    from ..stages.sketches import len_drift_days
 
-    from ..stages.assembly import bucketed_count_per_key
-
-    ds = _read_transcripts(sf_dir).select_columns(["ts", "text"])
-
-    def day_bin_key(t: pa.Table) -> pa.Table:
-        d = pc.coalesce(
-            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
-            "(null)",
-        )
-        # NULL text → NaN after to_pandas; floordiv/clip propagate it and the
-        # fillna(-1) lands the NULL bin — all vectorized, no python rows
-        ln = pc.utf8_length(t["text"]).to_pandas()
-        bins = (
-            (ln // LEN_BIN_WIDTH).clip(upper=LEN_BIN_MAX).fillna(-1).astype("int64")
-        )
-        key = pc.binary_join_element_wise(
-            d, pa.array(bins.astype(str), pa.string()), "|"
-        )
-        return pa.table({"_db": key})
-
-    day_bin_key.__name__ = "day_len_bin_key"
-    counts = bucketed_count_per_key(
-        ds.map_batches(day_bin_key, batch_format="pyarrow"),
-        "_db",
-        "n_obs",
-        num_buckets=8,
-    )
-    df = counts.to_pandas()  # bounded: days × 17 cells
-    parts = df["_db"].str.split("|", n=1, expand=True)
-    df = pd.DataFrame(
-        {
-            "date_utc": parts[0],
-            "len_bin": parts[1].astype("int64"),
-            "n_obs": df["n_obs"].astype("int64"),
-        }
-    )
-    return (
-        _independence_chi_parts(df, "date_utc", "len_bin")
-        .sort_values(["date_utc", "len_bin"])
-        .reset_index(drop=True)
-    )
+    return len_drift_days(_read_transcripts(sf_dir))
 
 
 def len_drift_days_oracle(t: str) -> str:
+    from ..stages.sketches import LEN_BIN_MAX, LEN_BIN_WIDTH
+
     chi = _CHI_SQL.format(n="c.n_obs", exp="e.exp")
     return (
         "WITH c AS (SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
@@ -3128,17 +3061,10 @@ def q_transition_drift(sf_dir: str):
     spike far above independence while user→user collapses — a drop in
     those chi parts is the protocol-drift alarm. Composes the
     `role_transitions` distributed profile (roles²-bounded) with the shared
-    bit-exact chi kernel."""
-    from ..stages.assembly import role_transitions
+    bit-exact chi kernel (stages/sketches.py:transition_drift)."""
+    from ..stages.sketches import transition_drift
 
-    df = role_transitions(_read_transcripts(sf_dir)).to_pandas()  # roles² rows
-    df = df.rename(columns={"n": "n_obs"})
-    df["n_obs"] = df["n_obs"].astype("int64")
-    return (
-        _independence_chi_parts(df, "from_role", "to_role")
-        .sort_values(["from_role", "to_role"])
-        .reset_index(drop=True)
-    )
+    return transition_drift(_read_transcripts(sf_dir))
 
 
 def transition_drift_oracle(role_transitions_sql: str) -> str:

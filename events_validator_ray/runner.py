@@ -85,6 +85,15 @@ def main(argv: list[str] | None = None) -> int:
         help="JSON file of reference histograms {column: {value: count}} to score drift against",
     )
     p.add_argument(
+        "--drift",
+        action="store_true",
+        help="temporal-drift audit over a transcript dir: writes "
+        "len_drift_days.parquet (per UTC day x length-bin chi parts) and "
+        "transition_drift.parquet (role-transition independence parts) to "
+        "--out and prints the top drifting cells — the always-on cheap "
+        "guard in front of a full validation run",
+    )
+    p.add_argument(
         "--profile-only",
         action="store_true",
         help="compute ONLY the sketch profile (stats/HLL/t-digest/cat-hist "
@@ -193,6 +202,32 @@ def main(argv: list[str] | None = None) -> int:
             },
         }
         print(json.dumps(summary))
+        ray.shutdown()
+        return 0
+
+    if args.drift:
+        import os as _os
+
+        from .stages.sketches import len_drift_days, transition_drift
+
+        ds = rd.read_parquet(args.input)
+        ld = len_drift_days(ds)
+        td = transition_drift(ds)
+        _os.makedirs(args.out, exist_ok=True)
+        ld.to_parquet(_os.path.join(args.out, "len_drift_days.parquet"), index=False)
+        td.to_parquet(
+            _os.path.join(args.out, "transition_drift.parquet"), index=False
+        )
+        summary = {
+            "mode": "drift",
+            "n_len_cells": len(ld),
+            "n_transition_cells": len(td),
+            "top_len_drift": ld.nlargest(5, "chi_part_micro").to_dict("records"),
+            "top_transition_drift": td.nlargest(5, "chi_part_micro").to_dict(
+                "records"
+            ),
+        }
+        print(json.dumps(summary, default=str))
         ray.shutdown()
         return 0
 

@@ -662,3 +662,107 @@ def heavy_hitters_exact(ds, col: str, threshold_permille: int = 8):
             "n": pa.array([n for _, n in kept], pa.int64()),
         }
     )
+
+
+# --- round-5 temporal drift suite (shared by pipelines/queries.py and the
+# runner's --drift mode) ---
+
+LEN_BIN_WIDTH = 32
+LEN_BIN_MAX = 15
+
+
+def independence_chi_parts(df: pd.DataFrame, a_col: str, b_col: str,
+                           n_col: str = "n_obs") -> pd.DataFrame:
+    """Per-cell chi-square drift contribution under (a, b) independence:
+    exp = DOUBLE(n_a * n_b) / DOUBLE(n_total); chi_part_micro =
+    floor(((diff * diff) / exp) * 1e6 + 0.5) with diff = n_obs - exp.
+
+    Every float op is multiply/divide/subtract-only IEEE double, mirrored
+    OP-FOR-OP by the SQL twins (same rationale as drift_roles: no float SUM
+    across cells, no transcendentals → the compare is bit-exact). The
+    marginal products are converted int→double BEFORE the division
+    (``float(n_a * n_b) / float(n)``) so python matches DuckDB's
+    ``CAST(na*nb AS DOUBLE) / CAST(n AS DOUBLE)`` even when the exact
+    product exceeds 2^53 (python's int/int true division would round the
+    exact rational instead). Driver-side over a bounded cell table
+    (days × types / days × bins / roles² — never corpus-cardinality)."""
+    import math
+
+    na = df.groupby(a_col)[n_col].sum().to_dict()
+    nb = df.groupby(b_col)[n_col].sum().to_dict()
+    n_total = float(int(df[n_col].sum()))
+    micro = []
+    for a, b, o in zip(df[a_col], df[b_col], df[n_col]):
+        exp = float(int(na[a]) * int(nb[b])) / n_total
+        diff = float(o) - exp
+        micro.append(int(math.floor(((diff * diff) / exp) * 1_000_000 + 0.5)))
+    out = df.copy()
+    out["chi_part_micro"] = pd.Series(micro, dtype="int64", index=df.index)
+    return out
+
+
+def len_drift_days(ds) -> pd.DataFrame:
+    """Temporal NUMERIC drift over a transcript Dataset: per (UTC day,
+    text-length bin) cell, observed count + chi-square contribution vs the
+    corpus-wide length profile. Binning is ALL-INTEGER map-side
+    (bin = min(len // 32, 15); NULL text → -1); one bucketed count over a
+    day|bin key; cells = days × 17, bounded at any corpus size."""
+    from .assembly import bucketed_count_per_key
+
+    sub = ds.select_columns(["ts", "text"])
+
+    def day_bin_key(t: pa.Table) -> pa.Table:
+        d = pc.coalesce(
+            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
+            "(null)",
+        )
+        # NULL text → NaN after to_pandas; floordiv/clip propagate it and the
+        # fillna(-1) lands the NULL bin — all vectorized, no python rows
+        ln = pc.utf8_length(t["text"]).to_pandas()
+        bins = (
+            (ln // LEN_BIN_WIDTH).clip(upper=LEN_BIN_MAX).fillna(-1).astype("int64")
+        )
+        key = pc.binary_join_element_wise(
+            d, pa.array(bins.astype(str), pa.string()), "|"
+        )
+        return pa.table({"_db": key})
+
+    day_bin_key.__name__ = "day_len_bin_key"
+    counts = bucketed_count_per_key(
+        sub.map_batches(day_bin_key, batch_format="pyarrow"),
+        "_db",
+        "n_obs",
+        num_buckets=8,
+    )
+    df = counts.to_pandas()  # bounded: days × 17 cells
+    parts = df["_db"].str.split("|", n=1, expand=True)
+    df = pd.DataFrame(
+        {
+            "date_utc": parts[0],
+            "len_bin": parts[1].astype("int64"),
+            "n_obs": df["n_obs"].astype("int64"),
+        }
+    )
+    return (
+        independence_chi_parts(df, "date_utc", "len_bin")
+        .sort_values(["date_utc", "len_bin"])
+        .reset_index(drop=True)
+    )
+
+
+def transition_drift(ds) -> pd.DataFrame:
+    """Role-transition independence drift (alternation-health score) over a
+    transcript Dataset: per (from_role, to_role) adjacency cell, observed
+    count + chi-square contribution vs the marginal-independence
+    expectation. Composes the role_transitions distributed profile
+    (roles²-bounded) with the shared bit-exact chi kernel."""
+    from .assembly import role_transitions
+
+    df = role_transitions(ds).to_pandas()  # roles² rows
+    df = df.rename(columns={"n": "n_obs"})
+    df["n_obs"] = df["n_obs"].astype("int64")
+    return (
+        independence_chi_parts(df, "from_role", "to_role")
+        .sort_values(["from_role", "to_role"])
+        .reset_index(drop=True)
+    )

@@ -375,3 +375,46 @@ def test_runner_diff_cli(tmp_path):
     )
     convs = {r["event_id"].rsplit(":", 1)[0] for r in viols}
     assert convs == {copied + "_brand_new"}
+
+
+def test_runner_drift_cli(tmp_path):
+    """--drift writes both drift tables and reports the top cells; the
+    parquet values must match the in-process stage functions exactly."""
+    import pandas as pd
+
+    from events_validator_ray.sources.transcripts import ensure_transcripts
+
+    tdir = ensure_transcripts(0.001)
+    out = tmp_path / "drift"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "events_validator_ray.runner",
+            "--drift",
+            "--input",
+            tdir,
+            "--out",
+            str(out),
+            "--num-cpus",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["mode"] == "drift"
+    ld = pd.read_parquet(out / "len_drift_days.parquet")
+    td = pd.read_parquet(out / "transition_drift.parquet")
+    assert summary["n_len_cells"] == len(ld) > 0
+    assert summary["n_transition_cells"] == len(td) > 0
+    assert (ld["chi_part_micro"] >= 0).all()
+    assert set(td.columns) == {"from_role", "to_role", "n_obs", "chi_part_micro"}
+    # top cell reported == max of the written table
+    assert (
+        summary["top_len_drift"][0]["chi_part_micro"]
+        == ld["chi_part_micro"].max()
+    )
