@@ -766,3 +766,68 @@ def transition_drift(ds) -> pd.DataFrame:
         .sort_values(["from_role", "to_role"])
         .reset_index(drop=True)
     )
+
+
+def hll_count_per_key(ds, key_col: str, val_col: str, out_col: str,
+                      p: int = 12, num_buckets: int = 64):
+    """Approximate COUNT(DISTINCT val) GROUP BY key — the 10^12-scale cheap
+    path next to assembly.distinct_count_per_key's exact one. The exact
+    operator must ship every DISTINCT (key, val) pair through the exchange
+    (∝ corpus for high-distinct columns); this one ships one 2^p-byte HLL
+    register array per (block, key) — shuffle ∝ blocks × keys_per_block ×
+    4 KB at p=12, independent of the value cardinality, with ~1.04/√2^p
+    (≈1.6%) relative error.
+
+    Shape: per-block partials (one vectorized hash64+register pass per key
+    group — the python loop is over KEYS in the block, never rows) → key-hash
+    int64 bucket → per-bucket register max-merge + estimate. The final
+    reduce never uses groupby(key).aggregate (the documented sort-aggregate
+    hazard). Intended for key cardinalities where a 4 KB sketch per key is
+    cheap (days, days×dims, shards); the EXACT operator remains the tool
+    when keys are few but values must be exact."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _canon_key_str
+
+        keys, regs = [], []
+        canon = pd.Series(_canon_key_str(df[key_col]), index=df.index)
+        for k, sub in df.groupby(canon, sort=False):
+            h = HLL(p)
+            vals = sub[val_col].dropna().to_numpy()
+            if len(vals):
+                h.add_values(vals)
+            keys.append(k)
+            regs.append(h.registers.tobytes())
+        out = pd.DataFrame({key_col: keys, "_regs": regs})
+        out["_kb"] = (
+            hash64(np.asarray(keys, dtype=object)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    partial.__name__ = "hll_key_partials"
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {key_col: pd.Series(dtype=object), out_col: pd.Series(dtype="int64")}
+            )
+        rows = []
+        for k, sub in g.groupby(key_col, sort=False):
+            merged = HLL(p)
+            stacked = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in sub["_regs"]]
+            )
+            merged.registers = stacked.max(axis=0)
+            rows.append((k, int(math.floor(merged.estimate() + 0.5))))
+        return pd.DataFrame(rows, columns=[key_col, out_col]).astype(
+            {out_col: "int64"}
+        )
+
+    final.__name__ = "hll_key_merge"
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(final, batch_format="pandas")
+    )

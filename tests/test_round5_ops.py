@@ -887,3 +887,53 @@ def test_benford_value_oracle_parity_sf0001(ray_session):
         want[["digit", "n_obs", "chi_part_micro"]],
     )
     assert (got.loc[got["digit"] > 0, "chi_part_micro"] >= 0).all()
+
+
+def test_distinct_users_by_day_oracle_parity(ray_session):
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import q_distinct_users_by_day
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = (
+        q_distinct_users_by_day(sf_dir)
+        .to_pandas()
+        .sort_values("date_utc")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = (
+        con.sql(
+            "SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+            "COUNT(DISTINCT user_id) AS n_users FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY 1"
+        )
+        .df()
+        .astype({"n_users": "int64"})
+        .sort_values("date_utc")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["date_utc", "n_users"]], want)
+
+
+def test_hll_users_by_day_within_3pct_of_exact(ray_session):
+    """The per-key HLL path must land within 3% of the exact operator on
+    every day at sf0.01 (p=12 → ~1.6% expected RSE)."""
+    from events_validator_ray.pipelines.queries import (
+        q_distinct_users_by_day,
+        q_hll_users_by_day,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = q_distinct_users_by_day(sf_dir).to_pandas().set_index("date_utc")[
+        "n_users"
+    ]
+    est = q_hll_users_by_day(sf_dir).to_pandas().set_index("date_utc")[
+        "n_users_est"
+    ]
+    assert set(exact.index) == set(est.index)
+    rel = ((est - exact).abs() / exact).max()
+    assert rel <= 0.03, f"max relative error {rel:.4f}"
