@@ -3136,6 +3136,35 @@ def q_hll_users_by_day(sf_dir: str):
     )
 
 
+def q_tdigest_value_by_day(sf_dir: str):
+    """APPROXIMATE per-day p50/p95 of events.value via mergeable t-digests
+    (stages/sketches.py:tdigest_quantile_per_key) — one ≤3 KB digest per
+    (block, day) through the exchange instead of the column; the per-day
+    quantile plane at 10^12 rows. No SQL twin by design (approx); tests pin
+    both quantiles against DuckDB's exact quantile_cont within 5%."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.sketches import tdigest_quantile_per_key
+
+    ev = _read_table(sf_dir, "events", columns=["ts", "value"])
+
+    def add_date(t: pa.Table) -> pa.Table:
+        d = pc.coalesce(
+            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
+            "(null)",
+        )
+        return pa.table({"date_utc": d, "value": t["value"]})
+
+    add_date.__name__ = "day_value_pairs"
+    return tdigest_quantile_per_key(
+        ev.map_batches(add_date, batch_format="pyarrow"),
+        "date_utc",
+        "value",
+        qs=(0.5, 0.95),
+    )
+
+
 def _benford_probs() -> dict[int, float]:
     import math
 
@@ -3533,6 +3562,9 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         # approx per-key HLL: no twin by design (tests pin vs the exact op)
         "hll_users_by_day": q_hll_users_by_day,
+        # approx per-key t-digest quantiles: no twin by design (tests pin
+        # vs DuckDB exact quantile_cont within 5%)
+        "tdigest_value_by_day": q_tdigest_value_by_day,
     }
 
 

@@ -831,3 +831,70 @@ def hll_count_per_key(ds, key_col: str, val_col: str, out_col: str,
         .groupby("_kb")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def tdigest_quantile_per_key(ds, key_col: str, val_col: str,
+                             qs: tuple[float, ...] = (0.5, 0.95),
+                             delta: float = 200.0, num_buckets: int = 64):
+    """Approximate per-key quantiles via mergeable t-digests — the
+    sketch-per-group counterpart of `hll_count_per_key` for the quantile
+    plane (sampling.grouped_quantiles stays the EXACT tool when per-key
+    value sets are small enough to co-locate). Shuffle is one serialized
+    digest (≤ delta centroids ≈ 3 KB) per (block, key), independent of the
+    per-key row count — per-day p95 latency at 10^12 rows without shipping
+    the column.
+
+    Emits one row per key with q{...}_est float columns (digest estimates
+    are approximate by contract — no SQL twin; tests pin them against the
+    exact quantiles)."""
+    import numpy as np
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _canon_key_str
+
+        keys, blobs = [], []
+        canon = pd.Series(_canon_key_str(df[key_col]), index=df.index)
+        for k, sub in df.groupby(canon, sort=False):
+            td = TDigest(delta)
+            td.add_values(sub[val_col].to_numpy(dtype="float64", na_value=np.nan))
+            keys.append(k)
+            blobs.append(
+                np.concatenate([td.means, td.weights]).astype("float64").tobytes()
+            )
+        out = pd.DataFrame({key_col: keys, "_td": blobs})
+        out["_kb"] = (
+            hash64(np.asarray(keys, dtype=object)) % np.uint64(num_buckets)
+        ).astype(np.int64)
+        return out
+
+    partial.__name__ = "tdigest_key_partials"
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        cols = {key_col: []}
+        for q in qs:
+            cols[f"q{int(round(q * 100)):02d}_est"] = []
+        if len(g) == 0:
+            return pd.DataFrame(cols)
+        for k, sub in g.groupby(key_col, sort=False):
+            merged = TDigest(delta)
+            for b in sub["_td"]:
+                arr = np.frombuffer(b, dtype=np.float64)
+                half = len(arr) // 2
+                other = TDigest(delta)
+                other.means, other.weights = arr[:half].copy(), arr[half:].copy()
+                merged.merge(other)
+            cols[key_col].append(k)
+            for q in qs:
+                v = merged.quantile(q)
+                cols[f"q{int(round(q * 100)):02d}_est"].append(
+                    float("nan") if v is None else v
+                )
+        return pd.DataFrame(cols)
+
+    final.__name__ = "tdigest_key_merge"
+    return (
+        ds.select_columns([key_col, val_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -298,11 +298,18 @@ def test_registry_head_window_order():
         "multimodal_decode",
         "multimodal_audio",
         "multimodal_frames",
-        "worst_offenders",
         "global_rank",
         "semantic_dedup",
         "multimodal_resize",
         "hll_registers",
+        # round-5 audit suite (swapped in for multi-green canaries
+        # curate_docs / lang_id / worst_offenders / quantile_filter /
+        # bloom_semi_join, whose r2-r3 rows stand)
+        "drift_days",
+        "len_drift_days",
+        "transition_drift",
+        "benford_value",
+        "distinct_users_by_day",
     ]:
         assert must in head, f"{must} fell out of the driver's checked window"
 
@@ -937,3 +944,62 @@ def test_hll_users_by_day_within_3pct_of_exact(ray_session):
     assert set(exact.index) == set(est.index)
     rel = ((est - exact).abs() / exact).max()
     assert rel <= 0.03, f"max relative error {rel:.4f}"
+
+
+def test_tdigest_value_by_day_within_5pct_of_exact(ray_session):
+    """Per-day t-digest p50/p95 vs DuckDB's exact quantile_cont at sf0.01."""
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import q_tdigest_value_by_day
+
+    sf_dir = "/root/testdata/sf0.01"
+    est = (
+        q_tdigest_value_by_day(sf_dir)
+        .to_pandas()
+        .set_index("date_utc")
+        .sort_index()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    exact = (
+        con.sql(
+            "SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+            "quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.95) AS p95 "
+            "FROM events GROUP BY 1"
+        )
+        .df()
+        .set_index("date_utc")
+        .sort_index()
+    )
+    assert set(est.index) == set(exact.index)
+    rel50 = ((est["q50_est"] - exact["p50"]).abs() / exact["p50"]).max()
+    rel95 = ((est["q95_est"] - exact["p95"]).abs() / exact["p95"]).max()
+    assert rel50 <= 0.05, f"p50 max rel err {rel50:.4f}"
+    assert rel95 <= 0.05, f"p95 max rel err {rel95:.4f}"
+
+
+def test_hll_count_per_key_randomized_vs_exact(ray_session):
+    """Randomized corpus: per-key HLL estimates vs exact distinct counts —
+    small keys hit the linear-counting regime (near-exact), the big key
+    stays within 5%; a hot key split across many blocks must merge right."""
+    import ray.data as rd
+
+    from events_validator_ray.stages.sketches import hll_count_per_key
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    keys = np.where(rng.random(n) < 0.6, "hot", rng.choice(["a", "b", "c"], n))
+    vals = rng.integers(0, 5_000, n)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    exact = df.groupby("k")["v"].nunique()
+    ds = rd.from_pandas(df).repartition(16)
+    est = (
+        hll_count_per_key(ds, "k", "v", "n_est")
+        .to_pandas()
+        .set_index("k")["n_est"]
+    )
+    assert set(est.index) == set(exact.index)
+    rel = ((est - exact).abs() / exact).max()
+    assert rel <= 0.05, f"max rel err {rel:.4f}"
