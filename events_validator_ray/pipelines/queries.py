@@ -2899,6 +2899,7 @@ def events_oracles() -> dict[str, str]:
             "FROM tot LEFT JOIN err ON tot.date_utc = err.date_utc"
         ),
         "drift_days": drift_days_oracle(),
+        "wow_drift": wow_drift_oracle(),
         "benford_value": benford_value_oracle(),
         "distinct_users_by_day": (
             "SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
@@ -2968,40 +2969,8 @@ def q_drift_days(sf_dir: str):
     day|type key (cell cardinality = days × types, bounded — the driver
     pull is the cell table, never the corpus); the chi parts are computed
     driver-side with `_independence_chi_parts` and compared bit-exactly."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    from ..stages.assembly import bucketed_count_per_key
-
-    ev = _read_table(sf_dir, "events", columns=["ts", "event_type"])
-
-    def day_type_key(t: pa.Table) -> pa.Table:
-        d = pc.coalesce(
-            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
-            "(null)",
-        )
-        et = pc.coalesce(t["event_type"], "(null)")
-        return pa.table({"_dt": pc.binary_join_element_wise(d, et, "|")})
-
-    day_type_key.__name__ = "day_type_key"
-    counts = bucketed_count_per_key(
-        ev.map_batches(day_type_key, batch_format="pyarrow"),
-        "_dt",
-        "n_obs",
-        num_buckets=8,
-    )
-    df = counts.to_pandas()  # bounded: days × types cells at any sf
-    parts = df["_dt"].str.split("|", n=1, expand=True)
-    df = pd.DataFrame(
-        {
-            "date_utc": parts[0],
-            "event_type": parts[1],
-            "n_obs": df["n_obs"].astype("int64"),
-        }
-    )
     return (
-        _independence_chi_parts(df, "date_utc", "event_type")
+        _independence_chi_parts(_day_type_cells(sf_dir), "date_utc", "event_type")
         .sort_values(["date_utc", "event_type"])
         .reset_index(drop=True)
     )
@@ -3133,6 +3102,136 @@ def q_hll_users_by_day(sf_dir: str):
 
     return hll_count_per_key(
         _events_day_user_pairs(sf_dir), "date_utc", "user_id", "n_users_est"
+    )
+
+
+def _day_type_cells(sf_dir: str):
+    """Bounded (date_utc, event_type, n_obs) cell table for the temporal
+    drift family — the drift_days distributed piece, shared verbatim."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.assembly import bucketed_count_per_key
+
+    ev = _read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def day_type_key(t: pa.Table) -> pa.Table:
+        d = pc.coalesce(
+            pc.strftime(pc.cast(t["ts"], pa.timestamp("us")), format="%Y-%m-%d"),
+            "(null)",
+        )
+        et = pc.coalesce(t["event_type"], "(null)")
+        return pa.table({"_dt": pc.binary_join_element_wise(d, et, "|")})
+
+    day_type_key.__name__ = "day_type_key"
+    counts = bucketed_count_per_key(
+        ev.map_batches(day_type_key, batch_format="pyarrow"),
+        "_dt",
+        "n_obs",
+        num_buckets=8,
+    )
+    df = counts.to_pandas()  # bounded: days × types cells
+    parts = df["_dt"].str.split("|", n=1, expand=True)
+    return pd.DataFrame(
+        {
+            "date_utc": parts[0],
+            "event_type": parts[1],
+            "n_obs": df["n_obs"].astype("int64"),
+        }
+    )
+
+
+WOW_WINDOW = 7
+
+
+def q_wow_drift(sf_dir: str):
+    """Week-over-week drift ALARM: per (UTC day, event_type) cell on the
+    DENSE day×type grid (absent cells count 0 — both engines densify), the
+    chi-square contribution of the day's type mix against its own trailing
+    window: exp = n_day * w_type / w_all where w_* are the prior-7-row sums
+    per type / across types. Days with fewer than 7 prior days, or whose
+    window never saw the type (w_type = 0), emit -1 (out-of-model, the
+    drift_roles convention). Distributed piece = the drift_days bounded cell
+    count; the windowing is driver-side integer arithmetic on the cell
+    table, so the chi kernel stays the only float leg and the twin
+    (SUM OVER ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING on the same dense
+    grid) compares bit-exactly."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cells = _day_type_cells(sf_dir)
+    dates = sorted(cells["date_utc"].unique())
+    types = sorted(cells["event_type"].unique())
+    grid = (
+        cells.set_index(["date_utc", "event_type"])["n_obs"]
+        .reindex(
+            pd.MultiIndex.from_product(
+                [dates, types], names=["date_utc", "event_type"]
+            ),
+            fill_value=0,
+        )
+        .reset_index()
+    )
+    # prior-7-row sums per type over the dense, date-sorted series
+    grid = grid.sort_values(["event_type", "date_utc"]).reset_index(drop=True)
+    g = grid.groupby("event_type", sort=False)["n_obs"]
+    grid["w_type"] = (
+        g.apply(lambda s: s.shift(1).rolling(WOW_WINDOW, min_periods=1).sum())
+        .reset_index(drop=True)
+        .fillna(0)
+        .astype("int64")
+    )
+    grid["n_prior"] = grid.groupby("event_type", sort=False).cumcount().clip(
+        upper=WOW_WINDOW
+    )
+    day = grid.groupby("date_utc", sort=False).agg(
+        n_day=("n_obs", "sum"), w_all=("w_type", "sum")
+    )
+    micro = []
+    for r in grid.itertuples():
+        if r.n_prior < WOW_WINDOW or r.w_type == 0:
+            micro.append(-1)
+            continue
+        n_day = int(day.loc[r.date_utc, "n_day"])
+        w_all = int(day.loc[r.date_utc, "w_all"])
+        exp = float(n_day * int(r.w_type)) / float(w_all)
+        diff = float(r.n_obs) - exp
+        micro.append(int(math.floor(((diff * diff) / exp) * 1_000_000 + 0.5)))
+    out = grid[["date_utc", "event_type", "n_obs"]].copy()
+    out["chi_part_micro"] = pd.Series(micro, dtype="int64", index=grid.index)
+    return out.sort_values(["date_utc", "event_type"]).reset_index(drop=True)
+
+
+def wow_drift_oracle() -> str:
+    chi = _CHI_SQL.format(n="w.n_obs", exp="e.exp")
+    return (
+        "WITH c AS (SELECT COALESCE(strftime(ts, '%Y-%m-%d'), '(null)') AS date_utc, "
+        "COALESCE(event_type, '(null)') AS event_type, COUNT(*) AS n_obs "
+        "FROM events GROUP BY 1, 2), "
+        "dd AS (SELECT DISTINCT date_utc FROM c), "
+        "tt AS (SELECT DISTINCT event_type FROM c), "
+        "g AS (SELECT dd.date_utc, tt.event_type, "
+        "CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs "
+        "FROM dd CROSS JOIN tt "
+        "LEFT JOIN c ON c.date_utc = dd.date_utc AND c.event_type = tt.event_type), "
+        "w AS (SELECT date_utc, event_type, n_obs, "
+        f"SUM(n_obs) OVER (PARTITION BY event_type ORDER BY date_utc "
+        f"ROWS BETWEEN {WOW_WINDOW} PRECEDING AND 1 PRECEDING) AS w_type, "
+        f"COUNT(*) OVER (PARTITION BY event_type ORDER BY date_utc "
+        f"ROWS BETWEEN {WOW_WINDOW} PRECEDING AND 1 PRECEDING) AS n_prior "
+        "FROM g), "
+        "d AS (SELECT date_utc, SUM(n_obs) AS n_day, SUM(w_type) AS w_all "
+        "FROM w GROUP BY 1), "
+        "e AS (SELECT w.date_utc, w.event_type, "
+        "CAST(d.n_day * w.w_type AS DOUBLE) / CAST(d.w_all AS DOUBLE) AS exp "
+        "FROM w JOIN d USING (date_utc)) "
+        "SELECT w.date_utc, w.event_type, w.n_obs, "
+        f"CASE WHEN w.n_prior < {WOW_WINDOW} OR w.w_type = 0 THEN -1 "
+        f"ELSE {chi} END AS chi_part_micro "
+        "FROM w JOIN e ON e.date_utc = w.date_utc AND e.event_type = w.event_type"
     )
 
 
@@ -3565,6 +3664,7 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         # approx per-key t-digest quantiles: no twin by design (tests pin
         # vs DuckDB exact quantile_cont within 5%)
         "tdigest_value_by_day": q_tdigest_value_by_day,
+        "wow_drift": q_wow_drift,
     }
 
 

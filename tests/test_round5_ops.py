@@ -1003,3 +1003,36 @@ def test_hll_count_per_key_randomized_vs_exact(ray_session):
     assert set(est.index) == set(exact.index)
     rel = ((est - exact).abs() / exact).max()
     assert rel <= 0.05, f"max rel err {rel:.4f}"
+
+
+def test_wow_drift_oracle_parity(ray_session):
+    """Week-over-week drift alarm vs its dense-grid window twin at sf0.01:
+    first-7-day and zero-window cells are -1 on both sides; chi parts are
+    bit-exact."""
+    import duckdb
+
+    from events_validator_ray.pipelines.queries import q_wow_drift, wow_drift_oracle
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = (
+        q_wow_drift(sf_dir)
+        .sort_values(["date_utc", "event_type"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = (
+        con.sql(wow_drift_oracle())
+        .df()
+        .astype({"n_obs": "int64", "chi_part_micro": "int64"})
+        .sort_values(["date_utc", "event_type"])
+        .reset_index(drop=True)
+    )
+    cols = ["date_utc", "event_type", "n_obs", "chi_part_micro"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # structure: every type's first 7 days are out-of-model; later days score
+    n_types = got["event_type"].nunique()
+    assert (got["chi_part_micro"] == -1).sum() >= 7 * n_types
+    assert (got["chi_part_micro"] >= 0).any()
