@@ -193,6 +193,90 @@ def q_column_stats(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+#: (column, render-kind, suggested rule type) for the transcript spec
+#: inference — render kinds per stages/sketches.capped_distinct_profile.
+SPEC_SUGGEST_COLS = [
+    ("conv_id", "str", "string"),
+    ("turn_idx", "int", "number"),
+    ("role", "str", "string"),
+    ("text", "str", "string"),
+    ("tool", "str", "string"),
+    ("ts", "ts_us", "number"),
+]
+
+
+def q_spec_suggest(sf_dir: str):
+    """Spec inference from observed data (the constructive inverse of the
+    reference's schema editor, streamlit_ev/app/helpers/updater.py: suggest a
+    rule per column instead of hand-authoring one): per-column row/null
+    counts, capped distinct count, rendered max length, and — when the
+    distinct set fits under ENUM_MAX with every value ≤ ENUM_VALUE_MAX_LEN —
+    the exact sorted enum candidate list. Driver pull is bounded by
+    blocks × cols × (ENUM_MAX+2) rows, never value cardinality."""
+    import pandas as pd
+
+    from ..stages.sketches import (
+        ENUM_MAX,
+        ENUM_VALUE_MAX_LEN,
+        capped_distinct_profile,
+    )
+
+    cols = [c for c, _, _ in SPEC_SUGGEST_COLS]
+    renders = {c: k for c, k, _ in SPEC_SUGGEST_COLS}
+    prof = capped_distinct_profile(_read_transcripts(sf_dir), cols, renders)
+    rows = []
+    for c, _, typ in SPEC_SUGGEST_COLS:
+        p = prof[c]
+        enum_ok = bool(p["values"]) and p["max_len"] <= ENUM_VALUE_MAX_LEN
+        rows.append(
+            {
+                "col": c,
+                "n_rows": p["n_rows"],
+                "n_nulls": p["n_nulls"],
+                "n_distinct_capped": p["n_distinct_capped"],
+                "max_len": p["max_len"],
+                "suggested_type": typ,
+                "optional": int(p["n_nulls"] > 0),
+                "enum_values": ",".join(p["values"]) if enum_ok else "",
+            }
+        )
+    df = pd.DataFrame(rows)
+    for c in ["n_rows", "n_nulls", "n_distinct_capped", "max_len", "optional"]:
+        df[c] = df[c].astype("int64")
+    return df
+
+
+def spec_suggest_oracle(sf: float) -> str:
+    """SQL twin of q_spec_suggest: one UNION ALL branch per profiled column,
+    same render expressions (LENGTH/string_agg over the canonical string
+    render) and the same capped-distinct / enum-qualification rules."""
+    from ..stages.sketches import ENUM_MAX, ENUM_VALUE_MAX_LEN
+
+    t = _transcripts_table_sql(sf)
+    cap = ENUM_MAX + 1
+    branches = []
+    for c, kind, typ in SPEC_SUGGEST_COLS:
+        if kind == "int":
+            r = f"CAST({c} AS VARCHAR)"
+        elif kind == "ts_us":
+            r = f"CAST(epoch_us({c}) AS VARCHAR)"
+        else:
+            r = c
+        branches.append(
+            f"SELECT '{c}' AS col, COUNT(*) AS n_rows, "
+            f"COUNT(*) - COUNT({c}) AS n_nulls, "
+            f"CAST(LEAST(COUNT(DISTINCT {c}), {cap}) AS BIGINT) AS n_distinct_capped, "
+            f"CAST(COALESCE(MAX(LENGTH({r})), 0) AS BIGINT) AS max_len, "
+            f"'{typ}' AS suggested_type, "
+            f"CAST(CASE WHEN COUNT(*) > COUNT({c}) THEN 1 ELSE 0 END AS BIGINT) AS optional, "
+            f"CASE WHEN COUNT(DISTINCT {c}) BETWEEN 1 AND {ENUM_MAX} "
+            f"AND COALESCE(MAX(LENGTH({r})), 0) <= {ENUM_VALUE_MAX_LEN} "
+            f"THEN string_agg(DISTINCT {r}, ',' ORDER BY {r}) ELSE '' END AS enum_values "
+            f"FROM {t}"
+        )
+    return " UNION ALL ".join(branches)
+
+
 def q_hll_distinct_conv(sf_dir: str):
     """HLL distinct conversations (approx; rows-only check — accuracy is
     asserted against exact in tests/test_sketches.py)."""
@@ -3586,11 +3670,12 @@ def build_queries() -> dict[str, Callable[[str], Any]]:
         "valid_fields": q_valid_fields,
         "multimodal_audio": q_multimodal_audio,
         "multimodal_frames": q_multimodal_frames,
-        # --- canary: green in r1-r4, kept inside the checked window
-        # (semantic_dedup displaced the second canary, conversation_checks —
-        # its four green CORRECTNESS rows stand) ---
-        "validate_scalar": q_validate_scalar,
+        # spec_suggest (new this round: capped-distinct spec inference)
+        # takes the last canary slot — validate_scalar is green r1-r4 and
+        # validate.py is untouched by this feature
+        "spec_suggest": q_spec_suggest,
         # --- verified rounds 1-4 (green CORRECTNESS rows on record) ---
+        "validate_scalar": q_validate_scalar,
         "conversation_checks": q_conversation_checks,
         "error_rate": q_error_rate,
         "dedup_minhash": q_dedup_minhash,
@@ -3678,6 +3763,7 @@ def build_oracles(sf: float = 0.01) -> dict[str, str]:
     out["unique_event_names"] = (
         f"SELECT DISTINCT event_name FROM ({dispatch_oracle()})"
     )
+    out["spec_suggest"] = spec_suggest_oracle(sf)
     # decode oracle: generation-time truth parquet (written at SQL-build time
     # so the file exists before DuckDB binds, like the simhash sidecars)
     from ..stages.multimodal import ensure_media_real as _emr

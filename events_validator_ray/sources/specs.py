@@ -325,3 +325,34 @@ def spec_from_repo(repo: dict[str, Any], event_name: str) -> Spec:
         if event_name in (meta.get("usedInSchemas") or [])
     }
     return load_spec(fields, event_name=event_name)
+
+
+def infer_spec(
+    profile: dict[str, dict[str, Any]],
+    types: dict[str, str],
+    event_name: str = "inferred",
+) -> Spec:
+    """Build a compiled Spec from a capped-distinct profile
+    (stages/sketches.capped_distinct_profile) — the constructive inverse of
+    the reference's hand-authored schema editor (streamlit_ev/app/pages):
+
+    - every profiled column becomes a rule with the caller-declared `type`
+      (the profile's renders are physical, the rule type is the logical one);
+    - columns with observed nulls get `optional: true`;
+    - a column whose full value set fit under the cap with exactly ONE value
+      gets an exact `value` rule (the reference's constant-param pattern,
+      e.g. GA4 Recommended's fixed-value params).
+
+    Multi-value enums are NOT emitted as rules: the reference rule language
+    has no value-set constraint (value is scalar, validationHelpers.js:108),
+    so those stay advisory in the profile/query output.
+    """
+    fields: dict[str, Any] = {}
+    for col, p in profile.items():
+        rule: dict[str, Any] = {"type": types[col]}
+        if p["n_nulls"] > 0:
+            rule["optional"] = True
+        if len(p["values"]) == 1 and types[col] == "string":
+            rule["value"] = p["values"][0]
+        fields[col] = rule
+    return load_spec(fields, event_name=event_name)

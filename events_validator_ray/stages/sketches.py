@@ -898,3 +898,83 @@ def tdigest_quantile_per_key(ds, key_col: str, val_col: str,
         .groupby("_kb")
         .map_groups(final, batch_format="pandas")
     )
+
+
+ENUM_MAX = 8  # enum candidate iff distinct <= ENUM_MAX (twin: LEAST(,9))
+ENUM_VALUE_MAX_LEN = 64  # values longer than this disqualify the enum
+
+
+def capped_distinct_profile(ds, cols: list[str], renders: dict[str, str]):
+    """Per-column (n_rows, n_nulls, capped distinct count, enum candidates,
+    max length) for schema inference — EXACT under the cap without ever
+    pulling a corpus-cardinality value set:
+
+    - per block and column, if the block's distinct count is ≤ ENUM_MAX+1
+      the block ships the full distinct set (md5 digests for counting, raw
+      renders for the enum list); otherwise it ships one OVERFLOW marker —
+      a block can only overflow if the corpus itself exceeds the cap, so
+      `min(true_distinct, ENUM_MAX+1)` is reproduced exactly;
+    - driver pull is bounded by blocks × cols × (ENUM_MAX+2) digests, never
+      the value cardinality; raw values are capped at ENUM_VALUE_MAX_LEN
+      (longer values disqualify the enum on BOTH engines via the max-length
+      aggregate, so truncation never reaches the compare).
+
+    `renders[col]` ∈ {'str', 'int', 'ts_us'} fixes the canonical string
+    render; max_len and the enum list are computed on the RENDERED string so
+    the SQL twin can reproduce both with LENGTH(<render>)/<render>."""
+    import hashlib
+
+    cap = ENUM_MAX + 1
+
+    def render(col: str, s: pd.Series) -> pd.Series:
+        kind = renders[col]
+        if kind == "int":
+            return s.astype("int64").astype(str)
+        if kind == "ts_us":
+            return (s.astype("datetime64[us]").astype("int64")).astype(str)
+        return s.astype(str)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for col in cols:
+            s = df[col]
+            n_rows = int(len(s))
+            nn = s.dropna()
+            n_nulls = n_rows - int(len(nn))
+            rendered_all = render(col, nn)
+            distinct = rendered_all.drop_duplicates()
+            max_len = int(rendered_all.str.len().max()) if len(nn) else 0
+            if len(distinct) > cap:
+                rows.append((col, n_rows, n_nulls, max_len, "\x00OVERFLOW", ""))
+            else:
+                for raw in distinct:
+                    dig = hashlib.md5(raw.encode("utf-8")).hexdigest()
+                    # '=' marker disambiguates a per-value row from the
+                    # summary row even when the value itself is ''
+                    rows.append((col, 0, 0, 0, dig, "=" + raw[: ENUM_VALUE_MAX_LEN + 1]))
+                rows.append((col, n_rows, n_nulls, max_len, "", ""))
+        return pd.DataFrame(
+            rows, columns=["col", "n_rows", "n_nulls", "max_len", "dig", "raw"]
+        )
+
+    partial.__name__ = "capped_distinct_partials"
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # bounded: blocks × cols × (ENUM_MAX+2) rows
+    )
+    out = {}
+    for col in cols:
+        sub = parts[parts["col"] == col]
+        overflow = (sub["dig"] == "\x00OVERFLOW").any()
+        digs = set(sub.loc[(sub["dig"] != "") & (sub["dig"] != "\x00OVERFLOW"), "dig"])
+        n_distinct = cap if overflow else min(len(digs), cap)
+        raws = sorted({r[1:] for r in sub.loc[sub["raw"] != "", "raw"]})
+        out[col] = {
+            "n_rows": int(sub["n_rows"].sum()),
+            "n_nulls": int(sub["n_nulls"].sum()),
+            "max_len": int(sub["max_len"].max()) if len(sub) else 0,
+            "n_distinct_capped": int(n_distinct),
+            "values": raws if not overflow and len(digs) <= ENUM_MAX else [],
+        }
+    return out

@@ -310,6 +310,7 @@ def test_registry_head_window_order():
         "transition_drift",
         "benford_value",
         "distinct_users_by_day",
+        "spec_suggest",
     ]:
         assert must in head, f"{must} fell out of the driver's checked window"
 
